@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions._
+
+/** Relational surface: scan/filter/project/slice/take/setitem/fillna/cast/
+  * concat/distinct/set-ops/joins/windows/sorts (SURVEY.md §2.1-§2.3, §2.5-
+  * §2.7). All plans are pushdown-friendly: filters and projections sit
+  * directly over the parquet scan, joins broadcast the dimension side, and
+  * nothing collects to the driver.
+  */
+object Relational {
+
+  val defs: Map[String, Q] = Map(
+    // §2.1 scan + §2.2 projection/filter: predicate + pruning reach parquet.
+    "q_filter_project" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .filter($"l_quantity" > 45 && $"l_discount" < 0.05)
+          .select(
+            $"l_orderkey", $"l_linenumber", $"l_quantity",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_extendedprice * (1.0 - l_discount) AS revenue
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_discount < 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.2 slice: ORDER BY + OFFSET/LIMIT (reference __getitem__ slice,
+    // base.py:1045-1067).
+    "q_slice" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .orderBy($"o_orderkey")
+          .offset(100).limit(50)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin)),
+
+    // §2.2 take (gather by position list; reference base.py:1215-1270).
+    // Positional access needs a global order → row_number; fine for the
+    // small index lists this op is for (driver-side realignment), and the
+    // window is over a sort Spark would need anyway.
+    "q_take" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"o_orderkey")
+        tbl(s, dir, "orders")
+          .withColumn("pos", row_number().over(w) - lit(1))
+          .filter($"pos".isin(0, 7, 3, 999, 42))
+          .select($"pos", $"o_orderkey", $"o_totalprice")
+          .orderBy($"pos")
+      },
+      Some("""SELECT pos, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+             |  FROM orders)
+             |WHERE pos IN (0, 7, 3, 999, 42) ORDER BY pos""".stripMargin)),
+
+    // §2.2 scatter/update (reference __setitem__ → immutable CASE WHEN).
+    "q_setitem" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .select(
+            $"o_orderkey",
+            when($"o_orderstatus" === "F", $"o_totalprice" * 1.1)
+              .otherwise($"o_totalprice").as("price_adj"),
+            when($"o_totalprice" > 100000.0, lit("big"))
+              .otherwise(lit("small")).as("bucket"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+             |       ELSE o_totalprice END AS price_adj,
+             |  CASE WHEN o_totalprice > 100000.0 THEN 'big'
+             |       ELSE 'small' END AS bucket
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.2 isna + fillna(value): nulls synthesized with CASE, then coalesce.
+    "q_isna_fillna" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val v = when($"value" < 10.0, lit(null)).otherwise($"value")
+        tbl(s, dir, "events")
+          .select(
+            $"event_id",
+            v.isNull.as("is_na"),
+            coalesce(v, lit(-1.0)).as("filled"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  (CASE WHEN value < 10.0 THEN NULL ELSE value END) IS NULL AS is_na,
+             |  COALESCE(CASE WHEN value < 10.0 THEN NULL ELSE value END, -1.0) AS filled
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // §2.2 directional fillna (ffill/bfill) as running window fills.
+    "q_ffill" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val v = when($"value" < 20.0, lit(null)).otherwise($"value")
+        tbl(s, dir, "events")
+          .withColumn("v", v)
+          .select(
+            $"event_id", $"user_id",
+            ffill($"v", Seq($"user_id"), Seq($"ts", $"event_id")).as("v_ffill"),
+            bfill($"v", Seq($"user_id"), Seq($"ts", $"event_id")).as("v_bfill"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  last_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+             |  first_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+             |FROM (SELECT *, CASE WHEN value < 20.0 THEN NULL ELSE value END AS v
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    // §2.2 cast. Spark double→int truncates toward zero; the oracle pins the
+    // same semantics with TRUNC.
+    "q_cast" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast(IntegerType).as("qty_int"),
+            $"l_orderkey".cast(StringType).as("key_str"),
+            $"l_shipdate".cast(DateType).as("ship_date"),
+            $"l_linenumber".cast(DoubleType).as("line_dbl"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
+             |  CAST(l_orderkey AS VARCHAR) AS key_str,
+             |  CAST(l_shipdate AS DATE) AS ship_date,
+             |  CAST(l_linenumber AS DOUBLE) AS line_dbl
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.2 concat (zero-copy chunk union in the reference ≈ zero-shuffle
+    // UNION ALL here).
+    "q_union_all" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = tbl(s, dir, "orders")
+        o.filter($"o_orderstatus" === "F").select($"o_orderkey", $"o_totalprice")
+          .union(o.filter($"o_totalprice" > 200000.0)
+            .select($"o_orderkey", $"o_totalprice"))
+          .orderBy($"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0
+             |ORDER BY o_orderkey, o_totalprice""".stripMargin)),
+
+    // §2.7 set ops: INTERSECT / EXCEPT (distinct semantics both engines).
+    "q_set_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val a = li.filter($"l_quantity" > 30).select($"l_orderkey".as("k"))
+        val b = o.filter($"o_totalprice" > 150000.0).select($"o_orderkey".as("k"))
+        a.intersect(b).withColumn("op", lit("both"))
+          .union(a.except(b).withColumn("op", lit("only_li")))
+          .orderBy($"op", $"k")
+      },
+      Some("""SELECT k, 'both' AS op FROM (
+             |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 30
+             |  INTERSECT
+             |  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150000.0)
+             |UNION ALL
+             |SELECT k, 'only_li' AS op FROM (
+             |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 30
+             |  EXCEPT
+             |  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150000.0)
+             |ORDER BY op, k""".stripMargin)),
+
+    // §2.4 unique / distinct.
+    "q_distinct" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer").select($"c_mktsegment").distinct()
+          .orderBy($"c_mktsegment")
+      },
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // §2.4 value_counts.
+    "q_value_counts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "part").groupBy($"p_brand")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS cnt FROM part
+             |GROUP BY p_brand ORDER BY cnt DESC, p_brand""".stripMargin)),
+
+    // §2.4 factorize (dictionary-encode): stable codes via dense_rank over
+    // the value order, minus 1 (reference na_sentinel=-1 irrelevant: no NULLs
+    // after filter).
+    "q_factorize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"p_type")
+        tbl(s, dir, "part")
+          .select($"p_partkey", $"p_type")
+          .withColumn("code", dense_rank().over(w) - lit(1))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_type,
+             |  dense_rank() OVER (ORDER BY p_type) - 1 AS code
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // §2.3 joins — broadcast the dims, let AQE/Catalyst pick the big-side
+    // strategy. Revenue per nation (TPC-H Q5 flavor).
+    "q_join_broadcast" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem")
+        val n = tbl(s, dir, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            detSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS cnt
+             |FROM lineitem, orders, customer, nation
+             |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // §2.3 semi/anti joins (EXISTS / NOT EXISTS).
+    "q_join_semi_anti" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val c = tbl(s, dir, "customer")
+        val bigOrders = tbl(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+        c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", lit("has_big") as "tag")
+          .union(
+            c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+              .select($"c_custkey", lit("no_big") as "tag"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, 'has_big' AS tag FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |              AND o_totalprice > 250000.0)
+             |UNION ALL
+             |SELECT c_custkey, 'no_big' AS tag FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_totalprice > 250000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // §2.5 windows: ranking + lag + running sum (running double sum is
+    // order-pinned by the unique (o_orderdate, o_orderkey) sort both sides).
+    "q_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        tbl(s, dir, "orders")
+          .select(
+            $"o_orderkey", $"o_custkey",
+            row_number().over(w).as("rn"),
+            lag($"o_totalprice", 1).over(w).as("prev_price"),
+            // decimal running sum: DuckDB evaluates window sums with a
+            // segment tree (pairwise order) — exact decimal makes the result
+            // association-independent on both engines.
+            sum($"o_totalprice".cast(DecimalType(38, 4)))
+              .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)).cast(DoubleType).as("running_total"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  row_number() OVER w AS rn,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.6 top-k: Spark plans TakeOrderedAndProject — no full sort at scale.
+    "q_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+          .select($"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // §2.8.5 date functions (beyond-parity; storage-only in the reference).
+    "q_date_parts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("y"),
+            month($"o_orderdate").as("m"),
+            dayofmonth($"o_orderdate").as("d"),
+            date_trunc("month", $"o_orderdate").as("month_start"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS y,
+             |  CAST(month(o_orderdate) AS INTEGER) AS m,
+             |  CAST(day(o_orderdate) AS INTEGER) AS d,
+             |  date_trunc('month', o_orderdate) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}

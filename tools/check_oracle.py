@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+
+Reads <verify_outdir>/oracle_sql.json (written by graft.Verify), runs each SQL
+in DuckDB against the parquet tables in <sfdir>, and compares against the
+Spark-written parquet in <verify_outdir>/<name>/. Columns are sorted by name;
+rows compared in order (queries are expected to ORDER BY deterministically).
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"COLS   spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS   spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float); bv = bv.astype(float)
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = int(np.argmax(neq.values))
+                return (f"VAL    col={c} row={i} spark={av.iloc[i]!r} "
+                        f"duck={bv.iloc[i]!r} diff={av.iloc[i]-bv.iloc[i]!r}")
+        else:
+            an = av.isna() if av.dtype == object or av.hasnans else pd.Series(False, index=av.index)
+            bn = bv.isna() if bv.dtype == object or bv.hasnans else pd.Series(False, index=bv.index)
+            neq = ~(((av == bv) & ~an & ~bn) | (an & bn))
+            # list-typed cells: elementwise == yields arrays; fall back
+            try:
+                bad = bool(neq.any())
+            except ValueError:
+                bad = any(not np.array_equal(x, y) for x, y in zip(av, bv))
+                neq = None
+            if bad:
+                if neq is not None:
+                    i = int(np.argmax(neq.values))
+                else:
+                    i = next(k for k, (x, y) in enumerate(zip(av, bv))
+                             if not np.array_equal(x, y))
+                return (f"VAL    col={c} row={i} spark={a[c].iloc[i]!r} "
+                        f"duck={b[c].iloc[i]!r}")
+    return "OK"
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    results = {}
+    only = sys.argv[3:] or None
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_path = Path(outdir) / name
+        if not spark_path.exists():
+            results[name] = "MISSING spark output"
+            continue
+        try:
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(spark_path.glob("*.parquet"))],
+                ignore_index=True)
+        except ValueError:
+            results[name] = "EMPTY spark output"
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"DUCKSQL {type(e).__name__}: {e}"
+            continue
+        try:
+            results[name] = compare(name, spark_df, duck_df)
+        except Exception as e:
+            results[name] = f"CMPERR {type(e).__name__}: {e}"
+    ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v == 'OK' else 'FAIL':4s}  {name:28s} {'' if v == 'OK' else v}")
+    print(f"\n{ok}/{len(results)} queries match")
+    sys.exit(0 if ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
