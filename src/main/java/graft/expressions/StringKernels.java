@@ -1,0 +1,278 @@
+package graft.expressions;
+
+import org.apache.spark.unsafe.types.UTF8String;
+
+/**
+ * Row-level string kernels backing the custom Catalyst Expressions.
+ *
+ * Static Java methods so whole-stage-codegen'd Java can call them directly
+ * (graft.expressions.StringKernels.xxx(...)). Each implements the semantics
+ * of a reference kernel the Spark built-ins can't express (SURVEY.md §4):
+ * the reference's Numba kernels in fletcher/algorithms/string.py do the same
+ * work per Arrow chunk; here Tungsten hands us one UTF8String per row inside
+ * generated code, which is the Spark-native shape of the same loop.
+ */
+public final class StringKernels {
+    private StringKernels() {}
+
+    /**
+     * Count non-overlapping literal occurrences; empty pattern counts
+     * len+1 (Python str.count semantics; reference string.py:163-237).
+     */
+    public static int countLiteral(UTF8String str, UTF8String pat) {
+        if (pat.numBytes() == 0) {
+            return str.numChars() + 1;
+        }
+        // UTF-8 is self-synchronizing: byte-level KMP-free scan is correct
+        // for literal patterns.
+        byte[] s = str.getBytes();
+        byte[] p = pat.getBytes();
+        int count = 0, i = 0;
+        while (i + p.length <= s.length) {
+            boolean hit = true;
+            for (int j = 0; j < p.length; j++) {
+                if (s[i + j] != p[j]) { hit = false; break; }
+            }
+            if (hit) { count++; i += p.length; } else { i++; }
+        }
+        return count;
+    }
+
+    /**
+     * Replace the first n non-overlapping occurrences (n < 0 = all).
+     * Empty pattern interleaves the replacement (Python str.replace
+     * semantics; reference string.py:331-393 empty-pattern kernel).
+     */
+    public static UTF8String replaceN(UTF8String str, UTF8String pat,
+                                      UTF8String repl, int n) {
+        if (n == 0) return str;
+        String s = str.toString();
+        String p = pat.toString();
+        String r = repl.toString();
+        StringBuilder out = new StringBuilder(s.length());
+        if (p.isEmpty()) {
+            // interleave: repl before every codepoint and at the end
+            int done = 0;
+            int i = 0;
+            while (i < s.length()) {
+                if (n < 0 || done < n) { out.append(r); done++; }
+                int cp = s.codePointAt(i);
+                out.appendCodePoint(cp);
+                i += Character.charCount(cp);
+            }
+            if (n < 0 || done < n) out.append(r);
+            return UTF8String.fromString(out.toString());
+        }
+        int done = 0, from = 0;
+        while (n < 0 || done < n) {
+            int idx = s.indexOf(p, from);
+            if (idx < 0) break;
+            out.append(s, from, idx).append(r);
+            from = idx + p.length();
+            done++;
+        }
+        out.append(s, from, s.length());
+        return UTF8String.fromString(out.toString());
+    }
+
+    /**
+     * Python slice semantics by codepoint: s[start:end:step], negative
+     * indices and negative step supported (reference string.py:727-908).
+     * start/end use Integer.MIN_VALUE as "not given".
+     */
+    public static UTF8String sliceCodepoints(UTF8String str, int start,
+                                             int end, int step) {
+        if (step == 0) throw new IllegalArgumentException("slice step cannot be zero");
+        String s = str.toString();
+        int[] cps = s.codePoints().toArray();
+        int len = cps.length;
+        long b, e;
+        if (step > 0) {
+            b = start == Integer.MIN_VALUE ? 0 : (start < 0 ? Math.max(len + start, 0) : Math.min(start, len));
+            e = end == Integer.MIN_VALUE ? len : (end < 0 ? Math.max(len + end, 0) : Math.min(end, len));
+        } else {
+            b = start == Integer.MIN_VALUE ? len - 1 : (start < 0 ? Math.max(len + start, -1) : Math.min(start, len - 1));
+            e = end == Integer.MIN_VALUE ? -1 : (end < 0 ? Math.max(len + end, -1) : Math.min(end, len - 1));
+        }
+        StringBuilder out = new StringBuilder();
+        if (step > 0) {
+            for (long i = b; i < e; i += step) out.appendCodePoint(cps[(int) i]);
+        } else {
+            for (long i = b; i > e; i += step) out.appendCodePoint(cps[(int) i]);
+        }
+        return UTF8String.fromString(out.toString());
+    }
+
+    // ---- Unicode class predicates (Python str.is* semantics; the reference
+    // delegates to Arrow utf8proc, string_mixin.py:38-91). Empty string →
+    // false for all, matching Python/pandas. ----
+
+    public static boolean isAlpha(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(Character::isLetter);
+    }
+
+    public static boolean isDigit(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(Character::isDigit);
+    }
+
+    public static boolean isAlnum(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(Character::isLetterOrDigit);
+    }
+
+    public static boolean isSpace(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(
+            cp -> Character.isWhitespace(cp) || Character.isSpaceChar(cp));
+    }
+
+    public static boolean isLower(UTF8String str) {
+        String s = str.toString();
+        boolean cased = false;
+        for (int i = 0; i < s.length();) {
+            int cp = s.codePointAt(i);
+            if (Character.isUpperCase(cp) || Character.isTitleCase(cp)) return false;
+            if (Character.isLowerCase(cp)) cased = true;
+            i += Character.charCount(cp);
+        }
+        return cased;
+    }
+
+    public static boolean isUpper(UTF8String str) {
+        String s = str.toString();
+        boolean cased = false;
+        for (int i = 0; i < s.length();) {
+            int cp = s.codePointAt(i);
+            if (Character.isLowerCase(cp) || Character.isTitleCase(cp)) return false;
+            if (Character.isUpperCase(cp)) cased = true;
+            i += Character.charCount(cp);
+        }
+        return cased;
+    }
+
+    /** Python istitle: cased runs must start upper/title then lower. */
+    public static boolean isTitle(UTF8String str) {
+        String s = str.toString();
+        boolean cased = false, prevCased = false;
+        for (int i = 0; i < s.length();) {
+            int cp = s.codePointAt(i);
+            boolean up = Character.isUpperCase(cp) || Character.isTitleCase(cp);
+            boolean lo = Character.isLowerCase(cp);
+            if (up) {
+                if (prevCased) return false;
+                cased = true; prevCased = true;
+            } else if (lo) {
+                if (!prevCased) return false;
+                cased = true; prevCased = true;
+            } else {
+                prevCased = false;
+            }
+            i += Character.charCount(cp);
+        }
+        return cased;
+    }
+
+    /** Python isnumeric: digits + numeric category (Nl, No). */
+    public static boolean isNumeric(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(cp -> {
+            int t = Character.getType(cp);
+            return Character.isDigit(cp) || t == Character.LETTER_NUMBER
+                || t == Character.OTHER_NUMBER;
+        });
+    }
+
+    /** Python isdecimal: Nd only. */
+    public static boolean isDecimal(UTF8String str) {
+        String s = str.toString();
+        if (s.isEmpty()) return false;
+        return s.codePoints().allMatch(
+            cp -> Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER);
+    }
+
+    /**
+     * Unicode case folding (Python str.casefold flavor). The upper→lower
+     * round-trip handles the full-fold expansions (ß→SS→ss) that plain
+     * toLowerCase misses.
+     */
+    public static UTF8String caseFold(UTF8String str) {
+        String s = str.toString();
+        return UTF8String.fromString(
+            s.toUpperCase(java.util.Locale.ROOT).toLowerCase(java.util.Locale.ROOT));
+    }
+
+    /** Unicode normalization via java.text.Normalizer (NFC/NFD/NFKC/NFKD). */
+    public static UTF8String normalize(UTF8String str, UTF8String form) {
+        return UTF8String.fromString(java.text.Normalizer.normalize(
+            str.toString(), java.text.Normalizer.Form.valueOf(form.toString())));
+    }
+
+    /**
+     * Pandas str.zfill: left-pad with '0', keeping a leading sign in place.
+     */
+    public static UTF8String zfill(UTF8String str, int width) {
+        String s = str.toString();
+        if (s.length() >= width) return str;
+        boolean signed = !s.isEmpty() && (s.charAt(0) == '-' || s.charAt(0) == '+');
+        StringBuilder out = new StringBuilder(width);
+        int padLen = width - s.length();
+        if (signed) out.append(s.charAt(0));
+        for (int i = 0; i < padLen; i++) out.append('0');
+        out.append(signed ? s.substring(1) : s);
+        return UTF8String.fromString(out.toString());
+    }
+
+    /**
+     * Greedy word-wrap at width (pandas str.wrap defaults: collapse runs of
+     * whitespace between words, break words longer than width), newline-joined.
+     */
+    public static UTF8String wrap(UTF8String str, int width) {
+        String[] words = str.toString().trim().split("\\s+");
+        StringBuilder out = new StringBuilder();
+        int lineLen = 0;
+        for (String w : words) {
+            if (w.isEmpty()) continue;
+            while (w.length() > width) {
+                int room = width - lineLen - (lineLen > 0 ? 1 : 0);
+                if (room <= 0) { out.append('\n'); lineLen = 0; room = width; }
+                else if (lineLen > 0) { out.append(' '); lineLen++; }
+                out.append(w, 0, Math.min(room, w.length()));
+                lineLen += Math.min(room, w.length());
+                w = w.substring(Math.min(room, w.length()));
+                if (!w.isEmpty()) { out.append('\n'); lineLen = 0; }
+            }
+            if (w.isEmpty()) continue;
+            if (lineLen == 0) { out.append(w); lineLen = w.length(); }
+            else if (lineLen + 1 + w.length() <= width) {
+                out.append(' ').append(w); lineLen += 1 + w.length();
+            } else { out.append('\n').append(w); lineLen = w.length(); }
+        }
+        return UTF8String.fromString(out.toString());
+    }
+
+    /**
+     * Polynomial rolling hash over codepoints: h = fold(h*31 + cp) mod 1e9+7.
+     * Matches DuckDB `list_reduce(list_prepend(0, [unicode(c) ...]),
+     * (acc,c) -> (acc*31+c) % 1000000007)` exactly — the cross-engine
+     * document fingerprint primitive (also the MinHash base hash).
+     */
+    public static final long POLY_MOD = 1_000_000_007L;
+
+    public static long polyHash(UTF8String str) {
+        String s = str.toString();
+        long h = 0;
+        for (int i = 0; i < s.length();) {
+            int cp = s.codePointAt(i);
+            h = (h * 31 + cp) % POLY_MOD;
+            i += Character.charCount(cp);
+        }
+        return h;
+    }
+}

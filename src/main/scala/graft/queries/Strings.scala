@@ -1,6 +1,300 @@
 package graft.queries
 
-/** String-function surface (SURVEY.md §2.8.3-§2.8.4). Filled in batch 2. */
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.expressions.TextExpressions._
+
+/** String-function surface (SURVEY.md §2.8.3-§2.8.4) — the heart of the
+  * reference library. Built-ins where Spark has them (codegen'd, pushdown-
+  * safe); custom Catalyst Expressions (graft.expressions) for count/
+  * replace-n/slice/is-predicates/casefold/normalize/zfill; all pure narrow
+  * expressions.
+  */
 object Strings {
-  val defs: Map[String, Q] = Map()
+
+  val defs: Map[String, Q] = Map(
+    // contains / startswith / endswith / cat (reference string.py:94-328).
+    "q_str_predicates" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "part")
+          .select(
+            $"p_partkey",
+            textContains($"p_name", "green").as("has_green"),
+            textStartsWith($"p_name", "bl").as("starts_bl"),
+            textEndsWith($"p_type", "OMY").as("ends_omy"),
+            textContainsRegex($"p_type", "^(ECONOMY|PROMO)$").as("rx"),
+            textCat($"p_brand", $"p_type").as("brand_type"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  contains(p_name, 'green') AS has_green,
+             |  starts_with(p_name, 'bl') AS starts_bl,
+             |  ends_with(p_type, 'OMY') AS ends_omy,
+             |  regexp_matches(p_type, '^(ECONOMY|PROMO)$') AS rx,
+             |  p_brand || p_type AS brand_type
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // upper/lower/length/substring/reverse/left/right (§2.8.4).
+    "q_str_basic" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            upper($"c_name").as("up"),
+            lower($"c_mktsegment").as("lo"),
+            length($"c_name").as("len"),
+            substring($"c_name", 3, 5).as("sub"),
+            reverse($"c_name").as("rev"),
+            $"c_name".substr(lit(1), lit(4)).as("head4"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  upper(c_name) AS up,
+             |  lower(c_mktsegment) AS lo,
+             |  CAST(length(c_name) AS INTEGER) AS len,
+             |  substr(c_name, 3, 5) AS sub,
+             |  reverse(c_name) AS rev,
+             |  substr(c_name, 1, 4) AS head4
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // pad family: lpad/rpad/center + zfill custom expression (§2.8.4).
+    "q_str_pad" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val name = $"s_name"
+        tbl(s, dir, "supplier")
+          .select(
+            $"s_suppkey",
+            lpad(name, 25, "*").as("ljust"),
+            rpad(name, 25, "*").as("rjust"),
+            // center = pandas str.center: left pad gets the smaller half
+            rpad(lpad(name,
+              (length(name) + ((lit(25) - length(name)) / 2).cast("int")),
+              lit("*")), lit(25), lit("*")).as("center"),
+            zfill($"s_suppkey".cast("string"), 8).as("zf"),
+            zfill(concat(lit("-"), $"s_suppkey".cast("string")), 8).as("zf_neg"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+             |  lpad(s_name, 25, '*') AS ljust,
+             |  rpad(s_name, 25, '*') AS rjust,
+             |  rpad(lpad(s_name, CAST(length(s_name) + (25 - length(s_name)) // 2 AS INTEGER), '*'), 25, '*') AS center,
+             |  lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS zf,
+             |  '-' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS zf_neg
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // trim family with explicit char sets (reference strip, string.py:545-684).
+    "q_str_trim" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val padded = concat(lit("  \t"), $"n_name", lit("xx "))
+        tbl(s, dir, "nation")
+          .select(
+            $"n_nationkey",
+            textStrip(padded).as("stripped"),
+            textLStrip(padded).as("lstripped"),
+            textRStrip(textStrip(padded, " \tx")).as("custom"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  trim(p, ' ' || chr(9) || chr(10) || chr(13)) AS stripped,
+             |  ltrim(p, ' ' || chr(9) || chr(10) || chr(13)) AS lstripped,
+             |  rtrim(trim(p, ' ' || chr(9) || 'x'), ' ' || chr(9) || chr(10) || chr(13)) AS custom
+             |FROM (SELECT n_nationkey, '  ' || chr(9) || n_name || 'xx ' AS p
+             |      FROM nation)
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // find/locate/instr (§2.8.4 find/index → Spark locate is 1-based like
+    // DuckDB instr; pandas find is 0-based → minus 1).
+    "q_str_find" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "part")
+          .select(
+            $"p_partkey",
+            (locate("a", $"p_name") - 1).as("find_a"),
+            locate("ECON", $"p_type").as("locate_econ"),
+            textCount($"p_name", "a").as("count_a"),
+            textCount($"p_name", "").as("count_empty"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(instr(p_name, 'a') - 1 AS INTEGER) AS find_a,
+             |  CAST(instr(p_type, 'ECON') AS INTEGER) AS locate_econ,
+             |  CAST((length(p_name) - length(replace(p_name, 'a', ''))) AS INTEGER) AS count_a,
+             |  CAST(length(p_name) + 1 AS INTEGER) AS count_empty
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // split / rsplit-style access (§2.8.4 split/partition/get).
+    "q_str_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = split($"p_name", " ")
+        tbl(s, dir, "part")
+          .select(
+            $"p_partkey",
+            parts.getItem(0).as("first_tok"),
+            element_at(parts, -1).as("last_tok"),
+            size(parts).as("n_tok"),
+            substring_index($"p_name", " ", 1).as("before_first"),
+            substring_index($"p_name", " ", -1).as("after_last"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  string_split(p_name, ' ')[1] AS first_tok,
+             |  string_split(p_name, ' ')[-1] AS last_tok,
+             |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tok,
+             |  split_part(p_name, ' ', 1) AS before_first,
+             |  string_split(p_name, ' ')[-1] AS after_last
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // regex surface: extract / replace-all / count (§2.8.4
+    // extract/findall/match → regexp_extract/regexp_replace/regexp_count).
+    "q_str_regex" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
+            regexp_replace($"c_name", "[0-9]", "#").as("masked"),
+            regexp_count($"c_name", lit("0")).as("zeros"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS zeros
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // repeat / translate / literal replace-all (§2.8.4).
+    "q_str_misc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "region")
+          .select(
+            $"r_regionkey",
+            repeat($"r_name", 3).as("rep"),
+            translate($"r_name", "AEIOU", "aeiou").as("tr"),
+            expr("replace(r_name, 'A', '@')").as("repl_all"))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey,
+             |  repeat(r_name, 3) AS rep,
+             |  translate(r_name, 'AEIOU', 'aeiou') AS tr,
+             |  replace(r_name, 'A', '@') AS repl_all
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    // title-case (initcap) — composed per-word in the oracle (no DuckDB
+    // initcap); capitalize = first-char upper + rest lower.
+    "q_str_title" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "documents")
+          .select(
+            $"doc_id",
+            initcap($"lang").as("title_lang"),
+            concat(upper(substring($"source", 1, 1)),
+              lower(substring($"source", 2, 1000))).as("cap_source"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  upper(lang[1]) || lower(lang[2:]) AS title_lang,
+             |  upper(source[1]) || lower(source[2:]) AS cap_source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // custom TextReplaceN: bounded-n and empty-pattern replace — the
+    // semantics Spark's replace/regexp_replace can't do (SURVEY §4).
+    "q_str_replace_n" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "nation")
+          .select(
+            $"n_nationkey",
+            textReplaceN($"n_name", "N", "@", 1).as("r1"),
+            textReplaceN($"n_name", "N", "@", 2).as("r2"),
+            textReplaceN($"n_name", "N", "@", -1).as("rall"),
+            textReplaceN($"n_name", "", "-", -1).as("rempty"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  regexp_replace(n_name, 'N', '@') AS r1,
+             |  regexp_replace(regexp_replace(n_name, 'N', '@'), 'N', '@') AS r2,
+             |  replace(n_name, 'N', '@') AS rall,
+             |  '-' || list_aggregate(list_transform(regexp_split_to_array(n_name, ''), c -> c || '-'), 'string_agg', '') AS rempty
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // custom TextSlice: Python codepoint slicing with negative indices and
+    // step — oracle via substr arithmetic / list gymnastics.
+    "q_str_slice" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            textSlice($"c_name", 2, 10).as("s2_10"),
+            textSlice($"c_name", end = -3).as("drop3"),
+            textSlice($"c_name", -5).as("last5"),
+            textSlice($"c_name", 1, -1).as("trim_ends"),
+            textSlice($"c_name", 0, Int.MinValue, 2).as("evens"),
+            textSlice($"c_name", Int.MinValue, Int.MinValue, -1).as("rev"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  substr(c_name, 3, 8) AS s2_10,
+             |  substr(c_name, 1, greatest(length(c_name) - 3, 0)) AS drop3,
+             |  substr(c_name, greatest(length(c_name) - 5, 0) + 1) AS last5,
+             |  substr(c_name, 2, greatest(length(c_name) - 2, 0)) AS trim_ends,
+             |  list_aggregate(list_transform(
+             |    range(1, CAST(length(c_name) AS BIGINT) + 1, 2),
+             |    i -> substr(c_name, CAST(i AS INTEGER), 1)), 'string_agg', '') AS evens,
+             |  reverse(c_name) AS rev
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // custom Utf8Is predicates (ASCII-safe oracle via regex classes).
+    "q_str_is" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tok = split($"p_name", " ").getItem(0)
+        tbl(s, dir, "part")
+          .select(
+            $"p_partkey",
+            utf8Is(tok, "alpha").as("is_alpha"),
+            utf8Is(tok, "digit").as("is_digit"),
+            utf8Is(tok, "alnum").as("is_alnum"),
+            utf8Is(tok, "lower").as("is_lower"),
+            utf8Is(tok, "upper").as("is_upper"),
+            utf8Is($"p_brand", "space").as("is_space"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_matches(t, '^[A-Za-z]+$') AS is_alpha,
+             |  regexp_matches(t, '^[0-9]+$') AS is_digit,
+             |  regexp_matches(t, '^[A-Za-z0-9]+$') AS is_alnum,
+             |  regexp_matches(t, '^[^A-Z]*[a-z][^A-Z]*$') AS is_lower,
+             |  regexp_matches(t, '^[^a-z]*[A-Z][^a-z]*$') AS is_upper,
+             |  regexp_matches(p_brand, '^\s+$') AS is_space
+             |FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ')[1] AS t
+             |      FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // casefold + normalize (ASCII data: casefold ≡ lower; NFC is identity —
+    // full Unicode behavior pinned in StringExpressionsSpec).
+    "q_str_fold_norm" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            caseFold($"c_name").as("folded"),
+            normalizeText($"c_name", "NFC").as("nfc"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  lower(c_name) AS folded,
+             |  nfc_normalize(c_name) AS nfc
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
 }
