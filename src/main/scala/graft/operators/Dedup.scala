@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Deduplication operators for 100 TB-scale corpus cleaning.
+  *
+  * Scale design: exact dedup shuffles only a 128-bit digest, never the text;
+  * MinHash LSH turns the quadratic all-pairs problem into a bucket-local
+  * self-join (candidates only collide within a band bucket) and re-joins the
+  * signature sets by doc_id for the exact-Jaccard verify, so no wide arrays
+  * travel through the exploded band shuffle. All expressions are codegen'd —
+  * no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5(text): (text_hash, keeper = min id,
+    * n_copies). Only the digest is shuffled. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature over distinct k-shingle hashes.
+    * Returns (id, h: array<long> shingle hashes, m: array<long> 16 minhashes). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+        col(idCol).as("id"),
+        when(size(toks) >= k, shingleHashes(col(textCol), k))
+          .otherwise(array().cast("array<bigint>")).as("h"))
+      .filter(size(col("h")) > 0)
+      .withColumn("m", minHashSig(col("h")))
+  }
+
+  /** LSH candidate pairs with exact-Jaccard verification.
+    * Output: (id1, id2, jacc, is_dup) — id1 < id2, band-deduplicated.
+    */
+  def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, k)
+    // band buckets: only (band, key) and id travel through this shuffle
+    val buckets = sig.select(col("id"),
+      posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    // join the shingle sets back by id for the exact verify
+    val h = sig.select(col("id"), col("h"))
+    cand
+      .join(h.withColumnRenamed("id", "id1").withColumnRenamed("h", "h1"), "id1")
+      .join(h.withColumnRenamed("id", "id2").withColumnRenamed("h", "h2"), "id2")
+      .select(col("id1"), col("id2"),
+        jaccard(col("h1"), col("h2")).as("jacc"))
+      .withColumn("is_dup", col("jacc") >= threshold)
+  }
+
+  /** 30-bit SimHash fingerprint per document (over distinct token hashes),
+    * plus the two 15-bit halves used for banded near-dup lookup. */
+  def simhashFingerprints(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val h = array_distinct(transform(tokens(col(textCol)), t =>
+      graft.expressions.TextExpressions.polyHash(t)))
+    docs.select(col(idCol).as("id"), h.as("h"))
+      .withColumn("simhash", simHash30(col("h")))
+      .withColumn("band_lo", col("simhash") % lit(1 << 15))
+      .withColumn("band_hi", (col("simhash") / lit(1 << 15)).cast("bigint"))
+      .drop("h")
+  }
+
+  /** Exact word-set Jaccard pairs within a blocking key (e.g. lang).
+    * Quadratic within each block — the exact-verify kernel; production-scale
+    * candidate generation is [[minhashDupPairs]]. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val withSets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+      array_distinct(transform(tokens(col(textCol)), t =>
+        graft.expressions.TextExpressions.polyHash(t))).as("h"))
+    withSets.as("a").join(withSets.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.block").as("block"),
+        jaccard(col("a.h"), col("b.h")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (approximate-nearest-neighbor surface).
+  *
+  * Scale design: the query set is broadcast (never shuffles the corpus);
+  * brute force is one narrow scan per corpus partition; the LSH variant
+  * prunes candidates to one signature bucket (2^planes fan-in reduction)
+  * before scoring. Dot products are sequential left-folds in double — the
+  * deterministic, oracle-reproducible kernel (see DuckFrag.dotSql).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Corpus with v = embedding widened to double and its precomputed norm. */
+  def prepared(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    emb.select(col(idCol).as("id"), v.as("v")).withColumn("nrm", norm(col("v")))
+  }
+
+  /** Brute-force top-k cosine neighbors for the query ids.
+    * One broadcast join + per-query TakeOrdered — the exact baseline. */
+  def knnBrute(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = prepared(emb, vecCol, idCol)
+    val queries = corpus.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(queries), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
+    * Exact quadratic kernel; block with [[lshBucket]] first at scale. */
+  def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val corpus = prepared(emb, vecCol, idCol)
+    corpus.as("a").join(corpus.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: w(p,i) derives from a Knuth
+    * multiplicative hash of (p, i) — reproducible in any engine, no RNG
+    * state. Components in [-1, 1]. */
+  def planes(numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { i =>
+        (((p.toLong * dim + i) * 2654435761L % 2147483647L % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Signed-random-projection LSH bucket id (one bit per hyperplane). */
+  def lshBucket(v: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (w, p) =>
+      val lw = array(w.map(lit): _*)
+      when(dot(v, lw) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via LSH bucket pruning: only candidates sharing the query's
+    * bucket are scored (2^planes reduction vs brute force). */
+  def knnLsh(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val corpus = prepared(emb, vecCol, idCol)
+      .withColumn("bucket", lshBucket(col("v"), ps))
+    val queries = corpus.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val scored = corpus.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.TextExpressions.polyHash
+
+/** Shared primitives for the LLM-training-data pipeline operators (dedup,
+  * text analysis, similarity). Everything is a pure narrow Column expression
+  * over arrays — whole-stage codegen'd, no UDFs, no driver-side state — so
+  * the operators scale linearly with partitions on a real cluster.
+  *
+  * Cross-engine determinism: hashes are [[graft.expressions.PolyHash]]
+  * (mod 1e9+7), folds are sequential left-folds, and every constant below is
+  * shared with the generated DuckDB oracle SQL.
+  */
+object TextOps {
+
+  val PolyMod = 1000000007L
+
+  /** MinHash affine family h_j(x) = (A(j)·x + B(j)) mod P — 16 functions,
+    * 4 bands × 4 rows (standard LSH banding for τ ≈ 0.5-0.8). */
+  val HashA: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L,
+    29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
+  val HashB: Seq[Long] = Seq(17L, 29L, 41L, 53L, 67L, 79L, 97L, 103L,
+    113L, 127L, 137L, 149L, 157L, 167L, 179L, 191L)
+  val NumBands = 4
+  val RowsPerBand = 4
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles, space-joined. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, k)))
+  }
+
+  /** Distinct PolyHash values of the k-shingle set — the dedup signature. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => polyHash(s)))
+
+  /** 16 MinHash values of a shingle-hash set. */
+  def minHashSig(hashes: Column): Column =
+    array(HashA.zip(HashB).map { case (a, b) =>
+      array_min(transform(hashes, h => (h * lit(a) + lit(b)) % lit(PolyMod)))
+    }: _*)
+
+  /** LSH band keys: NumBands strings of comma-joined minhash rows. */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumBands).map { b =>
+      concat_ws(",", transform(
+        slice(sig, b * RowsPerBand + 1, RowsPerBand), _.cast("string")))
+    }: _*)
+
+  /** Exact Jaccard similarity of two distinct-element arrays:
+    * |∩| / (|a|+|b|-|∩|), computed in double. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** 30-bit SimHash over the distinct token-hash set: bit b is set when
+    * Σ_tokens (±1 by hash bit b) > 0. */
+  def simHash30(hashes: Column): Column =
+    (0 until 30).map { b =>
+      val bitSum = aggregate(hashes, lit(0L), (acc, x) =>
+        acc + when(shiftright(x, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  // ---- language-ID stopword marker sets (tiny n-gram-free heuristic;
+  // deterministic and SQL-expressible). Tie-break order: en,de,es,fr,zh. ----
+  val StopEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  val StopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  val StopEs = Seq("el", "la", "de", "que", "y", "los")
+  val StopFr = Seq("le", "la", "et", "les", "des", "un")
+  val StopZh = Seq("的", "是", "了", "在")
+  val LangOrder: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn, "de" -> StopDe, "es" -> StopEs,
+    "fr" -> StopFr, "zh" -> StopZh)
+
+  /** Count of tokens belonging to a marker set (with multiplicity). */
+  def stopHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set: _*)))
+
+  /** Arg-max language by marker-hit count, first-listed wins ties. */
+  def langPredict(toks: Column): Column = {
+    val scores = LangOrder.map { case (l, set) => l -> stopHits(toks, set) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+}

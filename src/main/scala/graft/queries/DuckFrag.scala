@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.operators.TextOps._
+
+/** DuckDB SQL fragments mirroring graft.operators.TextOps expressions.
+  * Generated from the SAME Scala constants (hash family, stopword sets,
+  * thresholds) so the Spark plan and the oracle can never drift apart.
+  */
+object DuckFrag {
+
+  /** PolyHash of a string expression (mirrors StringKernels.polyHash). */
+  def polyHashSql(expr: String): String =
+    s"CAST(list_reduce(list_prepend(0, list_transform(regexp_split_to_array($expr,''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a,c) -> (a*31+c) % $PolyMod) AS BIGINT)"
+
+  /** Distinct k-shingle PolyHash set over token list column `w`. */
+  def shingleHashesSql(k: Int): String =
+    s"list_distinct(list_transform(list_transform(" +
+      s"range(1, greatest(len(w)-$k+2, 1)), " +
+      s"i -> array_to_string(list_slice(w, i, i+${k - 1}), ' ')), " +
+      s"s -> ${polyHashSql("s")}))"
+
+  /** 16 MinHash values of hash-set column `h` (same affine family). */
+  def minHashSigSql: String =
+    HashA.zip(HashB).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x*$a+$b) % $PolyMod))"
+    }.mkString("[", ", ", "]")
+
+  /** Exact Jaccard of two distinct-element list columns. */
+  def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
+
+  /** 30-bit SimHash of hash-set column `h` (mirrors TextOps.simHash30). */
+  def simHash30Sql: String =
+    (0 until 30).map { b =>
+      s"(CASE WHEN CAST(list_sum(list_transform(h, x -> " +
+        s"CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Multiplicity-counting stopword hits on token list `w`. */
+  def stopHitsSql(set: Seq[String]): String =
+    s"CAST(len(list_filter(w, t -> list_contains(${set.mkString("['", "','", "']")}, t))) AS INTEGER)"
+
+  /** Arg-max language CASE (first in LangOrder wins ties). */
+  def langPredictSql: String = {
+    val best = LangOrder.map { case (l, _) => s"s_$l" }
+      .reduce((a, b) => s"greatest($a, $b)")
+    LangOrder.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Sequential left-fold dot product of DOUBLE[] columns (matches Spark's
+    * aggregate(zip_with(...)) fold order exactly). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+}
