@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,7 +15,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force full materialization of EVERY output column: a bare count()
+      // lets Catalyst prune projections and drop sorts, benchmarking string
+      // kernels as empty scans. xxhash64 over the row struct evaluates every
+      // expression; sum reduces to one driver-side long.
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,7 +33,7 @@ object TextOps {
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, k)))
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
 
   /** Distinct PolyHash values of the k-shingle set — the dedup signature. */
@@ -56,8 +56,10 @@ object TextOps {
   /** Exact Jaccard similarity of two distinct-element arrays:
     * |∩| / (|a|+|b|-|∩|), computed in double. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    // Bind |∩| once via a single-element transform so codegen evaluates
+    // array_intersect exactly once per row.
+    element_at(transform(array(size(array_intersect(a, b))),
+      i => i.cast("double") / (size(a) + size(b) - i).cast("double")), 1)
   }
 
   /** 30-bit SimHash over the distinct token-hash set: bit b is set when

@@ -44,16 +44,15 @@ object Relational {
              |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin)),
 
     // §2.2 take (gather by position list; reference base.py:1215-1270).
-    // Positional access needs a global order → row_number; fine for the
-    // small index lists this op is for (driver-side realignment), and the
-    // window is over a sort Spark would need anyway.
+    // Scale-safe global positions: range partition + per-partition row
+    // numbers + broadcast offsets (operators.Positional) — no
+    // single-partition Window.orderBy anywhere in the plan.
     "q_take" -> Q(
       (s, dir) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"o_orderkey")
-        tbl(s, dir, "orders")
-          .withColumn("pos", row_number().over(w) - lit(1))
-          .filter($"pos".isin(0, 7, 3, 999, 42))
+        graft.operators.Positional.takePositions(
+            tbl(s, dir, "orders"), Seq($"o_orderkey"),
+            Seq(0L, 7L, 3L, 999L, 42L))
           .select($"pos", $"o_orderkey", $"o_totalprice")
           .orderBy($"pos")
       },
@@ -204,16 +203,15 @@ object Relational {
       Some("""SELECT p_brand, COUNT(*) AS cnt FROM part
              |GROUP BY p_brand ORDER BY cnt DESC, p_brand""".stripMargin)),
 
-    // §2.4 factorize (dictionary-encode): stable codes via dense_rank over
-    // the value order, minus 1 (reference na_sentinel=-1 irrelevant: no NULLs
-    // after filter).
+    // §2.4 factorize (dictionary-encode): dense codes assigned in sort order
+    // on the small DISTINCT dictionary side (operators.Positional.factorize),
+    // broadcast-joined back — the big table never sees a global window.
     "q_factorize" -> Q(
       (s, dir) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"p_type")
-        tbl(s, dir, "part")
-          .select($"p_partkey", $"p_type")
-          .withColumn("code", dense_rank().over(w) - lit(1))
+        graft.operators.Positional.factorize(
+            tbl(s, dir, "part").select($"p_partkey", $"p_type"), "p_type")
+          .select($"p_partkey", $"p_type", $"code")
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey, p_type,
