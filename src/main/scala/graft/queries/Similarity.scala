@@ -1,6 +1,117 @@
 package graft.queries
 
-/** Embedding similarity search (brute-force + LSH-bucketed ANN). */
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity => Sim}
+
+/** Embedding similarity search queries (brute-force + LSH-bucketed ANN),
+  * each oracle-checked against DuckDB computing the identical sequential
+  * double fold (DuckFrag.dotSql), so cosines match bitwise.
+  *
+  * Scale notes: the query set is always broadcast (the corpus never
+  * shuffles); the near-dup pass is LSH-bucketed — the raw all-pairs kernel
+  * (Sim.cosineNearDupPairs) is deliberately NOT wired as a query.
+  */
 object Similarity {
-  val defs: Map[String, Q] = Map()
+
+  private val QueryIds = Seq(1L, 5L, 10L, 77L)
+  private val K = 5
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** DuckDB prelude: corpus as DOUBLE[] vectors with precomputed norms —
+    * mirrors Sim.prepared. */
+  private val preparedCte =
+    s"""WITH p AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p)""".stripMargin
+
+  /** Literal hyperplane as a DuckDB DOUBLE list (mirrors Sim.planes —
+    * Scala Double.toString round-trips exactly, so both engines see the
+    * same IEEE values). */
+  private def planeSql(w: Array[Double]): String =
+    w.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** Σ_p (dot(v, w_p) > 0 ? 2^p : 0) — mirrors Sim.lshBucket. */
+  private def bucketSql(vecExpr: String): String =
+    Sim.planes(NumPlanes, Dim).zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${DuckFrag.dotSql(vecExpr, planeSql(w))} > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  private val queryIdList = QueryIds.mkString("(", ", ", ")")
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact top-k cosine neighbors for a fixed query set — the brute-force
+    // baseline: broadcast queries, one narrow scan of the corpus.
+    "q_sim_knn_brute" -> Q(
+      (s, dir) => Sim.knnBrute(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", QueryIds, K)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn FROM n
+              |  WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM n, q WHERE id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // ANN top-k via signed-random-projection LSH: only candidates in the
+    // query's bucket are scored (2^planes fan-in reduction vs brute force).
+    "q_sim_knn_lsh" -> Q(
+      (s, dir) => Sim.knnLsh(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", QueryIds, K, NumPlanes, Dim)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn,
+              |         bucket AS qbucket
+              |  FROM b WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // Embedding near-dup pairs, LSH-bucketed: pairs sharing a bucket with
+    // cosine ≥ τ. The bucket equi-join keeps the pair space ~n²/2^planes —
+    // the scale path; raw all-pairs stays an explicitly-opt-in API.
+    "q_sim_neardup_lsh" -> Q(
+      (s, dir) => {
+        val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
+            "vec_id")
+          .withColumn("bucket", Sim.lshBucket(col("v"),
+            Sim.planes(NumPlanes, Dim)))
+        corpus.as("a").join(corpus.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            Sim.cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm"))
+              .as("cosine"))
+          .filter(col("cosine") >= 0.3)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""$preparedCte,
+              |bk AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n)
+              |SELECT x.id AS id1, y.id AS id2,
+              |       ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+              |         AS cosine
+              |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
+              |WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.3
+              |ORDER BY id1, id2""".stripMargin))
+  )
 }

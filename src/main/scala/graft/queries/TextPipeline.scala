@@ -1,6 +1,171 @@
 package graft.queries
 
-/** LLM-training-data pipeline ops: dedup, text analysis, fingerprinting. */
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.operators.TextOps._
+
+/** LLM-training-data pipeline ops: dedup, text analysis, fingerprinting —
+  * each wired to a DuckDB oracle built from the SAME constants
+  * (graft.operators.TextOps via DuckFrag), so Spark and oracle cannot drift.
+  *
+  * Scale notes are on the operators themselves (graft.operators.Dedup):
+  * exact dedup shuffles a 128-bit digest; minhash LSH is banded/bucketed
+  * (never all-pairs); blocked jaccard is the documented-quadratic exact
+  * verify kernel.
+  */
 object TextPipeline {
-  val defs: Map[String, Q] = Map()
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    tbl(s, dir, "documents")
+
+  /** CTE prelude shared by the shingle-based oracles: tokens + k-shingle
+    * hash sets for docs with ≥ k tokens (mirrors Dedup.minhashSignatures). */
+  private def shingleCte(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${DuckFrag.shingleHashesSql(k)} AS h
+       |  FROM toks WHERE len(w) >= $k)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
+    // Reference: corpus-dedup extension of fletcher's unique/value_counts
+    // surface (base.py:961-1005).
+    "q_pipe_dedup_exact" -> Q(
+      (s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")
+        .orderBy(col("text_hash")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    // MinHash LSH near-dup pairs with exact-Jaccard verify at τ=0.8.
+    "q_pipe_dedup_minhash" -> Q(
+      (s, dir) => Dedup.minhashDupPairs(docs(s, dir), "text", "doc_id",
+          k = 3, threshold = 0.8)
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""${shingleCte(3)},
+              |sig AS (
+              |  SELECT doc_id, h, ${DuckFrag.minHashSigSql} AS m
+              |  FROM sh WHERE len(h) > 0),
+              |bands AS (
+              |  SELECT doc_id, b AS band,
+              |         array_to_string(list_slice(m, b*${RowsPerBand}+1,
+              |           b*${RowsPerBand}+${RowsPerBand}), ',') AS key
+              |  FROM sig, (SELECT unnest(range($NumBands)) AS b)),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+              |SELECT c.id1, c.id2,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} AS jacc,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} >= 0.8 AS is_dup
+              |FROM cand c
+              |JOIN sig a ON a.doc_id = c.id1
+              |JOIN sig b ON b.doc_id = c.id2
+              |ORDER BY c.id1, c.id2""".stripMargin)),
+
+    // 30-bit SimHash fingerprint + 15-bit halves for banded lookup.
+    "q_pipe_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashFingerprints(docs(s, dir), "text", "doc_id")
+        .orderBy(col("id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |hs AS (
+              |  SELECT doc_id,
+              |         list_distinct(list_transform(w,
+              |           t -> ${DuckFrag.polyHashSql("t")})) AS h
+              |  FROM toks),
+              |fp AS (SELECT doc_id AS id, ${DuckFrag.simHash30Sql} AS simhash
+              |       FROM hs)
+              |SELECT id, simhash, simhash % ${1 << 15} AS band_lo,
+              |       simhash // ${1 << 15} AS band_hi
+              |FROM fp ORDER BY id""".stripMargin)),
+
+    // Exact token-set Jaccard pairs blocked by source (quadratic within
+    // block — the exact-verify kernel; candidate generation at scale is
+    // q_pipe_dedup_minhash).
+    "q_pipe_jaccard_block" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          "source", threshold = 0.5)
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH sets AS (
+              |  SELECT doc_id, source AS block,
+              |         list_distinct(list_transform(string_split(text, ' '),
+              |           t -> ${DuckFrag.polyHashSql("t")})) AS h
+              |  FROM documents)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2, a.block,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} AS jacc
+              |FROM sets a JOIN sets b
+              |  ON a.block = b.block AND a.doc_id < b.doc_id
+              |WHERE ${DuckFrag.jaccardSql("a.h", "b.h")} >= 0.5
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // Language-ID (stopword-marker argmax) confusion counts vs the label.
+    "q_pipe_lang_id" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("lang"), langPredict(tokens(col("text"))).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_pred")),
+      Some(s"""WITH toks AS (
+              |  SELECT lang, string_split(text, ' ') AS w FROM documents),
+              |scored AS (
+              |  SELECT lang, ${LangOrder.map { case (l, set) =>
+                  s"${DuckFrag.stopHitsSql(set)} AS s_$l" }.mkString(", ")}
+              |  FROM toks)
+              |SELECT lang, ${DuckFrag.langPredictSql} AS lang_pred,
+              |       count(*) AS cnt
+              |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin)),
+
+    // Text quality scoring: token counts, type-token ratio, stopword ratio,
+    // and a composite keep/drop flag — the per-doc filter pass of a corpus
+    // cleaning pipeline.
+    "q_pipe_text_quality" -> Q(
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val stopR = stopHits(toks, StopEn).cast("double") / nTok.cast("double")
+        docs(s, dir).select(
+            col("doc_id"),
+            length(col("text")).as("len_chars"),
+            nTok.as("n_tokens"),
+            size(array_distinct(toks)).as("n_types"),
+            (size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+              .as("ttr"),
+            stopR.as("stop_ratio"),
+            (nTok >= 10 && nTok <= 1000 && stopR >= 0.01).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS w
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id, length(text) AS len_chars,
+              |         len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+              |         CAST(len(list_distinct(w)) AS DOUBLE) /
+              |           CAST(len(w) AS DOUBLE) AS ttr,
+              |         CAST(${DuckFrag.stopHitsSql(StopEn)} AS DOUBLE) /
+              |           CAST(len(w) AS DOUBLE) AS stop_ratio
+              |  FROM toks)
+              |SELECT *, n_tokens >= 10 AND n_tokens <= 1000
+              |          AND stop_ratio >= 0.01 AS keep
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
+    // hash (winnowing-style content fingerprint, stable under reordering of
+    // documents but not of content).
+    "q_pipe_fingerprint" -> Q(
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          graft.expressions.TextExpressions.polyHash(col("text")).as("fp"),
+          array_min(shingleHashes(col("text"), 5)).as("min_shingle"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS w
+              |  FROM documents)
+              |SELECT doc_id, ${DuckFrag.polyHashSql("text")} AS fp,
+              |       list_min(${DuckFrag.shingleHashesSql(5)}) AS min_shingle
+              |FROM toks ORDER BY doc_id""".stripMargin))
+  )
 }
