@@ -258,6 +258,108 @@ public final class StringKernels {
     }
 
     /**
+     * Python str.rfind: 0-based codepoint index of the LAST occurrence of
+     * sub, -1 if absent; empty sub finds at len (reference
+     * tests/test_text.py:605 — rindex shares these semantics).
+     */
+    public static int rfindLiteral(UTF8String str, UTF8String sub) {
+        String s = str.toString();
+        String p = sub.toString();
+        int idx = s.lastIndexOf(p);
+        if (idx < 0) return -1;
+        return s.codePointCount(0, idx);
+    }
+
+    /**
+     * One element of Python partition/rpartition(sep): idx 0 = head,
+     * 1 = sep-if-found, 2 = tail. fromRight splits at the LAST occurrence.
+     * Not-found convention matches Python: partition → (s, '', ''),
+     * rpartition → ('', '', s). (reference tests/test_text.py:625)
+     */
+    public static UTF8String partitionPart(UTF8String str, UTF8String sep,
+                                           int idx, boolean fromRight) {
+        String s = str.toString();
+        String p = sep.toString();
+        int at = fromRight ? s.lastIndexOf(p) : s.indexOf(p);
+        String out;
+        if (at < 0) {
+            if (fromRight) out = idx == 2 ? s : "";
+            else out = idx == 0 ? s : "";
+        } else {
+            out = idx == 0 ? s.substring(0, at)
+                : idx == 1 ? p
+                : s.substring(at + p.length());
+        }
+        return UTF8String.fromString(out);
+    }
+
+    /**
+     * Python str.rsplit(sep, maxsplit): at most n splits taken from the
+     * RIGHT (n < 0 = unlimited, equal to split). Literal separator.
+     * (reference tests/test_text.py:693)
+     */
+    public static org.apache.spark.sql.catalyst.util.GenericArrayData rsplitArray(
+            UTF8String str, UTF8String sep, int n) {
+        String s = str.toString();
+        String p = sep.toString();
+        java.util.ArrayList<UTF8String> parts = new java.util.ArrayList<>();
+        int end = s.length(), done = 0;
+        while (n < 0 || done < n) {
+            int at = s.lastIndexOf(p, end - p.length());
+            if (at < 0 || p.isEmpty()) break;
+            parts.add(UTF8String.fromString(s.substring(at + p.length(), end)));
+            end = at;
+            done++;
+        }
+        parts.add(UTF8String.fromString(s.substring(0, end)));
+        java.util.Collections.reverse(parts);
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            parts.toArray());
+    }
+
+    /**
+     * Pandas str.slice_replace(start, stop, repl) = s[:start] + repl +
+     * s[stop:] with Python codepoint slice boundaries (negatives clamp;
+     * Integer.MIN_VALUE = "not given" → 0 / len).
+     * (reference tests/test_text.py:668)
+     */
+    public static UTF8String sliceReplace(UTF8String str, int start, int stop,
+                                          UTF8String repl) {
+        String s = str.toString();
+        int len = s.codePointCount(0, s.length());
+        int b = start == Integer.MIN_VALUE ? 0
+            : (start < 0 ? Math.max(len + start, 0) : Math.min(start, len));
+        int e = stop == Integer.MIN_VALUE ? len
+            : (stop < 0 ? Math.max(len + stop, 0) : Math.min(stop, len));
+        if (e < b) e = b;  // Python: s[:b] + repl + s[e:] with e>=b floor
+        int bOff = s.offsetByCodePoints(0, b);
+        int eOff = s.offsetByCodePoints(0, e);
+        return UTF8String.fromString(
+            s.substring(0, bOff) + repl.toString() + s.substring(eOff));
+    }
+
+    /**
+     * Python str.swapcase: per-codepoint case swap (upper/title → lower,
+     * lower → upper). (reference tests/test_text.py:773)
+     */
+    public static UTF8String swapCase(UTF8String str) {
+        String s = str.toString();
+        StringBuilder out = new StringBuilder(s.length());
+        for (int i = 0; i < s.length();) {
+            int cp = s.codePointAt(i);
+            if (Character.isUpperCase(cp) || Character.isTitleCase(cp)) {
+                out.appendCodePoint(Character.toLowerCase(cp));
+            } else if (Character.isLowerCase(cp)) {
+                out.appendCodePoint(Character.toUpperCase(cp));
+            } else {
+                out.appendCodePoint(cp);
+            }
+            i += Character.charCount(cp);
+        }
+        return UTF8String.fromString(out.toString());
+    }
+
+    /**
      * Polynomial rolling hash over codepoints: h = fold(h*31 + cp) mod 1e9+7.
      * Matches DuckDB `list_reduce(list_prepend(0, [unicode(c) ...]),
      * (acc,c) -> (acc*31+c) % 1000000007)` exactly — the cross-engine

@@ -135,6 +135,77 @@ case class WrapText(child: Expression, width: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Python str.rfind/rindex: last-occurrence codepoint index, -1 if absent
+  * (reference tests/test_text.py:605-611). */
+case class TextRFind(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(str: Any, sub: Any): Any =
+    StringKernels.rfindLiteral(str.asInstanceOf[UTF8String],
+      sub.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.expressions.StringKernels.rfindLiteral($s, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** One element of Python partition/rpartition (reference
+  * tests/test_text.py:625-634): idx 0=head, 1=sep, 2=tail. */
+case class TextPartitionPart(left: Expression, right: Expression, idx: Int,
+    fromRight: Boolean) extends BinaryExpression {
+  require(idx >= 0 && idx <= 2, "partition part index must be 0, 1 or 2")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(str: Any, sep: Any): Any =
+    StringKernels.partitionPart(str.asInstanceOf[UTF8String],
+      sep.asInstanceOf[UTF8String], idx, fromRight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.expressions.StringKernels.partitionPart($s, $p, $idx, $fromRight)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Python str.rsplit(sep, maxsplit): right-anchored bounded split
+  * (reference tests/test_text.py:693-695). */
+case class TextRSplit(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(str: Any, sep: Any): Any =
+    StringKernels.rsplitArray(str.asInstanceOf[UTF8String],
+      sep.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.expressions.StringKernels.rsplitArray($s, $p, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Pandas str.slice_replace(start, stop, repl) — Python codepoint slice
+  * boundaries, Int.MinValue = "not given" (reference tests/test_text.py:668). */
+case class TextSliceReplace(left: Expression, right: Expression, start: Int,
+    end: Int) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(str: Any, repl: Any): Any =
+    StringKernels.sliceReplace(str.asInstanceOf[UTF8String], start, end,
+      repl.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, r) =>
+      s"graft.expressions.StringKernels.sliceReplace($s, $start, $end, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Python str.swapcase (reference tests/test_text.py:773). */
+case class SwapCase(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(str: Any): Any =
+    StringKernels.swapCase(str.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expressions.StringKernels.swapCase($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Deterministic polynomial rolling hash (document fingerprint / MinHash
   * base hash): h = fold(h*31 + codepoint) mod 1e9+7. Cross-engine
   * reproducible — see StringKernels.polyHash for the DuckDB equivalent. */
@@ -163,5 +234,19 @@ object TextExpressions {
     toCol(NormalizeText(toExpr(c), form))
   def zfill(c: Column, width: Int): Column = toCol(Zfill(toExpr(c), width))
   def wrapText(c: Column, width: Int): Column = toCol(WrapText(toExpr(c), width))
+  def textRFind(c: Column, sub: String): Column =
+    toCol(TextRFind(toExpr(c), Literal(UTF8String.fromString(sub), StringType)))
+  def textPartition(c: Column, sep: String, idx: Int,
+      fromRight: Boolean = false): Column =
+    toCol(TextPartitionPart(toExpr(c),
+      Literal(UTF8String.fromString(sep), StringType), idx, fromRight))
+  def textRSplit(c: Column, sep: String, n: Int = -1): Column =
+    toCol(TextRSplit(toExpr(c),
+      Literal(UTF8String.fromString(sep), StringType), n))
+  def textSliceReplace(c: Column, repl: String,
+      start: Int = Int.MinValue, end: Int = Int.MinValue): Column =
+    toCol(TextSliceReplace(toExpr(c),
+      Literal(UTF8String.fromString(repl), StringType), start, end))
+  def swapCase(c: Column): Column = toCol(SwapCase(toExpr(c)))
   def polyHash(c: Column): Column = toCol(PolyHash(toExpr(c)))
 }

@@ -327,6 +327,22 @@ object Relational {
              |  CAST(month(o_orderdate) AS INTEGER) AS m,
              |  CAST(day(o_orderdate) AS INTEGER) AS d,
              |  date_trunc('month', o_orderdate) AS month_start
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.2 list flatten (reference base.py:1272-1276): explode a list column
+    // to one row per element with position — narrow per-partition expansion,
+    // no shuffle (operators.Reshape.explodeWithPos).
+    "q_explode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Reshape.explodeWithPos(
+            tbl(s, dir, "part"), split($"p_name", " "),
+            Seq($"p_partkey"), "pos", "tok")
+          .orderBy($"p_partkey", $"pos")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(unnest(range(len(string_split(p_name, ' ')))) AS INTEGER) AS pos,
+             |  unnest(string_split(p_name, ' ')) AS tok
+             |FROM part ORDER BY p_partkey, pos""".stripMargin))
   )
 }

@@ -253,11 +253,13 @@ object Strings {
              |  reverse(c_name) AS rev
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
-    // custom Utf8Is predicates (ASCII-safe oracle via regex classes).
+    // custom Utf8Is predicates (ASCII-safe oracle via regex classes) —
+    // all nine exercised (title/numeric/decimal included).
     "q_str_is" -> Q(
       (s, dir) => {
         import s.implicits._
         val tok = split($"p_name", " ").getItem(0)
+        val digits = regexp_extract($"p_brand", "([0-9]+)", 1)
         tbl(s, dir, "part")
           .select(
             $"p_partkey",
@@ -266,7 +268,12 @@ object Strings {
             utf8Is(tok, "alnum").as("is_alnum"),
             utf8Is(tok, "lower").as("is_lower"),
             utf8Is(tok, "upper").as("is_upper"),
-            utf8Is($"p_brand", "space").as("is_space"))
+            utf8Is($"p_brand", "space").as("is_space"),
+            utf8Is($"p_brand", "title").as("is_title"),
+            utf8Is(initcap(tok), "title").as("is_title_cap"),
+            utf8Is(digits, "numeric").as("is_numeric"),
+            utf8Is(digits, "decimal").as("is_decimal"),
+            utf8Is($"p_type", "decimal").as("is_decimal_type"))
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey,
@@ -275,8 +282,14 @@ object Strings {
              |  regexp_matches(t, '^[A-Za-z0-9]+$') AS is_alnum,
              |  regexp_matches(t, '^[^A-Z]*[a-z][^A-Z]*$') AS is_lower,
              |  regexp_matches(t, '^[^a-z]*[A-Z][^a-z]*$') AS is_upper,
-             |  regexp_matches(p_brand, '^\s+$') AS is_space
-             |FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ')[1] AS t
+             |  regexp_matches(p_brand, '^\s+$') AS is_space,
+             |  regexp_matches(p_brand, '^([^A-Za-z]*[A-Z][a-z]*)+[^A-Za-z]*$') AS is_title,
+             |  regexp_matches(upper(t[1]) || t[2:], '^([^A-Za-z]*[A-Z][a-z]*)+[^A-Za-z]*$') AS is_title_cap,
+             |  regexp_matches(regexp_extract(p_brand, '([0-9]+)', 1), '^[0-9]+$') AS is_numeric,
+             |  regexp_matches(regexp_extract(p_brand, '([0-9]+)', 1), '^[0-9]+$') AS is_decimal,
+             |  regexp_matches(regexp_extract(p_type, '([0-9]+)', 1), '^[0-9]+$') AS is_decimal_type
+             |FROM (SELECT p_partkey, p_brand, p_type,
+             |        string_split(p_name, ' ')[1] AS t
              |      FROM part)
              |ORDER BY p_partkey""".stripMargin)),
 
@@ -295,6 +308,116 @@ object Strings {
       Some("""SELECT c_custkey,
              |  lower(c_name) AS folded,
              |  nfc_normalize(c_name) AS nfc
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // right-anchored surface: rfind/rindex, rpartition, rsplit(n),
+    // slice_replace, swapcase (reference tests/test_text.py:605-700,668,773).
+    "q_str_right_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "part")
+          .select(
+            $"p_partkey",
+            textRFind($"p_name", "e").as("rfind_e"),
+            textRFind($"p_name", "er").as("rfind_er"),
+            textRFind($"p_name", "e").as("rindex_e"),
+            textPartition($"p_name", " ", 0, fromRight = true).as("rp_head"),
+            textPartition($"p_name", " ", 1, fromRight = true).as("rp_sep"),
+            textPartition($"p_name", " ", 2, fromRight = true).as("rp_tail"),
+            textPartition($"p_name", " ", 0).as("lp_head"),
+            element_at(textRSplit($"p_name", " ", 1), 1).as("rsplit1_head"),
+            element_at(textRSplit($"p_name", " ", 1), -1).as("rsplit1_tail"),
+            size(textRSplit($"p_name", " ", 1)).as("rsplit1_n"),
+            textSliceReplace($"p_name", "X", 1, 3).as("srepl_1_3"),
+            textSliceReplace($"p_name", "X", start = 2).as("srepl_from2"),
+            textSliceReplace($"p_name", "X", end = 2).as("srepl_to2"),
+            textSliceReplace($"p_name", "X", -3).as("srepl_neg"),
+            swapCase($"p_brand").as("swapped"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CASE WHEN instr(reverse(p_name), 'e') = 0 THEN -1
+             |       ELSE CAST(length(p_name) - instr(reverse(p_name), 'e') AS INTEGER) END AS rfind_e,
+             |  CASE WHEN instr(reverse(p_name), 're') = 0 THEN -1
+             |       ELSE CAST(length(p_name) - instr(reverse(p_name), 're') - 1 AS INTEGER) END AS rfind_er,
+             |  CASE WHEN instr(reverse(p_name), 'e') = 0 THEN -1
+             |       ELSE CAST(length(p_name) - instr(reverse(p_name), 'e') AS INTEGER) END AS rindex_e,
+             |  CASE WHEN contains(p_name, ' ') THEN regexp_extract(p_name, '^(.*)[ ]', 1) ELSE '' END AS rp_head,
+             |  CASE WHEN contains(p_name, ' ') THEN ' ' ELSE '' END AS rp_sep,
+             |  CASE WHEN contains(p_name, ' ') THEN string_split(p_name, ' ')[-1] ELSE p_name END AS rp_tail,
+             |  CASE WHEN contains(p_name, ' ') THEN split_part(p_name, ' ', 1) ELSE p_name END AS lp_head,
+             |  CASE WHEN contains(p_name, ' ')
+             |       THEN regexp_extract(p_name, '^(.*)[ ]', 1)
+             |       ELSE p_name END AS rsplit1_head,
+             |  string_split(p_name, ' ')[-1] AS rsplit1_tail,
+             |  CAST(CASE WHEN contains(p_name, ' ') THEN 2 ELSE 1 END AS INTEGER) AS rsplit1_n,
+             |  substr(p_name, 1, 1) || 'X' || substr(p_name, 4) AS srepl_1_3,
+             |  substr(p_name, 1, 2) || 'X' AS srepl_from2,
+             |  'X' || substr(p_name, 3) AS srepl_to2,
+             |  substr(p_name, 1, greatest(length(p_name) - 3, 0)) || 'X' AS srepl_neg,
+             |  translate(p_brand,
+             |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+             |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ') AS swapped
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // greedy word-wrap (WrapText): long-word chunking on single-token names,
+    // identity when everything fits (reference tests/test_text.py:804).
+    "q_str_wrap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            wrapText($"c_name", 10).as("wrap10"),
+            wrapText($"c_name", 7).as("wrap7"),
+            wrapText($"c_name", 100).as("wrap_fit"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  array_to_string(list_transform(
+             |    range(1, CAST(length(c_name) AS BIGINT) + 1, 10),
+             |    i -> substr(c_name, CAST(i AS INTEGER), 10)), chr(10)) AS wrap10,
+             |  array_to_string(list_transform(
+             |    range(1, CAST(length(c_name) AS BIGINT) + 1, 7),
+             |    i -> substr(c_name, CAST(i AS INTEGER), 7)), chr(10)) AS wrap7,
+             |  c_name AS wrap_fit
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // extractall: one row per regex match with its match index — the
+    // row-expanding half of the regex surface (reference tests/test_text.py:466).
+    "q_str_extractall" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .select($"c_custkey",
+            posexplode(regexp_extract_all($"c_name", lit("[1-9]"), lit(0)))
+              .as(Seq("match_idx", "m")))
+          .orderBy($"c_custkey", $"match_idx")
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(unnest(range(len(regexp_extract_all(c_name, '[1-9]')))) AS INTEGER) AS match_idx,
+             |  unnest(regexp_extract_all(c_name, '[1-9]')) AS m
+             |FROM customer ORDER BY c_custkey, match_idx""".stripMargin)),
+
+    // get_dummies: token-indicator encoding over a '|'-delimited column
+    // (reference tests/test_text.py:950). Dictionary derived from the data
+    // (two-pass, pandas contract); indicator columns are named by token.
+    "q_str_dummies" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Reshape.getDummies(
+          tbl(s, dir, "documents")
+            .withColumn("tags", concat_ws("|", $"lang", $"source")),
+          col("tags"), "|", Seq(col("doc_id")))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val cats = Seq("de", "en", "es", "fr", "zh") ++
+          (0 until 20).map(i => s"src$i")
+        val cols = cats.sorted.map(c =>
+          s"""CASE WHEN lang = '$c' OR source = '$c' THEN 1 ELSE 0 END AS "$c"""")
+        s"""SELECT doc_id, ${cols.mkString(", ")}
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -99,6 +99,67 @@ class StringExpressionsSpec extends SparkTestBase {
     assert(one("", graft.expressions.TextExpressions.polyHash($"s")) === 0L)
   }
 
+  test("textRFind: last occurrence, codepoint index, -1 if absent") {
+    assert(one("banana", textRFind($"s", "na")) === 4)
+    assert(one("banana", textRFind($"s", "a")) === 5)
+    assert(one("banana", textRFind($"s", "x")) === -1)
+    // Python: 'abc'.rfind('') == 3
+    assert(one("abc", textRFind($"s", "")) === 3)
+    // codepoint (not byte) index on multi-byte
+    assert(one("héllo é", textRFind($"s", "é")) === 6)
+  }
+
+  test("textPartition: partition/rpartition 3-way split semantics") {
+    // 'a+b+c'.rpartition('+') == ('a+b', '+', 'c')
+    assert(one("a+b+c", textPartition($"s", "+", 0, fromRight = true)) === "a+b")
+    assert(one("a+b+c", textPartition($"s", "+", 1, fromRight = true)) === "+")
+    assert(one("a+b+c", textPartition($"s", "+", 2, fromRight = true)) === "c")
+    // 'a+b+c'.partition('+') == ('a', '+', 'b+c')
+    assert(one("a+b+c", textPartition($"s", "+", 0)) === "a")
+    assert(one("a+b+c", textPartition($"s", "+", 2)) === "b+c")
+    // not found: partition -> (s,'',''), rpartition -> ('','',s)
+    assert(one("abc", textPartition($"s", "+", 0)) === "abc")
+    assert(one("abc", textPartition($"s", "+", 2)) === "")
+    assert(one("abc", textPartition($"s", "+", 0, fromRight = true)) === "")
+    assert(one("abc", textPartition($"s", "+", 2, fromRight = true)) === "abc")
+  }
+
+  test("textRSplit: right-anchored bounded split") {
+    def arr(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("s").select(textRSplit($"s", "+", n))
+        .head.getSeq[String](0)
+    // '123+a+'.rsplit('+', 1) == ['123+a', '']
+    assert(arr("123+a+", 1) === Seq("123+a", ""))
+    assert(arr("a+b+c", 1) === Seq("a+b", "c"))
+    assert(arr("a+b+c", 2) === Seq("a", "b", "c"))
+    assert(arr("a+b+c", -1) === Seq("a", "b", "c"))
+    assert(arr("abc", 5) === Seq("abc"))
+    assert(arr("a+b+c", 0) === Seq("a+b+c"))
+  }
+
+  test("textSliceReplace: pandas slice_replace doc cases") {
+    // pandas docs: ['a','ab','abc','abdc','abcde'].str.slice_replace(1, repl='X')
+    for ((in, out) <- Seq("a" -> "aX", "ab" -> "aX", "abc" -> "aX",
+        "abdc" -> "aX", "abcde" -> "aX"))
+      assert(one(in, textSliceReplace($"s", "X", 1)) === out)
+    for ((in, out) <- Seq("a" -> "X", "ab" -> "X", "abc" -> "Xc",
+        "abdc" -> "Xdc", "abcde" -> "Xcde"))
+      assert(one(in, textSliceReplace($"s", "X", end = 2)) === out)
+    for ((in, out) <- Seq("a" -> "aX", "ab" -> "aX", "abc" -> "aX",
+        "abdc" -> "aXc", "abcde" -> "aXde"))
+      assert(one(in, textSliceReplace($"s", "X", 1, 3)) === out)
+    // negative indices clamp like Python slices
+    assert(one("abcde", textSliceReplace($"s", "X", -2)) === "abcX")
+    assert(one("abcde", textSliceReplace($"s", "X", -100, 2)) === "Xcde")
+  }
+
+  test("swapCase matches Python str.swapcase") {
+    assert(one("Hello World", swapCase($"s")) === "hELLO wORLD")
+    assert(one("a1B2", swapCase($"s")) === "A1b2")
+    assert(one("ÄÖü", swapCase($"s")) === "äöÜ")
+    assert(one("", swapCase($"s")) === "")
+  }
+
   test("custom expressions survive whole-stage codegen (no fallback)") {
     // parquet-backed scan so the projection can't be constant-folded into a
     // LocalTableScan — doGenCode must actually run
