@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions.{toCol, toExpr}
+
+/** User-extension surface: apply an element-wise binary function over two
+  * string columns (the Spark-native spelling of the reference's
+  * `apply_binary_str`, string.py:1046-1119 + the jitclass harness
+  * string_array.py:48-171).
+  *
+  * The reference's contract — "handling of missing data and chunking is
+  * done automatically" — maps directly: null propagation comes from
+  * [[BinaryExpression.nullSafeEval]], and Spark's partition/batch execution
+  * replaces Arrow chunk iteration. The user function sees [[UTF8String]]
+  * (zero-copy into Tungsten memory, like the reference's numba view into
+  * Arrow buffers) and returns any value matching the declared Catalyst
+  * `DataType`.
+  *
+  * PERFORMANCE CONTRACT (mirrors SURVEY.md §4): a lambda cannot be
+  * code-generated, so [[BinaryStringApply]] is a [[CodegenFallback]] — it
+  * executes correctly inside any plan but breaks the whole-stage-codegen
+  * span it appears in. That is the same per-row-call shape as a Scala UDF,
+  * minus the UTF8String→String→UTF8String conversions. For hot paths,
+  * promote the lambda to a static Java kernel + a tiny Expression with
+  * `doGenCode` — the worked examples are [[graft.expressions.TextCount]]
+  * (simplest), [[graft.expressions.TextRFind]] and the rest of
+  * graft.expressions backed by [[graft.expressions.StringKernels]].
+  */
+object UdfSurface {
+
+  /** Element-wise binary string function application. Nulls in either input
+    * yield null; `out` declares the result type (e.g. `IntegerType`,
+    * `StringType` — return the matching internal value: `Int`, `UTF8String`,
+    * ...). The function must be serializable (any pure Scala lambda is).
+    */
+  def applyBinaryStr(a: Column, b: Column, out: DataType)(
+      f: (UTF8String, UTF8String) => Any): Column =
+    toCol(BinaryStringApply(toExpr(a), toExpr(b), out, f))
+}
+
+/** Eval-mode expression carrying the user's element-wise function. Null
+  * handling is inherited (any null input → null output, like the
+  * reference's validity-bitmap AND, string.py:393-420). */
+case class BinaryStringApply(left: Expression, right: Expression,
+    outType: DataType, f: (UTF8String, UTF8String) => Any)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = outType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    f(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

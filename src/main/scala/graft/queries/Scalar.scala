@@ -27,7 +27,11 @@ object Scalar {
             floor($"l_extendedprice" / $"l_quantity").as("floordiv"),
             ($"l_orderkey" % lit(97L)).as("imod"),
             expr("l_orderkey div 7").as("idiv"),
-            ($"l_quantity" * $"l_quantity").as("sq"))
+            ($"l_quantity" * $"l_quantity").as("sq"),
+            // ** dunder: integer exponents are exact in both engines;
+            // fractional exponents differ by 1 ulp (Math.pow vs libm pow),
+            // so the oracle pins the integral case only.
+            pow($"l_quantity", 3).as("cube"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber,
@@ -39,7 +43,8 @@ object Scalar {
              |  floor(l_extendedprice / l_quantity) AS floordiv,
              |  l_orderkey % 97 AS imod,
              |  l_orderkey // 7 AS idiv,
-             |  l_quantity * l_quantity AS sq
+             |  l_quantity * l_quantity AS sq,
+             |  pow(l_quantity, 3) AS cube
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Comparison dunders (==, !=, <, <=, >, >=) with null propagation via a
