@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+/** Mechanical 100TB-scale guards over EVERY declared query plan: the
+  * single-partition funnels and accidental cross products that are invisible
+  * at sf0.01 but fatal on a real cluster can never regress silently.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  // Queries that intentionally broadcast-nested-loop (documented quadratic /
+  // broadcast-by-design kernels — the query-set side is tiny and broadcast).
+  private val bnljAllowed = Set("q_sim_knn_brute")
+
+  private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to
+    // collect); inspect the statically-planned tree instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (n, fn) => n -> fn(spark, sf0001) }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("no unpartitioned Window.orderBy in any optimized plan") {
+    for ((name, df) <- plans) {
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name funnels the table through one partition via a global Window")
+    }
+  }
+
+  test("single-partition shuffles only below final global aggregates/limits") {
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan
+      val offenders = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1
+            && !e.child.exists {
+              case _: BaseAggregateExec => true  // partial-agg'd: rows are few
+              case p: SparkPlan => p.nodeName.toLowerCase.contains("limit")
+            } =>
+          e
+      }
+      assert(offenders.isEmpty,
+        s"$name has a single-partition Exchange over unreduced data:\n" +
+          offenders.mkString("\n"))
+    }
+  }
+
+  test("no BroadcastNestedLoopJoin outside the documented allowlist") {
+    for ((name, df) <- plans if !bnljAllowed(name)) {
+      val bad = df.queryExecution.executedPlan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+      }
+      assert(bad.isEmpty, s"$name plans a nested-loop join (cross-product " +
+        s"risk at scale):\n${bad.mkString("\n")}")
+    }
+  }
+}
