@@ -152,6 +152,30 @@ object TextPipeline {
               |          AND stop_ratio >= 0.01 AS keep
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Multimodal binary-column metadata: blobs as opaque binary + digest/
+    // size/format-sniff metadata (operators.Multimodal) — the SQL-checkable
+    // half of the media pipeline (decode stages are Dataset ops, pinned in
+    // MultimodalSpec).
+    "q_mm_binary_meta" -> Q(
+      (s, dir) => {
+        val bytes = encode(col("text"), "UTF-8")
+        graft.operators.Multimodal.withBlobMeta(
+            docs(s, dir).select(col("doc_id"), bytes.as("bytes")),
+            col("bytes"))
+          .select(col("doc_id"), col("byte_len"), col("content_md5"),
+            col("content_sha256"),
+            hex(substring(col("bytes"), 1, 4)).as("magic_hex"),
+            col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             |  md5(text) AS content_md5,
+             |  sha256(text) AS content_sha256,
+             |  upper(left(CAST(hex(encode(text)) AS VARCHAR), 8)) AS magic_hex,
+             |  'unknown' AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of
     // documents but not of content).

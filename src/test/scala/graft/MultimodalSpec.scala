@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaRow, FrameRef}
+
+/** Pins the multimodal plumbing: schema, format sniffing, bounded-batch
+  * decode shape, frame sampling, and size-aware partitioning. The codec is
+  * the documented stub; everything around it is the real contract.
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 1, 2, 3).map(_.toByte)
+  private val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte)
+  private val mp4 = ("????ftypisom" + "x" * 20).getBytes("ASCII")
+  private def blob(n: Int, seed: Int) =
+    Array.tabulate(n)(i => ((i * 31 + seed) % 251).toByte)
+
+  private def media = Seq(
+      MediaRow(1L, "image", jpeg, 0, 0, 0),
+      MediaRow(2L, "image", png, 0, 0, 0),
+      MediaRow(3L, "video", mp4 ++ blob(3000, 7), 0, 0, 30),
+      MediaRow(4L, "audio", blob(800, 3), 0, 0, 0))
+    .toDS().repartition(2)
+
+  test("sniffFormat recognizes magic bytes") {
+    val out = media.toDF()
+      .select($"media_id", Multimodal.sniffFormat($"bytes").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "jpeg", 2L -> "png", 3L -> "mp4",
+      4L -> "unknown"))
+  }
+
+  test("withBlobMeta: digests and sizes without shuffling blobs") {
+    val df = Multimodal.withBlobMeta(media.toDF(), $"bytes")
+    val row = df.filter($"media_id" === 4L).head
+    assert(row.getAs[Int]("byte_len") === 800)
+    assert(row.getAs[String]("content_md5").length === 32)
+    assert(row.getAs[String]("content_sha256").length === 64)
+    // narrow stage: metadata adds no Exchange beyond the input's own
+    val flat = Seq(MediaRow(9L, "image", jpeg, 0, 0, 0)).toDS().toDF()
+    val plan = Multimodal.withBlobMeta(flat, $"bytes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("decodeAndEmbed: fixed-dim embeddings, deterministic, batched") {
+    val feats = Multimodal.decodeAndEmbed(media, dim = 16, batchSize = 2)
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length === 4)
+    assert(rows.forall(_.embedding.length === 16))
+    assert(rows.forall(r => r.out_width >= 64 && r.out_height >= 48))
+    // deterministic: same bytes → same features on a second run
+    val again = Multimodal.decodeAndEmbed(media, dim = 16, batchSize = 3)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.embedding.toSeq).toSeq === again.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("sampleFrames: k uniform byte-range refs per video, no byte copies") {
+    val frames = Multimodal.sampleFrames(media, k = 4).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.forall(_.media_id === 3L))   // only the video row
+    assert(frames.length === 4)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 7, 15, 22))
+    val blobLen = mp4.length + 3000
+    assert(frames.forall(f => f.byte_start + f.byte_len <= blobLen + 100))
+    assert(frames.forall(_.byte_len === blobLen / 30))
+  }
+
+  test("repartitionBySize bounds blob bytes per partition") {
+    val df = media.toDF()
+    val out = Multimodal.repartitionBySize(df, $"bytes", targetBytes = 1000)
+    assert(out.rdd.getNumPartitions >= 3)   // ~3.8KB total / 1KB target
+    assert(out.count() === 4)
+  }
+}
