@@ -13,16 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force full materialization of EVERY output column: a bare count()
+    // lets Catalyst prune projections and drop sorts, benchmarking string
+    // kernels as empty scans. xxhash64 over the row struct evaluates every
+    // expression; sum reduces to one driver-side long.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    }
+    // Warmup outside the timed loop: the first query in a fresh JVM pays
+    // ~5s of classloading/JIT/codegen that would be misattributed to
+    // whichever query happens to run first.
+    try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // Force full materialization of EVERY output column: a bare count()
-      // lets Catalyst prune projections and drop sorts, benchmarking string
-      // kernels as empty scans. xxhash64 over the row struct evaluates every
-      // expression; sum reduces to one driver-side long.
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
-      } catch { case e: Throwable =>
+      try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9

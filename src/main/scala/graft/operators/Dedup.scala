@@ -39,7 +39,13 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int, threshold: Double): DataFrame = {
+    // The signature subtree feeds BOTH the band-bucket branch and the
+    // exact-verify self-join; without materialization Spark recomputes the
+    // (expensive) shingle hashing for each branch. Signatures are small —
+    // (id, hash-set, 16 minhashes), no text — so MEMORY_AND_DISK is safe
+    // at corpus scale; callers may unpersist after consuming the result.
     val sig = minhashSignatures(docs, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band buckets: only (band, key) and id travel through this shuffle
     val buckets = sig.select(col("id"),
       posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
