@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.accessor.syntax._
+
+/** Pins the ergonomic accessor surface (reference fr_str/fr_strx accessors
+  * + the `_reduce` dispatcher): each method must resolve and agree with the
+  * underlying function it forwards to.
+  */
+class AccessorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("string accessor methods forward to the engine expressions") {
+    val df = Seq("a+b+c", "Hello").toDF("s")
+    val out = df.select(
+        $"s".strCount("+").as("cnt"),
+        $"s".strReplace("+", "-", 1).as("rep"),
+        $"s".strRFind("+").as("rf"),
+        $"s".strRPartition("+", 2).as("tail"),
+        $"s".strSliceReplace("X", 1, 3).as("sr"),
+        $"s".strSwapCase().as("sw"),
+        $"s".strIsAlpha().as("alpha"))
+      .collect()
+    assert(out(0).getInt(0) === 2)
+    assert(out(0).getString(1) === "a-b+c")
+    assert(out(0).getInt(2) === 3)
+    assert(out(0).getString(3) === "c")
+    assert(out(0).getString(4) === "aX+c")   // s[:1] + "X" + s[3:]
+    assert(out(1).getString(5) === "hELLO")
+    assert(out(1).getBoolean(6) === true)
+  }
+
+  test("reduce dispatcher covers the reference reduction names") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    def red(name: String): Double =
+      df.agg($"x".reduce(name).cast("double")).head.getDouble(0)
+    assert(red("sum") === 10.0)
+    assert(red("mean") === 2.5)
+    assert(red("min") === 1.0)
+    assert(red("max") === 4.0)
+    assert(red("prod") === 24.0)
+    assert(red("median") === 2.5)
+    assert(math.abs(red("var") - 5.0 / 3) < 1e-12)
+    assertThrows[IllegalArgumentException](df.select($"x".reduce("nope")))
+  }
+
+  test("null-handling and Kleene accessors") {
+    val df = Seq((Some(true), Option.empty[Boolean]), (None, Some(false)))
+      .toDF("a", "b")
+    val r = df.select(
+        $"a".kleeneOr($"b").as("or"),
+        $"a".kleeneAnd($"b").as("and"),
+        $"a".isNa.as("na"),
+        $"a".fillNa(lit(false)).as("filled"))
+      .collect()
+    assert(r(0).getBoolean(0) === true)    // true OR null = true (Kleene)
+    assert(r(0).isNullAt(1))               // true AND null = null
+    assert(r(1).getBoolean(3) === false)   // fillNa
+  }
+}
