@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (beyond-parity: the reference has no
+  * streaming, SURVEY.md §2.10) over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Scale design: every operator is keyed (user_id / window start), so state
+  * partitions across executors; watermarks bound state size — without them
+  * windowed state grows unboundedly on an infinite stream. All
+  * transformations are declarative (Catalyst-planned) except the explicit
+  * flatMapGroupsWithState custom-state example.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+      mean_value: Double)
+
+  /** File-source ingest of an events directory as an unbounded stream —
+    * the production entry point (each arriving parquet = one micro-batch).
+    * `ts` arrives as TIMESTAMP(NANOS) parquet → bigint nanos under
+    * `nanosAsLong`; normalized here to a true timestamp column. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_seconds(col("ts") / lit(1e9)))
+  }
+
+  /** Sliding event-time windowed aggregation with a watermark: counts and
+    * value sums per (window, event_type). Watermark bounds state: windows
+    * older than maxDelay are finalized and evicted. */
+  def windowedCounts(events: DataFrame, width: String, slide: String,
+      maxDelay: String): DataFrame =
+    events
+      .withWatermark("ts", maxDelay)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user: events within `gap` of each other merge into
+    * one session (state scales with live sessions, keyed by user). */
+  def sessionize(events: DataFrame, gap: String, maxDelay: String): DataFrame =
+    events
+      .withWatermark("ts", maxDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup by event_id with watermark-bounded state — the
+    * streaming face of Dedup.exactGroups. */
+  def dedupStream(events: DataFrame, maxDelay: String): DataFrame =
+    events.withWatermark("ts", maxDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count and mean value, emitted on every update — the
+    * mapGroupsWithState-style escape hatch for state machines the
+    * declarative ops can't express. */
+  def userRunningStats(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event],
+            state: GroupState[(Long, Double)]) =>
+          val (n0, tot0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var tot = tot0
+          batch.foreach { e => n += 1; tot += e.value }
+          state.update((n, tot))
+          Iterator.single(UserRunning(uid, n, tot, tot / math.max(n, 1)))
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Drives the streaming operators end-to-end through micro-batches with
+  * MemoryStream + memory sink: windowed aggregation, sessionization,
+  * watermark-bounded dedup, and custom keyed state.
+  */
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("windowedCounts aggregates by event-time window across batches") {
+    val in = MemoryStream[Event](spark)
+    in.addData(
+      Event(1, t(0, 10), 1, "click", 1.0),
+      Event(2, t(0, 50), 2, "click", 2.0),
+      Event(3, t(5, 10), 1, "view", 4.0))
+    in.addData(Event(4, t(5, 30), 3, "view", 8.0))
+    runToMemory(
+      Streams.windowedCounts(in.toDF(), "5 minutes", "5 minutes", "10 minutes"),
+      "win_counts", OutputMode.Update())
+    val rows = spark.table("win_counts")
+      .select($"w_start", $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows.contains((t(0), "click", 2L, 3.0)))
+    assert(rows.contains((t(5), "view", 2L, 12.0)) ||
+      rows.contains((t(5), "view", 1L, 4.0)))   // update mode emits per batch
+  }
+
+  test("sessionize merges events within the gap into one session") {
+    val in = MemoryStream[Event](spark)
+    in.addData(
+      Event(1, t(0), 7, "click", 1.0),
+      Event(2, t(1), 7, "click", 2.0),     // within 2-min gap → same session
+      Event(3, t(10), 7, "click", 4.0))    // far away → new session
+    // session windows emit in Append only when the watermark passes their
+    // end; a far-future event advances it past both sessions
+    val q = Streams.sessionize(in.toDF(), "2 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(4, t(59), 8, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sess = spark.table("sessions")
+      .select($"user_id", $"n_events", $"session_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sess.contains((7L, 2L, 3.0)))
+    assert(sess.contains((7L, 1L, 4.0)))
+  }
+
+  test("dedupStream drops re-delivered event_ids within the watermark") {
+    val in = MemoryStream[Event](spark)
+    in.addData(
+      Event(1, t(0), 1, "click", 1.0),
+      Event(1, t(0), 1, "click", 1.0),     // duplicate in the same batch
+      Event(2, t(1), 2, "view", 2.0))
+    in.addData(Event(2, t(1), 2, "view", 2.0))  // re-delivery next batch
+    runToMemory(Streams.dedupStream(in.toDF(), "10 minutes"),
+      "deduped", OutputMode.Append())
+    assert(spark.table("deduped").select($"event_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("userRunningStats keeps per-user state across micro-batches") {
+    val in = MemoryStream[Event](spark)
+    val q = Streams.userRunningStats(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, t(0), 1, "click", 2.0),
+        Event(2, t(1), 1, "view", 4.0))
+      q.processAllAvailable()                     // batch 1
+      in.addData(Event(3, t(2), 1, "view", 6.0))
+      q.processAllAvailable()                     // batch 2: state carried
+    } finally q.stop()
+    val states = spark.table("running")
+      .select($"n_events", $"total_value", $"mean_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(states.contains((2L, 6.0, 3.0)))   // after batch 1
+    assert(states.contains((3L, 12.0, 4.0)))  // after batch 2
+  }
+
+  test("eventStream normalizes nano-long timestamps from the parquet source") {
+    // batch-mode read of the same path proves the schema + ts conversion
+    val df = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestampFromNanos)
+    assert(df.schema("ts").dataType.typeName === "timestamp")
+    assert(df.selectExpr("min(year(ts))").head.getInt(0) === 2024)
+  }
+
+  private def timestampFromNanos =
+    org.apache.spark.sql.functions.timestamp_seconds(
+      org.apache.spark.sql.functions.col("ts") / 1e9)
+}
