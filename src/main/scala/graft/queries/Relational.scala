@@ -329,6 +329,46 @@ object Relational {
              |  date_trunc('month', o_orderdate) AS month_start
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // §2.2 step-slice (reference base.py:1045-1067 step≠1 path): every k-th
+    // row under a total order — global positions via operators.Positional
+    // (parallel), then pos % k. The oracle may use a window (DuckDB is the
+    // single-node referee, not the scale target).
+    "q_slice_step" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Positional.withGlobalPos(
+            tbl(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            Seq($"o_orderkey"), "pos")
+          .filter($"pos" % 3 === 0)
+          .select($"pos", $"o_orderkey", $"o_totalprice")
+          .orderBy($"pos")
+      },
+      Some("""SELECT pos, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+             |  FROM orders)
+             |WHERE pos % 3 = 0 ORDER BY pos""".stripMargin)),
+
+    // §2.8.5 JSON + timestamp scalar surface (beyond-parity): JSON path
+    // extraction over the events props column; nano-long parquet timestamps
+    // normalized exactly via integer division (see streaming.Streams).
+    "q_json_props" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "events")
+          .filter($"event_type".isin("click", "view"))
+          .select(
+            $"event_id",
+            timestamp_micros(expr("ts div 1000")).as("event_time"),
+            $"event_type",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, ts AS event_time, event_type,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events WHERE event_type IN ('click', 'view')
+             |ORDER BY event_id""".stripMargin)),
+
     // §2.2 list flatten (reference base.py:1272-1276): explode a list column
     // to one row per element with position — narrow per-partition expansion,
     // no shuffle (operators.Reshape.explodeWithPos).

@@ -160,13 +160,18 @@ object Strings {
             $"c_custkey",
             regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
             regexp_replace($"c_name", "[0-9]", "#").as("masked"),
-            regexp_count($"c_name", lit("0")).as("zeros"))
+            regexp_count($"c_name", lit("0")).as("zeros"),
+            // pandas match = anchored at start; fullmatch = whole string
+            $"c_name".rlike("^Customer#0*1").as("rx_match"),
+            $"c_name".rlike("^Customer#0*1$").as("rx_fullmatch"))
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey,
              |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
              |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
-             |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS zeros
+             |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS zeros,
+             |  regexp_matches(c_name, '^Customer#0*1') AS rx_match,
+             |  regexp_full_match(c_name, 'Customer#0*1') AS rx_fullmatch
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // repeat / translate / literal replace-all (§2.8.4).

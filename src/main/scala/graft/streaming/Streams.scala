@@ -30,7 +30,9 @@ object Streams {
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_seconds(col("ts") / lit(1e9)))
+      // integer div keeps exactness: nanos/1e9 in double drops sub-µs
+      // precision for 2024-era epochs (2^53 < nanos)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Sliding event-time windowed aggregation with a watermark: counts and
