@@ -127,6 +127,27 @@ object GraftFunctions {
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
+  /** Forward-fill with a limit: only nulls within `limit` rows of the last
+    * non-null are filled (reference `fillna(method='ffill', limit=n)`,
+    * base.py:1196-1205; the row_number arithmetic SURVEY §2.2 prescribes).
+    * Window functions can't nest, so this is a DataFrame transform with two
+    * staged Window projections — both share the same partitioning/ordering,
+    * so Spark plans ONE shuffle and adjacent Window operators. Adds
+    * `outName`. */
+  def ffillLimit(df: org.apache.spark.sql.DataFrame, c: Column, limit: Int,
+      partitionBy: Seq[Column], orderBy: Seq[Column],
+      outName: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val prefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(outName,
+        when(c.isNotNull, c)
+          .when(col("__rn") - max(when(c.isNotNull, col("__rn"))).over(prefix)
+              <= limit,
+            last(c, ignoreNulls = true).over(prefix)))
+      .drop("__rn")
+  }
+
   // ===========================================================================
   // String surface — built-in-mapped subset (reference algorithms/string.py,
   // string_mixin.py; SURVEY §2.8.3-2.8.4). Custom-Expression-backed functions

@@ -109,18 +109,30 @@ object Relational {
           .select(
             $"event_id", $"user_id",
             ffill($"v", Seq($"user_id"), Seq($"ts", $"event_id")).as("v_ffill"),
-            bfill($"v", Seq($"user_id"), Seq($"ts", $"event_id")).as("v_bfill"))
+            bfill($"v", Seq($"user_id"), Seq($"ts", $"event_id")).as("v_bfill"),
+            $"v", $"ts")
+          .transform(d => ffillLimit(d, $"v", 1, Seq($"user_id"),
+            Seq($"ts", $"event_id"), "v_ffill_lim1"))
+          .drop("v", "ts")
           .orderBy($"event_id")
       },
-      Some("""SELECT event_id, user_id,
-             |  last_value(v IGNORE NULLS) OVER
-             |    (PARTITION BY user_id ORDER BY ts, event_id
-             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
-             |  first_value(v IGNORE NULLS) OVER
-             |    (PARTITION BY user_id ORDER BY ts, event_id
-             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
-             |FROM (SELECT *, CASE WHEN value < 20.0 THEN NULL ELSE value END AS v
-             |      FROM events)
+      Some("""SELECT event_id, user_id, v_ffill, v_bfill,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN rn - lastnn <= 1 THEN v_ffill END AS v_ffill_lim1
+             |FROM (
+             |  SELECT *,
+             |    last_value(v IGNORE NULLS) OVER w AS v_ffill,
+             |    first_value(v IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill,
+             |    max(CASE WHEN v IS NOT NULL THEN rn END) OVER w AS lastnn
+             |  FROM (
+             |    SELECT *, row_number() OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |    FROM (SELECT *, CASE WHEN value < 20.0 THEN NULL ELSE value
+             |          END AS v FROM events))
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              |ORDER BY event_id""".stripMargin)),
 
     // §2.2 cast. Spark double→int truncates toward zero; the oracle pins the
