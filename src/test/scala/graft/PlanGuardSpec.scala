@@ -52,6 +52,34 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("filters and projections reach the parquet scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_filter_project")(spark, sf0001)
+      val scan = df.queryExecution.executedPlan.toString
+      // predicate pushdown: both filters appear as PushedFilters
+      assert(scan.contains("PushedFilters") &&
+        scan.contains("GreaterThan(l_quantity") &&
+        scan.contains("LessThan(l_discount"), scan)
+      // column pruning: untouched wide columns are not read
+      assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"), scan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dimension joins broadcast; aggregates are partial-final") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val join = SparkEntry.queries("q_join_broadcast")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(join.contains("BroadcastHashJoin"), join)
+      val agg = SparkEntry.queries("q1_agg")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      // partial (map-side) aggregation before the exchange
+      assert(agg.contains("partial_"), agg)
+      assert(agg.contains("*(1)"), agg)  // "*(n)" = whole-stage codegen span
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no BroadcastNestedLoopJoin outside the documented allowlist") {
     for ((name, df) <- plans if !bnljAllowed(name)) {
       val bad = df.queryExecution.executedPlan.collect {
