@@ -73,6 +73,37 @@ object Similarity {
       when(dot(v, lw) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: partition the corpus into `numCentroids` cells by
+    * nearest centroid, probe only the query's cell. Centroid selection here
+    * is the deterministic "first n ids" seed (cross-engine reproducible;
+    * production would plug k-means|| — the cell-assign/probe machinery is
+    * identical). Cell assignment is a broadcast of the tiny centroid set +
+    * a per-id window, so the corpus shuffles once on (id). */
+  def knnIvf(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, numCentroids: Int): DataFrame = {
+    val corpus = prepared(emb, vecCol, idCol)
+    val cents = corpus.filter(col("id") < numCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val assigned = corpus.join(broadcast(cents))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cnrm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val queries = assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** ANN top-k via LSH bucket pruning: only candidates sharing the query's
     * bucket are scored (2^planes reduction vs brute force). */
   def knnLsh(emb: DataFrame, vecCol: String, idCol: String,

@@ -88,6 +88,37 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    // IVF-cell ANN: corpus partitioned by nearest centroid (deterministic
+    // seed centroids), probe = the query's cell only.
+    "q_sim_knn_ivf" -> Q(
+      (s, dir) => Sim.knnIvf(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", QueryIds, K, numCentroids = 8)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |cent AS (
+              |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n WHERE id < 8),
+              |assign AS (
+              |  SELECT id, v, nrm, cell FROM (
+              |    SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+              |           row_number() OVER (PARTITION BY n.id ORDER BY
+              |             ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
+              |               DESC, cent.cid) AS rk
+              |    FROM n, cent)
+              |  WHERE rk = 1),
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+              |  FROM assign WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM assign, q WHERE cell = qcell AND id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // Embedding near-dup pairs, LSH-bucketed: pairs sharing a bucket with
     // cosine ≥ τ. The bucket equi-join keeps the pair space ~n²/2^planes —
     // the scale path; raw all-pairs stays an explicitly-opt-in API.
