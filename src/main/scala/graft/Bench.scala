@@ -16,10 +16,11 @@ object Bench {
     // Force full materialization of EVERY output column: a bare count()
     // lets Catalyst prune projections and drop sorts, benchmarking string
     // kernels as empty scans. xxhash64 over the row struct evaluates every
-    // expression; sum reduces to one driver-side long.
+    // expression; bit_xor folds to one long WITHOUT overflow (sum of random
+    // longs throws under ANSI mode — Spark 4's default).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val df = fn(spark, sfDir)
-      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
     }
     // Warmup outside the timed loop: the first query in a fresh JVM pays
     // ~5s of classloading/JIT/codegen that would be misattributed to

@@ -152,7 +152,7 @@ object GraftFunctions {
   // String surface — built-in-mapped subset (reference algorithms/string.py,
   // string_mixin.py; SURVEY §2.8.3-2.8.4). Custom-Expression-backed functions
   // (count/replaceN/slice/is*/casefold/normalize/wrap/zfill) are in
-  // graft.expressions and re-exported from graft.api.
+  // graft.expressions and surfaced ergonomically via graft.accessor.syntax.
   // ===========================================================================
 
   /** Literal substring containment (reference `contains(regex=False)`,
