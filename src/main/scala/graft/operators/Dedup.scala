@@ -82,9 +82,12 @@ object Dedup {
     * candidate generation is [[minhashDupPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // persisted: both sides of the self-join would otherwise re-hash the
+    // corpus (same pattern as minhashDupPairs)
     val withSets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
       array_distinct(transform(tokens(col(textCol)), t =>
         graft.expressions.TextExpressions.polyHash(t))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withSets.as("a").join(withSets.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
