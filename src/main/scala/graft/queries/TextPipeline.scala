@@ -152,6 +152,32 @@ object TextPipeline {
               |          AND stop_ratio >= 0.01 AS keep
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Token counting: whitespace words + a BPE-ish regex segmentation
+    // (GPT-2-style word/number/punct alternation — no lookaheads, so the
+    // JVM and RE2 regex engines agree) + chars-per-token, the budget
+    // metrics a training-data pipeline reports per document.
+    "q_pipe_token_count" -> Q(
+      (s, dir) => {
+        val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+        val nWs = size(split(col("text"), " "))
+        val nBpe = size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+        docs(s, dir).select(
+            col("doc_id"),
+            nWs.as("n_ws_tokens"),
+            nBpe.as("n_bpeish_tokens"),
+            (length(col("text")).cast("double") / nBpe.cast("double"))
+              .as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+             |       AS INTEGER) AS n_bpeish_tokens,
+             |  CAST(length(text) AS DOUBLE) /
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+             |         AS DOUBLE) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Multimodal binary-column metadata: blobs as opaque binary + digest/
     // size/format-sniff metadata (operators.Multimodal) — the SQL-checkable
     // half of the media pipeline (decode stages are Dataset ops, pinned in
