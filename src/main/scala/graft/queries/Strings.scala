@@ -404,6 +404,31 @@ object Strings {
              |  unnest(regexp_extract_all(c_name, '[1-9]')) AS m
              |FROM customer ORDER BY c_custkey, match_idx""".stripMargin)),
 
+    // SQL-text entry point: the same engine surface reached through
+    // spark.sql(...) with the graft_* functions registered in the session
+    // registry (functions/SqlFunctions) — proves the SQL client path, not
+    // just the Column DSL, under the oracle gate.
+    "q_sql_text" -> Q(
+      (s, dir) => {
+        graft.functions.SqlFunctions.register(s)
+        tbl(s, dir, "part").createOrReplaceTempView("graft_part_v")
+        s.sql("""SELECT p_partkey,
+                |  graft_count(p_name, 'a') AS cnt_a,
+                |  graft_zfill(CAST(p_partkey AS STRING), 8) AS zk,
+                |  graft_rfind(p_name, 'e') AS rf,
+                |  graft_polyhash(p_type) AS ph
+                |FROM graft_part_v ORDER BY p_partkey""".stripMargin)
+      },
+      Some(s"""SELECT p_partkey,
+              |  CAST(length(p_name) - length(replace(p_name, 'a', ''))
+              |       AS INTEGER) AS cnt_a,
+              |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS zk,
+              |  CASE WHEN instr(reverse(p_name), 'e') = 0 THEN -1
+              |       ELSE CAST(length(p_name) - instr(reverse(p_name), 'e')
+              |            AS INTEGER) END AS rf,
+              |  ${DuckFrag.polyHashSql("p_type")} AS ph
+              |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // get_dummies: token-indicator encoding over a '|'-delimited column
     // (reference tests/test_text.py:950). Dictionary derived from the data
     // (two-pass, pandas contract); indicator columns are named by token.

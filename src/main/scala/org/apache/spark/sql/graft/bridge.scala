@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Register a SQL function into a session's (session-local) function
+    * registry — the mechanism behind `SparkSessionExtensions.injectFunction`,
+    * applied to an already-running session. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
 }
