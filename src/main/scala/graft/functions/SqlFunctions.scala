@@ -54,4 +54,15 @@ object SqlFunctions {
     builders.foreach { case (name, b) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, b)
     }
+
+  /** Same surface via SparkSessionExtensions (for `spark.sql.extensions`
+    * deployment — see graft.plans.GraftSparkExtensions). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.SqlFunctions", name),
+        (args: Seq[Expression]) => b(args)))
+    }
 }

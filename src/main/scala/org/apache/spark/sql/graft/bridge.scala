@@ -13,6 +13,14 @@ object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Execute an arbitrary LogicalPlan as a DataFrame (for testing plan
+    * rewrites). */
+  def planToDf(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function into a session's (session-local) function
     * registry — the mechanism behind `SparkSessionExtensions.injectFunction`,
     * applied to an already-running session. */
