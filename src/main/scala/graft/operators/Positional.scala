@@ -1,25 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-safe positional operators (take-by-position, factorize).
   *
   * The naive Spark spelling of "global row number" —
   * `row_number().over(Window.orderBy(key))` — funnels the ENTIRE table
-  * through one partition: a scale-killer at 100 TB. This module computes the
-  * same global positions with the classic zipWithIndex decomposition, kept
-  * fully declarative so it stays inside whole-stage codegen:
+  * through one partition: a scale-killer at 100 TB. The subtle alternative —
+  * range-partition, then join per-partition counts back — is WRONG under
+  * re-evaluation: each `Exchange rangepartitioning` instance samples its own
+  * boundaries, and Spark does not always reuse the exchange between the
+  * rows branch and the counts branch, so the two branches can disagree by a
+  * row at partition edges (observed in practice).
   *
-  *  1. `repartitionByRange(key)` — partitions hold disjoint, ordered key
-  *     ranges (parallel range-partitioned sort, same machinery as orderBy);
-  *  2. per-partition `row_number` windows, partitioned by partition id —
-  *     parallel across all partitions;
-  *  3. per-partition row counts (a tiny aggregate: one row per partition)
-  *     turned into cumulative start offsets with a triangular self-join —
-  *     O(P²) pairs over P = #partitions rows, i.e. negligible — then
-  *     broadcast back. No unpartitioned Window anywhere in the plan.
+  * This implementation therefore goes through ONE sorted RDD and
+  * `zipWithIndex`: the RangePartitioner is constructed once for the single
+  * RDD DAG, zipWithIndex's count job and data job share the same shuffle
+  * files and boundaries, and both the sort and the indexing are fully
+  * parallel (the classic deterministic zipWithIndex decomposition).
   *
   * Reference semantics: fletcher take/gather (base.py:1215-1270) and
   * factorize (base.py:961-983).
@@ -28,28 +28,25 @@ object Positional {
 
   /** Attach 0-based global position `posCol` under the total order given by
     * `sortCols` (must be a key — ties across partition boundaries would make
-    * positions nondeterministic). Plan is parallel end-to-end.
-    */
+    * positions nondeterministic). Plan is parallel end-to-end: range
+    * shuffle + per-partition scan; no single-partition stage. */
   def withGlobalPos(df: DataFrame, sortCols: Seq[Column],
       posCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val local = ranged.withColumn("__lrn", row_number().over(wLocal))
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // cumulative offset of partition p = Σ counts of partitions < p
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(posCol, col("__off") + col("__lrn") - 1)
-      .drop("__pid", "__lrn", "__off")
+    val spark = df.sparkSession
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Positional take (gather): rows at the given 0-based positions under the
     * `sortCols` total order, with their positions. Only the matching rows
-    * survive the broadcast-side filter; everything stays parallel. */
+    * survive; everything stays parallel. */
   def takePositions(df: DataFrame, sortCols: Seq[Column],
       positions: Seq[Long], posCol: String = "pos"): DataFrame =
     withGlobalPos(df, sortCols, posCol)
