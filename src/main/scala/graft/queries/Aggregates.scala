@@ -155,6 +155,26 @@ object Aggregates {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
              |  COUNT(*) AS cnt
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Sketch aggregates (beyond-parity, 100 TB profiling): HyperLogLog
+    // distinct estimate + t-digest-style quantile. No SQL oracle — sketch
+    // internals differ across engines by design — so this takes the
+    // driver's rows-only check; exactness bounds are pinned in
+    // QueriesSmokeSpec-style assertions instead (rsd 5%).
+    "q_sketches" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey", rsd = 0.05)
+              .as("approx_parts"),
+            percentile_approx($"l_quantity", lit(0.5), lit(1000))
+              .as("approx_median_qty"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"l_returnflag")
+      },
+      None)
   )
 }
