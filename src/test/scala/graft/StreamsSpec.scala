@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -95,6 +96,49 @@ class StreamsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(states.contains((2L, 6.0, 3.0)))   // after batch 1
     assert(states.contains((3L, 12.0, 4.0)))  // after batch 2
+  }
+
+  test("streamed windowedCounts equals the same aggregation in batch") {
+    val events = (0 until 200).map { i =>
+      Event(i, t(i % 30, i % 60), i % 7, if (i % 3 == 0) "click" else "view",
+        i.toDouble)
+    }
+    val in = MemoryStream[Event](spark)
+    in.addData(events.take(120))
+    in.addData(events.drop(120))
+    runToMemory(
+      Streams.windowedCounts(in.toDF(), "10 minutes", "10 minutes", "1 hour"),
+      "parity_stream", OutputMode.Complete())
+    val streamed = spark.table("parity_stream")
+      .select($"w_start", $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = events.toDF()
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      .select($"window.start", $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+
+  test("eventStream file source runs end-to-end against the events dir") {
+    val dir = "/tmp/graft_stream_src"
+    val out = new java.io.File(dir)
+    out.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = Streams.windowedCounts(
+        graft.streaming.Streams.eventStream(spark, dir),
+        "1 hour", "1 hour", "1 day")
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("file_stream").agg(sum($"n")).head.getLong(0)
+    val batchN = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(n === batchN)   // every event lands in exactly one window
   }
 
   test("eventStream normalizes nano-long timestamps from the parquet source") {
