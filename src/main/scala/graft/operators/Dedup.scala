@@ -77,6 +77,43 @@ object Dedup {
       .drop("h")
   }
 
+  /** Connected components over an undirected dup-pair graph (id1, id2):
+    * returns (id, keeper) where keeper = min id of the component — the
+    * "which copy do we keep" step that turns near-dup PAIRS into dedup
+    * DECISIONS. Iterative min-label propagation (the Pregel pattern):
+    * each round is a shuffle-by-neighbor join + min-aggregate, fully
+    * parallel; rounds = component diameter (near-dup clusters are
+    * shallow — a handful of rounds in practice, `maxIter` caps
+    * pathological chains). */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("a") === labels("id"))
+        .groupBy(col("b").as("nid")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"),
+          "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("next"))
+        .persist(lvl)
+      changed = updated.filter(col("next") < col("label")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("next").as("label")).persist(lvl)
+      prev.unpersist()
+      updated.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "keeper")
+  }
+
   /** Exact word-set Jaccard pairs within a blocking key (e.g. lang).
     * Quadratic within each block — the exact-verify kernel; production-scale
     * candidate generation is [[minhashDupPairs]]. */

@@ -104,20 +104,30 @@ object Similarity {
       .drop("rn")
   }
 
-  /** ANN top-k via LSH bucket pruning: only candidates sharing the query's
-    * bucket are scored (2^planes reduction vs brute force). */
+  /** ANN top-k via LSH bucket pruning: candidates sharing the query's
+    * bucket — or, with `probes` > 0, any bucket within Hamming distance 1
+    * obtained by flipping one of the first `probes` plane bits (multi-probe
+    * LSH: recovers neighbors that fall just across a hyperplane, the main
+    * recall loss of single-bucket LSH). The probe expansion happens on the
+    * tiny broadcast query side; the corpus still joins by bucket equality. */
   def knnLsh(emb: DataFrame, vecCol: String, idCol: String,
-      queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int,
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes, "probes in [0, numPlanes]")
     val ps = planes(numPlanes, dim)
     val corpus = prepared(emb, vecCol, idCol)
       .withColumn("bucket", lshBucket(col("v"), ps))
+    val probeBuckets = array((col("bucket") +:
+      (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val queries = corpus.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
+        col("nrm").as("qn"), explode(probeBuckets).as("qbucket"))
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    // no dedup needed: a corpus row has ONE bucket and the probe set per
+    // query is distinct values, so each (query, neighbor) matches once
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -88,6 +88,32 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    // Multi-probe LSH ANN: additionally probes the buckets at Hamming
+    // distance 1 on the first two planes — recovers neighbors just across
+    // a hyperplane (the main recall loss of single-bucket LSH). Probe
+    // expansion is on the broadcast query side only.
+    "q_sim_knn_lsh_mp" -> Q(
+      (s, dir) => Sim.knnLsh(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", QueryIds, K, NumPlanes, Dim, probes = 2)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn,
+              |         unnest([bucket, xor(bucket, 1), xor(bucket, 2)])
+              |           AS qbucket
+              |  FROM b WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // IVF-cell ANN: corpus partitioned by nearest centroid (deterministic
     // seed centroids), probe = the query's cell only.
     "q_sim_knn_ivf" -> Q(

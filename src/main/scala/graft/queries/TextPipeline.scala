@@ -27,6 +27,29 @@ object TextPipeline {
        |  SELECT doc_id, ${DuckFrag.shingleHashesSql(k)} AS h
        |  FROM toks WHERE len(w) >= $k)""".stripMargin
 
+  /** Extends [[shingleCte]] through LSH banding to a `pairs(id1, id2)` CTE
+    * of verified duplicates at `threshold` (mirrors Dedup.minhashDupPairs
+    * + is_dup filter). */
+  private def dupPairsCte(k: Int, threshold: Double): String =
+    s"""${shingleCte(k)},
+       |sig AS (
+       |  SELECT doc_id, h, ${DuckFrag.minHashSigSql} AS m
+       |  FROM sh WHERE len(h) > 0),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |         array_to_string(list_slice(m, b*${RowsPerBand}+1,
+       |           b*${RowsPerBand}+${RowsPerBand}), ',') AS key
+       |  FROM sig, (SELECT unnest(range($NumBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT c.id1, c.id2 FROM cand c
+       |  JOIN sig a ON a.doc_id = c.id1
+       |  JOIN sig b ON b.doc_id = c.id2
+       |  WHERE ${DuckFrag.jaccardSql("a.h", "b.h")} >= $threshold)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -64,6 +87,28 @@ object TextPipeline {
               |JOIN sig a ON a.doc_id = c.id1
               |JOIN sig b ON b.doc_id = c.id2
               |ORDER BY c.id1, c.id2""".stripMargin)),
+
+    // Dup GROUPS from dup pairs: connected components (min-label
+    // propagation), keeper = min doc_id per component — the decision step
+    // of the dedup pipeline. Oracle: recursive CTE reachability.
+    "q_pipe_dup_groups" -> Q(
+      (s, dir) => Dedup.dupGroups(
+          Dedup.minhashDupPairs(docs(s, dir), "text", "doc_id",
+              k = 3, threshold = 0.8)
+            .filter(col("is_dup"))
+            .select(col("id1"), col("id2")))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE ${dupPairsCte(3, 0.8).stripPrefix("WITH ")},
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id)
+              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
 
     // 30-bit SimHash fingerprint + 15-bit halves for banded lookup.
     "q_pipe_dedup_simhash" -> Q(
