@@ -87,30 +87,43 @@ object Dedup {
     * pathological chains). */
   def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // pairs feeds both union branches — cache it so the (expensive)
+    // upstream pair pipeline runs once, not twice
+    val p = pairs.persist(lvl)
+    p.count()  // eager: the union below scans p twice concurrently —
+               // materializing first makes both scans cache hits
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist(lvl)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var changed = 1L
     var iter = 0
+    var prevCache: DataFrame = labels
     while (changed > 0 && iter < maxIter) {
+      // relax: take the min label among neighbors
       val neighborMin = edges.join(labels, edges("a") === labels("id"))
         .groupBy(col("b").as("nid")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"),
+      val relaxed = labels.join(neighborMin, labels("id") === col("nid"),
           "left")
-        .select(col("id"), col("label"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("next"))
+            .as("mid"))
+      // pointer-jump: follow the label's own label (path compression) —
+      // relax alone needs O(diameter) rounds; relax+jump needs O(log d)
+      val jumpTo = relaxed.select(col("id").as("jid"), col("mid").as("jlabel"))
+      val jumped = relaxed.join(jumpTo, col("mid") === col("jid"))
+        .select(col("id"), col("old"),
+          least(col("mid"), col("jlabel")).as("label"))
         .persist(lvl)
-      changed = updated.filter(col("next") < col("label")).count()
-      val prev = labels
-      labels = updated.select(col("id"), col("next").as("label")).persist(lvl)
-      prev.unpersist()
-      updated.unpersist()
+      changed = jumped.filter(col("label") < col("old")).count()
+      labels = jumped.select(col("id"), col("label"))
+      prevCache.unpersist()
+      prevCache = jumped
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.withColumnRenamed("label", "keeper")
   }
 
