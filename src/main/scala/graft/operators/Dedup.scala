@@ -95,11 +95,15 @@ object Dedup {
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist(lvl)
+    // localCheckpoint per round: labels feeds THREE places each round
+    // (neighbor join, relax join, pointer-jump), so a lazy plan would
+    // double per iteration — exponential logical-plan growth is the classic
+    // iterative-Spark failure (manifests as analyzer/explain OOM long
+    // before data size matters). Checkpointing truncates plan + lineage.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    var prevCache: DataFrame = labels
     while (changed > 0 && iter < maxIter) {
       // relax: take the min label among neighbors
       val neighborMin = edges.join(labels, edges("a") === labels("id"))
@@ -115,11 +119,9 @@ object Dedup {
       val jumped = relaxed.join(jumpTo, col("mid") === col("jid"))
         .select(col("id"), col("old"),
           least(col("mid"), col("jlabel")).as("label"))
-        .persist(lvl)
+        .localCheckpoint(true)
       changed = jumped.filter(col("label") < col("old")).count()
       labels = jumped.select(col("id"), col("label"))
-      prevCache.unpersist()
-      prevCache = jumped
       iter += 1
     }
     edges.unpersist()
