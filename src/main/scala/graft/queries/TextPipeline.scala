@@ -197,6 +197,28 @@ object TextPipeline {
               |          AND stop_ratio >= 0.01 AS keep
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic content-hash train/val/test split (80/10/10): the
+    // assignment depends only on the text (PolyHash mod 100), so it is
+    // reproducible across engines, runs, and partitionings — and exact
+    // duplicates always land in the same split (no train/val leakage).
+    "q_pipe_split" -> Q(
+      (s, dir) => {
+        val h = graft.expressions.TextExpressions.polyHash(col("text")) % 100
+        val split = when(h < 80, "train").when(h < 90, "val")
+          .otherwise("test")
+        docs(s, dir).select(col("doc_id"), split.as("split"))
+          .groupBy(col("split")).agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, ${DuckFrag.polyHashSql("text")} % 100 AS hv
+              |  FROM documents)
+              |SELECT CASE WHEN hv < 80 THEN 'train'
+              |            WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+              |       count(*) AS n, min(doc_id) AS min_id
+              |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // Token counting: whitespace words + a BPE-ish regex segmentation
     // (GPT-2-style word/number/punct alternation — no lookaheads, so the
     // JVM and RE2 regex engines agree) + chars-per-token, the budget
