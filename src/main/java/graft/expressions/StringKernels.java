@@ -339,20 +339,22 @@ public final class StringKernels {
     }
 
     /**
-     * Python str.swapcase: per-codepoint case swap (upper/title → lower,
-     * lower → upper). (reference tests/test_text.py:773)
+     * Python str.swapcase: case swap (upper/title → lower, lower → upper),
+     * including one-to-many special mappings (ß→SS, ﬁ→FI) via String-level
+     * case conversion per codepoint. (reference tests/test_text.py:773)
      */
     public static UTF8String swapCase(UTF8String str) {
         String s = str.toString();
         StringBuilder out = new StringBuilder(s.length());
         for (int i = 0; i < s.length();) {
             int cp = s.codePointAt(i);
+            String one = new String(Character.toChars(cp));
             if (Character.isUpperCase(cp) || Character.isTitleCase(cp)) {
-                out.appendCodePoint(Character.toLowerCase(cp));
+                out.append(one.toLowerCase(java.util.Locale.ROOT));
             } else if (Character.isLowerCase(cp)) {
-                out.appendCodePoint(Character.toUpperCase(cp));
+                out.append(one.toUpperCase(java.util.Locale.ROOT));
             } else {
-                out.appendCodePoint(cp);
+                out.append(one);
             }
             i += Character.charCount(cp);
         }

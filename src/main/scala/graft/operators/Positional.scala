@@ -55,12 +55,16 @@ object Positional {
   /** Dictionary-encode `valueCol`: stable dense codes 0..n-1 assigned in
     * value sort order on the (small) distinct side, broadcast-joined back to
     * the full table — the scale-correct factorize (the dictionary is tiny;
-    * the big table never funnels through one partition). */
+    * the big table never funnels through one partition). Null values keep
+    * their rows and get code -1, matching pandas factorize's na_sentinel
+    * (reference base.py:961-983). */
   def factorize(df: DataFrame, valueCol: String,
       codeCol: String = "code"): DataFrame = {
     val dict = withGlobalPos(
-      df.select(col(valueCol)).distinct(), Seq(col(valueCol)), codeCol)
+      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct(),
+      Seq(col(valueCol)), codeCol)
       .withColumn(codeCol, col(codeCol).cast("int"))
-    df.join(broadcast(dict), valueCol)
+    df.join(broadcast(dict), Seq(valueCol), "left")
+      .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
   }
 }

@@ -7,20 +7,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Catalyst optimizer extension: rewrite anchored-literal RLIKE patterns to
-  * their cheap string-predicate forms —
+/** Catalyst optimizer extension: rewrite start-anchored-literal RLIKE
+  * patterns to the cheap string predicate —
   *
-  *   col RLIKE '^abc$'  →  col = 'abc'
   *   col RLIKE '^abc'   →  startswith(col, 'abc')
-  *   col RLIKE 'abc$'   →  endswith(col, 'abc')
+  *   col RLIKE '\Aabc'  →  startswith(col, 'abc')
   *
   * The pandas `.str.match(pat)` surface (reference string_mixin / pandas
-  * str.match = re.match, i.e. start-anchored) encourages exactly these
-  * patterns; Spark's own LikeSimplification covers LIKE but not RLIKE. The
-  * rewrite only fires when the pattern body has no regex metacharacters, so
-  * semantics are exact; the resulting StartsWith/EqualTo are
-  * pushdown-eligible at the data source, which an RLIKE never is — at
-  * 100 TB that converts a full scan into a pruned one.
+  * str.match = re.match, i.e. start-anchored) produces exactly this shape;
+  * Spark's own LikeSimplification covers LIKE but not RLIKE. The rewrite
+  * only fires when the pattern body has no regex metacharacters, so
+  * semantics are exact: `^` (non-MULTILINE) matches only at input start.
+  * End-anchored patterns are deliberately NOT rewritten — Java regex `$`
+  * also matches before a trailing '\n', so `endswith` would change results
+  * on strings with trailing newlines (common in scraped text). The
+  * resulting StartsWith is pushdown-eligible at the data source, which an
+  * RLIKE never is — at 100 TB that converts a full scan into a pruned one.
   */
 object RegexAnchorSimplification extends Rule[LogicalPlan] {
 
@@ -33,13 +35,10 @@ object RegexAnchorSimplification extends Rule[LogicalPlan] {
       case r @ RLike(child, Literal(p: UTF8String, StringType)) =>
         val s = p.toString
         def lit(x: String) = Literal(UTF8String.fromString(x), StringType)
-        if (s.length >= 2 && s.startsWith("^") && s.endsWith("$") &&
-            literalish(s.substring(1, s.length - 1)))
-          EqualTo(child, lit(s.substring(1, s.length - 1)))
-        else if (s.startsWith("^") && literalish(s.substring(1)))
+        if (s.startsWith("^") && literalish(s.substring(1)))
           StartsWith(child, lit(s.substring(1)))
-        else if (s.endsWith("$") && literalish(s.substring(0, s.length - 1)))
-          EndsWith(child, lit(s.substring(0, s.length - 1)))
+        else if (s.startsWith("\\A") && literalish(s.substring(2)))
+          StartsWith(child, lit(s.substring(2)))
         else r
     }
 }

@@ -80,7 +80,8 @@ object TypeMapping {
 
   def fieldToArrow(f: StructField): Field = f.dataType match {
     case ArrayType(elem, containsNull) =>
-      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+      new Field(f.name,
+        new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
         List(fieldToArrow(StructField("element", elem, containsNull))).asJava)
     case t =>
       new Field(f.name,

@@ -12,19 +12,25 @@ import graft.plans.RegexAnchorSimplification
 class ExtensionsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("RegexAnchorSimplification rewrites anchored literals exactly") {
+  test("RegexAnchorSimplification rewrites start-anchored literals exactly") {
     val df = spark.read.parquet(s"$sf0001/part.parquet")
-    val q = df.filter($"p_type".rlike("^ECONOMY$") ||
-      $"p_name".rlike("^blue") || $"p_brand".rlike("#13$"))
-    val before = q.queryExecution.optimizedPlan
-    val after = RegexAnchorSimplification(before)
+    val q = df.filter($"p_name".rlike("^blue"))
+    val after = RegexAnchorSimplification(q.queryExecution.optimizedPlan)
     val s = after.toString
     assert(!s.toLowerCase.contains("rlike"), s)
     assert(s.contains("StartsWith") || s.contains("startswith"), s)
-    assert(s.contains("EndsWith") || s.contains("endswith"), s)
     // and the rewrite is semantics-preserving
     val rewritten = org.apache.spark.sql.graft.Bridge.planToDf(spark, after)
     assert(rewritten.count() === q.count())
+  }
+
+  test("end-anchored patterns are NOT rewritten ($ matches before \\n)") {
+    // "abc\n" RLIKE 'abc$' is TRUE in Java regex — endswith would flip it
+    assert(Seq("abc\n").toDF("s").filter($"s".rlike("abc$")).count() === 1)
+    val df = spark.read.parquet(s"$sf0001/part.parquet")
+    val q = df.filter($"p_brand".rlike("#13$") || $"p_type".rlike("^ECONOMY$"))
+    val after = RegexAnchorSimplification(q.queryExecution.optimizedPlan)
+    assert(after.toString.toUpperCase.contains("RLIKE"), after.toString)
   }
 
   test("non-literal or unanchored patterns are left alone") {

@@ -36,15 +36,26 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("single-partition shuffles only below final global aggregates/limits") {
+    // the exchange's NEAREST interesting input must be the reducer — a deep
+    // subtree `exists` would excuse an aggregate that a later join/explode
+    // re-expanded back to full cardinality
+    @scala.annotation.tailrec
+    def reducerFeeds(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case x if x.nodeName.toLowerCase.contains("limit") => true
+      case x if x.children.size == 1 &&
+          (x.nodeName.contains("Project") || x.nodeName.contains("Sort") ||
+            x.nodeName.contains("WholeStageCodegen") ||
+            x.nodeName.contains("InputAdapter") ||
+            x.nodeName.contains("ColumnarToRow")) =>
+        reducerFeeds(x.children.head)
+      case _ => false
+    }
     for ((name, df) <- plans) {
       val plan = df.queryExecution.executedPlan
       val offenders = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1
-            && !e.child.exists {
-              case _: BaseAggregateExec => true  // partial-agg'd: rows are few
-              case p: SparkPlan => p.nodeName.toLowerCase.contains("limit")
-            } =>
-          e
+            && !reducerFeeds(e.child) => e
       }
       assert(offenders.isEmpty,
         s"$name has a single-partition Exchange over unreduced data:\n" +

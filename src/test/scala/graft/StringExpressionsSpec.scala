@@ -158,6 +158,9 @@ class StringExpressionsSpec extends SparkTestBase {
     assert(one("a1B2", swapCase($"s")) === "A1b2")
     assert(one("ÄÖü", swapCase($"s")) === "äöÜ")
     assert(one("", swapCase($"s")) === "")
+    // one-to-many special mappings: 'ß'.swapcase() == 'SS'
+    assert(one("ß", swapCase($"s")) === "SS")
+    assert(one("straße", swapCase($"s")) === "STRASSE")
   }
 
   test("custom expressions survive whole-stage codegen (no fallback)") {

@@ -43,7 +43,8 @@ class TypeMappingSpec extends AnyFunSuite {
   test("schema round-trip preserves names and nullability") {
     val s = StructType(Seq(
       StructField("a", LongType, nullable = false),
-      StructField("b", StringType, nullable = true)))
+      StructField("b", StringType, nullable = true),
+      StructField("c", ArrayType(StringType), nullable = false)))
     val back = TypeMapping.schemaToSpark(TypeMapping.schemaToArrow(s))
     assert(back === s)
   }
