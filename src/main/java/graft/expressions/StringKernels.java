@@ -15,64 +15,108 @@ import org.apache.spark.unsafe.types.UTF8String;
 public final class StringKernels {
     private StringKernels() {}
 
+    /** KMP failure table over pattern bytes (fail[i] = length of the longest
+     *  proper border of p[0..i]). O(m) build, shared by count/replace. */
+    private static int[] kmpFailure(byte[] p) {
+        int[] fail = new int[p.length];
+        int k = 0;
+        for (int i = 1; i < p.length; i++) {
+            while (k > 0 && p[i] != p[k]) k = fail[k - 1];
+            if (p[i] == p[k]) k++;
+            fail[i] = k;
+        }
+        return fail;
+    }
+
     /**
      * Count non-overlapping literal occurrences; empty pattern counts
      * len+1 (Python str.count semantics; reference string.py:163-237).
+     * KMP over raw UTF-8 bytes (self-synchronizing, so byte-level matching
+     * is correct for literal patterns): O(n+m) worst case — adversarial
+     * needles like "aaa…ab" (the reference's benchmark workload,
+     * benchmarks/text.py:18) stay linear.
      */
     public static int countLiteral(UTF8String str, UTF8String pat) {
         if (pat.numBytes() == 0) {
             return str.numChars() + 1;
         }
-        // UTF-8 is self-synchronizing: byte-level KMP-free scan is correct
-        // for literal patterns.
         byte[] s = str.getBytes();
         byte[] p = pat.getBytes();
-        int count = 0, i = 0;
-        while (i + p.length <= s.length) {
-            boolean hit = true;
-            for (int j = 0; j < p.length; j++) {
-                if (s[i + j] != p[j]) { hit = false; break; }
-            }
-            if (hit) { count++; i += p.length; } else { i++; }
+        int[] fail = kmpFailure(p);
+        int count = 0, k = 0;
+        for (int i = 0; i < s.length; i++) {
+            while (k > 0 && s[i] != p[k]) k = fail[k - 1];
+            if (s[i] == p[k]) k++;
+            if (k == p.length) { count++; k = 0; }  // non-overlapping: restart
         }
         return count;
+    }
+
+    /** Tiny grow-on-demand byte buffer for kernels building UTF-8 output
+     *  directly (skips the UTF8String→String→UTF8String round-trip). */
+    private static byte[] ensure(byte[] buf, int len, int need) {
+        if (len + need <= buf.length) return buf;
+        int cap = Math.max(buf.length * 2, len + need);
+        return java.util.Arrays.copyOf(buf, cap);
     }
 
     /**
      * Replace the first n non-overlapping occurrences (n < 0 = all).
      * Empty pattern interleaves the replacement (Python str.replace
      * semantics; reference string.py:331-393 empty-pattern kernel).
+     * Pure byte-level: KMP match over UTF-8 bytes (self-synchronizing, so
+     * literal byte matches are codepoint matches) and output assembled as
+     * bytes — no String materialization on the hot path.
      */
     public static UTF8String replaceN(UTF8String str, UTF8String pat,
                                       UTF8String repl, int n) {
         if (n == 0) return str;
-        String s = str.toString();
-        String p = pat.toString();
-        String r = repl.toString();
-        StringBuilder out = new StringBuilder(s.length());
-        if (p.isEmpty()) {
+        byte[] s = str.getBytes();
+        byte[] p = pat.getBytes();
+        byte[] r = repl.getBytes();
+        int done = 0;
+        if (p.length == 0) {
             // interleave: repl before every codepoint and at the end
-            int done = 0;
-            int i = 0;
-            while (i < s.length()) {
-                if (n < 0 || done < n) { out.append(r); done++; }
-                int cp = s.codePointAt(i);
-                out.appendCodePoint(cp);
-                i += Character.charCount(cp);
+            byte[] out = new byte[s.length + r.length * (str.numChars() + 1)];
+            int o = 0, i = 0;
+            while (i < s.length) {
+                if (n < 0 || done < n) {
+                    System.arraycopy(r, 0, out, o, r.length);
+                    o += r.length; done++;
+                }
+                int w = UTF8String.numBytesForFirstByte(s[i]);
+                System.arraycopy(s, i, out, o, w);
+                o += w; i += w;
             }
-            if (n < 0 || done < n) out.append(r);
-            return UTF8String.fromString(out.toString());
+            if (n < 0 || done < n) {
+                System.arraycopy(r, 0, out, o, r.length);
+                o += r.length;
+            }
+            return UTF8String.fromBytes(java.util.Arrays.copyOf(out, o));
         }
-        int done = 0, from = 0;
-        while (n < 0 || done < n) {
-            int idx = s.indexOf(p, from);
-            if (idx < 0) break;
-            out.append(s, from, idx).append(r);
-            from = idx + p.length();
-            done++;
+        int[] fail = kmpFailure(p);
+        byte[] out = new byte[s.length + 16];
+        int o = 0, k = 0, copied = 0;
+        for (int i = 0; i < s.length && (n < 0 || done < n); i++) {
+            while (k > 0 && s[i] != p[k]) k = fail[k - 1];
+            if (s[i] == p[k]) k++;
+            if (k == p.length) {
+                int head = i + 1 - p.length - copied;  // unmatched prefix
+                out = ensure(out, o, head + r.length);
+                System.arraycopy(s, copied, out, o, head);
+                o += head;
+                System.arraycopy(r, 0, out, o, r.length);
+                o += r.length;
+                copied = i + 1;
+                k = 0;  // non-overlapping
+                done++;
+            }
         }
-        out.append(s, from, s.length());
-        return UTF8String.fromString(out.toString());
+        int tail = s.length - copied;
+        out = ensure(out, o, tail);
+        System.arraycopy(s, copied, out, o, tail);
+        o += tail;
+        return UTF8String.fromBytes(java.util.Arrays.copyOf(out, o));
     }
 
     /**

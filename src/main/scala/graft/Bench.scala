@@ -22,16 +22,23 @@ object Bench {
       val df = fn(spark, sfDir)
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
     }
-    // Warmup outside the timed loop: the first query in a fresh JVM pays
-    // ~5s of classloading/JIT/codegen that would be misattributed to
-    // whichever query happens to run first.
+    // Global warmup: the first query in a fresh JVM pays ~5s of
+    // classloading/JIT/codegen that would be misattributed to whichever
+    // query happens to run first.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
+    // Per-query: one untimed warmup (plan compile + codegen cache), then
+    // median of 3 timed runs — JVM noise is ±0.3s single-shot, which would
+    // drown real round-over-round regressions.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -87,6 +87,17 @@ object Dedup {
     * pathological chains). */
   def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Iteration durability: localCheckpoint blocks live on executors, so on
+    // a real cluster losing one executor mid-iteration fails the job. When
+    // the session has a reliable checkpoint dir configured (HDFS/object
+    // store via sc.setCheckpointDir), use true checkpoint()s instead —
+    // labels are tiny (two longs per vertex), so the per-round write is
+    // cheap insurance at 100 TB. Locally (no dir set) localCheckpoint is
+    // the right call: same plan-truncation effect, no disk round-trip.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     // pairs feeds both union branches — cache it so the (expensive)
     // upstream pair pipeline runs once, not twice
     val p = pairs.persist(lvl)
@@ -100,8 +111,8 @@ object Dedup {
     // double per iteration — exponential logical-plan growth is the classic
     // iterative-Spark failure (manifests as analyzer/explain OOM long
     // before data size matters). Checkpointing truncates plan + lineage.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = truncate(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -116,10 +127,9 @@ object Dedup {
       // pointer-jump: follow the label's own label (path compression) —
       // relax alone needs O(diameter) rounds; relax+jump needs O(log d)
       val jumpTo = relaxed.select(col("id").as("jid"), col("mid").as("jlabel"))
-      val jumped = relaxed.join(jumpTo, col("mid") === col("jid"))
+      val jumped = truncate(relaxed.join(jumpTo, col("mid") === col("jid"))
         .select(col("id"), col("old"),
-          least(col("mid"), col("jlabel")).as("label"))
-        .localCheckpoint(true)
+          least(col("mid"), col("jlabel")).as("label")))
       changed = jumped.filter(col("label") < col("old")).count()
       labels = jumped.select(col("id"), col("label"))
       iter += 1
@@ -129,22 +139,49 @@ object Dedup {
     labels.withColumnRenamed("label", "keeper")
   }
 
-  /** Exact word-set Jaccard pairs within a blocking key (e.g. lang).
-    * Quadratic within each block — the exact-verify kernel; production-scale
-    * candidate generation is [[minhashDupPairs]]. */
+  /** Exact word-set Jaccard pairs within a blocking key (e.g. lang),
+    * via PREFIX FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Chaudhuri et al. SSJoin): two sets with J ≥ τ must
+    * share at least one element among the first |x| − ⌈τ·|x|⌉ + 1 elements
+    * of any globally-ordered spelling of the set. So instead of a quadratic
+    * self-join on the coarse block, we explode only the short sorted prefix
+    * and join on (block, prefix-token) — candidates form only around shared
+    * rare-ish tokens — then apply the size filter (τ·|x| ≤ |y| ≤ |x|/τ,
+    * since J ≥ τ ⇒ min/max ≥ τ) and verify exact Jaccard. The result is
+    * IDENTICAL to the all-pairs spelling (prefix filtering is lossless), so
+    * the DuckDB oracle keeps the simple quadratic SQL at gate scale while
+    * this side scales: shuffle volume is O(Σ prefix-len), and no block ever
+    * materializes |block|² pairs. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    // persisted: both sides of the self-join would otherwise re-hash the
-    // corpus (same pattern as minhashDupPairs)
+    // persisted: the prefix branch and both verify joins would otherwise
+    // re-hash the corpus (same pattern as minhashDupPairs)
     val withSets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
       array_distinct(transform(tokens(col(textCol)), t =>
         graft.expressions.TextExpressions.polyHash(t))).as("h"))
+      .withColumn("sz", size(col("h")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withSets.as("a").join(withSets.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.block").as("block"),
-        jaccard(col("a.h"), col("b.h")).as("jacc"))
+    // prefix length p = |h| − ⌈τ·|h|⌉ + 1 under the ascending-hash order;
+    // the 1e-9 guard only ever LENGTHENS the prefix (safe direction for FP).
+    val prefixLen = (col("sz") -
+      ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    val pre = withSets.select(col("id"), col("block"), col("sz"),
+      explode(slice(array_sort(col("h")), lit(1), prefixLen)).as("tok"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
+          col("a.id") < col("b.id") &&
+          // size filter: J ≥ τ ⇒ τ·|a| ≤ |b| ≤ |a|/τ (ε-guards widen only)
+          col("b.sz") >= lit(threshold) * col("a.sz") - lit(1e-9) &&
+          col("b.sz") <= col("a.sz") / lit(threshold) + lit(1e-9))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val h = withSets.select(col("id"), col("block"), col("h"))
+    cand
+      .join(h.select(col("id").as("id1"), col("block"),
+        col("h").as("h1")), "id1")
+      .join(h.select(col("id").as("id2"), col("h").as("h2")), "id2")
+      .select(col("id1"), col("id2"), col("block"),
+        jaccard(col("h1"), col("h2")).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 }

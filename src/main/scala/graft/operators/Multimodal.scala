@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * mapInPandas/Arrow-batch shape: bounded memory per batch regardless of
   * blob count per partition).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * [[FakeCodec]] derives deterministic pseudo-features from the bytes. The
-  * schema, partitioning, batching and operator signatures are the real,
-  * tested surface; swap [[FakeCodec]] for a JNI/javacpp codec to go live.
+  * Image DIMENSIONS are decoded for real (pure header parsing — JPEG
+  * SOF/PNG IHDR/GIF logical screen, [[ImageHeaders]]); only the
+  * pixel-level EMBED kernel is stubbed ([[FakeCodec.embed]] derives
+  * deterministic pseudo-features) because this container ships no native
+  * codecs. The schema, partitioning, batching and operator signatures are
+  * the real, tested surface; swap the embed stub for a JNI/javacpp encoder
+  * to go live.
   */
 object Multimodal {
 
@@ -54,17 +57,88 @@ object Multimodal {
     .withColumn("content_sha256", sha2(bytes, 256))
     .withColumn("format", sniffFormat(bytes))
 
-  // ---- decode stages: real plumbing, stubbed kernel ----
+  // ---- decode stages: real header parsing + stubbed pixel kernel ----
 
-  /** STUB codec: deterministic pseudo-decode so the pipeline is testable
-    * without native codecs. Replace with a real codec (`???` marks the
-    * swap points) keeping the signatures. */
-  object FakeCodec {
-    // real impl: ??? (e.g. TwelveMonkeys/javacpp-ffmpeg decode)
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val h = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
-      ((h % 640 + 64).toInt, (h / 640 % 480 + 48).toInt)
+  /** REAL container-header dimension parsing — pure byte reads, no codec
+    * needed. Covers the three formats [[sniffFormat]] detects as images:
+    *   - PNG: 8-byte signature, then the IHDR chunk is mandatory-first, so
+    *     width/height are the big-endian u32s at offsets 16/20.
+    *   - GIF: "GIF87a"/"GIF89a", then logical-screen width/height as
+    *     little-endian u16s at offsets 6/8.
+    *   - JPEG: walk the FF-marker segment chain to the first start-of-frame
+    *     (SOF0..SOF15 except DHT/JPG/DAC); frame height/width are the
+    *     big-endian u16s after the precision byte.
+    * Returns None for non-image/truncated/unknown bytes. */
+  object ImageHeaders {
+    private def beU16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def beU32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def leU16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    def dims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length >= 24 &&
+          b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((beU32(b, 16).toInt, beU32(b, 20).toInt))
+      else if (b.length >= 10 &&
+          b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((leU16(b, 6), leU16(b, 8)))
+      else if (b.length >= 4 &&
+          b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)
+        jpegDims(b)
+      else None
     }
+
+    /** Walk JPEG segments: after SOI, each segment is FF <marker> <len:2 BE
+      * incl. itself>. SOF markers are C0-CF minus C4 (DHT), C8 (JPG),
+      * CC (DAC); payload = precision(1) height(2) width(2). */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (b(i) != 0xff.toByte) return None  // lost sync — corrupt stream
+        // skip fill bytes (consecutive FFs are legal padding)
+        while (i < b.length && b(i) == 0xff.toByte) i += 1
+        if (i >= b.length) return None
+        val marker = b(i) & 0xff
+        i += 1
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          // SOI / RSTn: standalone, no length
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None  // EOI or start-of-scan before any SOF
+        } else {
+          if (i + 1 >= b.length) return None
+          val len = beU16(b, i)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 6 >= b.length) return None
+            return Some((beU16(b, i + 5), beU16(b, i + 3)))  // (width, height)
+          }
+          i += len
+        }
+      }
+      None
+    }
+  }
+
+  /** STUB codec: deterministic pseudo-decode so the PIXEL pipeline is
+    * testable without native codecs. Dimensions are REAL where the header
+    * admits it ([[ImageHeaders]]); only the pixel-level embed remains a
+    * stub — replace with a real encoder (`???` marks the swap point)
+    * keeping the signature. */
+  object FakeCodec {
+    /** Real header parse for JPEG/PNG/GIF; deterministic pseudo-dims only
+      * for formats that genuinely need a codec (video/audio/unknown). */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) =
+      ImageHeaders.dims(bytes).getOrElse {
+        val h = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
+        ((h % 640 + 64).toInt, (h / 640 % 480 + 48).toInt)
+      }
     // real impl: ??? (CNN/CLIP-style encoder over decoded pixels)
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1469598103934665603L

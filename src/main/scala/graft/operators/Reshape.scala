@@ -17,13 +17,25 @@ object Reshape {
     * and emit one 0/1 int column per distinct token, named by the token,
     * sorted. Two-pass: pass 1 derives the dictionary (distinct tokens —
     * small by contract), pass 2 is a narrow scan.
+    *
+    * `maxCategories` guards the driver: the dictionary pass counts first
+    * (cheap distinct-count aggregate) and fails fast with a clear error
+    * instead of OOMing the driver collect when the column turns out to be
+    * high-cardinality (e.g. free text instead of a tag list).
     * Reference: tests/test_text.py:950-975.
     */
   def getDummies(df: DataFrame, strCol: Column, sep: String,
-      keep: Seq[Column]): DataFrame = {
+      keep: Seq[Column], maxCategories: Int = 10000): DataFrame = {
     val toks = split(strCol, java.util.regex.Pattern.quote(sep))
-    val cats = df.select(explode(array_distinct(toks)).as("t"))
-      .distinct().orderBy(col("t"))
+    val distinctToks = df.select(explode(array_distinct(toks)).as("t"))
+      .distinct()
+    val nCats = distinctToks.count()
+    require(nCats <= maxCategories,
+      s"getDummies: $nCats distinct categories exceeds maxCategories=" +
+        s"$maxCategories — indicator encoding needs a driver-resident " +
+        "dictionary and one output column per category; raise the cap only " +
+        "if you really want that many columns")
+    val cats = distinctToks.orderBy(col("t"))
       .collect().map(_.getString(0)).toSeq
     val indicators = cats.map(c =>
       when(array_contains(toks, c), 1).otherwise(0).as(c))

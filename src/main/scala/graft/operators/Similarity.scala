@@ -73,17 +73,38 @@ object Similarity {
       when(dot(v, lw) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF-style ANN: partition the corpus into `numCentroids` cells by
-    * nearest centroid, probe only the query's cell. Centroid selection here
-    * is the deterministic "first n ids" seed (cross-engine reproducible;
-    * production would plug k-means|| — the cell-assign/probe machinery is
-    * identical). Cell assignment is a broadcast of the tiny centroid set +
-    * a per-id window, so the corpus shuffles once on (id). */
+  /** IVF-style ANN: partition the corpus into cells by nearest centroid,
+    * probe only the query's cell. Centroid selection for the ORACLE gate is
+    * the deterministic "first n ids" seed (cross-engine reproducible);
+    * production recall uses [[kmeansCentroids]] via [[knnIvfLearned]] — the
+    * cell-assign/probe machinery is identical. Cell assignment is a
+    * broadcast of the tiny centroid set + a per-id window, so the corpus
+    * shuffles once on (id). */
   def knnIvf(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, numCentroids: Int): DataFrame = {
     val corpus = prepared(emb, vecCol, idCol)
     val cents = corpus.filter(col("id") < numCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    knnIvfWith(corpus, cents, queryIds, k)
+  }
+
+  /** IVF ANN with centroids LEARNED by deterministic k-means||
+    * ([[kmeansCentroids]]) instead of the seed heuristic — the production
+    * recall path. */
+  def knnIvfLearned(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, numCentroids: Int,
+      lloydIters: Int = 3): DataFrame = {
+    val corpus = prepared(emb, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCentroids(corpus, numCentroids, lloydIters)
+    val out = knnIvfWith(corpus, cents, queryIds, k)
+    out
+  }
+
+  /** Shared IVF machinery: assign every corpus row to its max-cosine
+    * centroid cell, then score queries only against their own cell. */
+  private def knnIvfWith(corpus: DataFrame, cents: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("cos_c").desc, col("cid"))
     val assigned = corpus.join(broadcast(cents))
@@ -102,6 +123,67 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Deterministic k-means|| centroid learning (Bahmani et al., VLDB'12
+    * shape, RNG-free):
+    *   1. OVERSAMPLE distributedly: the 2k corpus rows with the smallest
+    *      xxhash64(id) — a uniform pseudo-random sample, reproducible
+    *      across runs/partitionings.
+    *   2. REDUCE on the driver: greedy farthest-point traversal (k-center
+    *      init) over the tiny candidate set — deterministic stand-in for
+    *      the weighted k-means++ reduction; only 2k·dim doubles ever reach
+    *      the driver.
+    *   3. LLOYD rounds distributedly: broadcast centroids, assign by max
+    *      cosine, recompute cell means via a posexplode + per-(cell,dim)
+    *      avg — two narrow shuffles per round, corpus never collected.
+    * Returns (cid, cv, cnrm) ready for [[knnIvfWith]]. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, lloydIters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // 1. oversample (distributed top-2k by hash — TakeOrdered, no full sort)
+    val cand = corpus.select(col("id"), col("v"), col("nrm"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(2 * k)
+      .collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cand.nonEmpty, "kmeansCentroids: empty corpus")
+    // 2. greedy k-center on the driver (cosine distance), start from the
+    // candidate with the largest norm (deterministic tie-break by order)
+    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._1.length) { s += a._1(i) * b._1(i); i += 1 }
+      s / (a._2 * b._2)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(cand.head)
+    while (picked.length < math.min(k, cand.length)) {
+      val next = cand.maxBy(c => -picked.map(p => cos(c, p)).max) // farthest
+      picked += next
+    }
+    var cents = picked.zipWithIndex.map { case ((v, n), i) =>
+      (i.toLong, v.toSeq, n)
+    }.toSeq.toDF("cid", "cv", "cnrm")
+    // 3. Lloyd rounds: assign → recompute means
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    for (_ <- 1 to lloydIters) {
+      val assigned = corpus.join(broadcast(cents))
+        .withColumn("cos_c",
+          cosine(col("v"), col("nrm"), col("cv"), col("cnrm")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("v"), col("cid").as("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+        .localCheckpoint(true)  // truncate the per-round growing plan
+    }
+    cents
   }
 
   /** ANN top-k via LSH bucket pruning: candidates sharing the query's

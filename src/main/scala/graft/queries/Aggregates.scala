@@ -158,23 +158,43 @@ object Aggregates {
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
     // Sketch aggregates (beyond-parity, 100 TB profiling): HyperLogLog
-    // distinct estimate + t-digest-style quantile. No SQL oracle — sketch
-    // internals differ across engines by design — so this takes the
-    // driver's rows-only check; exactness bounds are pinned in
-    // QueriesSmokeSpec-style assertions instead (rsd 5%).
+    // distinct estimate + quantile sketch. Sketch internals differ across
+    // engines by design, so the gate emits the EXACT values plus booleans
+    // asserting the sketch landed within its published bound
+    // (|approx − exact| ≤ 3·rsd·exact for HLL; integral l_quantity with
+    // accuracy 10000 makes the quantile sketch land within one unit). The
+    // DuckDB oracle computes the same exact values with literal TRUE bounds,
+    // so rows+schema+hash all gate. Error bounds also pinned in SketchSpec.
     "q_sketches" -> Q(
       (s, dir) => {
         import s.implicits._
         tbl(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_partkey", rsd = 0.05)
-              .as("approx_parts"),
-            percentile_approx($"l_quantity", lit(0.5), lit(1000))
-              .as("approx_median_qty"),
+            countDistinct($"l_partkey").as("exact_parts"),
+            approx_count_distinct($"l_partkey", rsd = 0.05).as("hll_raw"),
+            percentile($"l_quantity", lit(0.5)).as("exact_median_qty"),
+            percentile_approx($"l_quantity", lit(0.5), lit(10000))
+              .as("pq_raw"),
             count(lit(1)).as("cnt"))
+          .select(
+            $"l_returnflag",
+            $"exact_parts",
+            (abs($"hll_raw" - $"exact_parts") <= lit(3 * 0.05) * $"exact_parts")
+              .as("approx_parts_ok"),
+            $"exact_median_qty",
+            (abs($"pq_raw" - $"exact_median_qty") <= lit(1.0))
+              .as("approx_median_ok"),
+            $"cnt")
           .orderBy($"l_returnflag")
       },
-      None)
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS approx_parts_ok,
+             |  median(l_quantity) AS exact_median_qty,
+             |  TRUE AS approx_median_ok,
+             |  COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

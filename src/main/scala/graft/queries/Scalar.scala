@@ -28,10 +28,10 @@ object Scalar {
             ($"l_orderkey" % lit(97L)).as("imod"),
             expr("l_orderkey div 7").as("idiv"),
             ($"l_quantity" * $"l_quantity").as("sq"),
-            // ** dunder: integer exponents are exact in both engines;
-            // fractional exponents differ by 1 ulp (Math.pow vs libm pow),
-            // so the oracle pins the integral case only.
-            pow($"l_quantity", 3).as("cube"))
+            // ** dunder: spelled as repeated multiplication so both engines
+            // execute the identical IEEE multiply sequence (Math.pow vs libm
+            // pow differ by 1 ulp on some inputs even for integral exponents).
+            ($"l_quantity" * $"l_quantity" * $"l_quantity").as("cube"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber,
@@ -44,7 +44,7 @@ object Scalar {
              |  l_orderkey % 97 AS imod,
              |  l_orderkey // 7 AS idiv,
              |  l_quantity * l_quantity AS sq,
-             |  pow(l_quantity, 3) AS cube
+             |  l_quantity * l_quantity * l_quantity AS cube
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Comparison dunders (==, !=, <, <=, >, >=) with null propagation via a

@@ -10,8 +10,8 @@ import graft.operators.TextOps._
   *
   * Scale notes are on the operators themselves (graft.operators.Dedup):
   * exact dedup shuffles a 128-bit digest; minhash LSH is banded/bucketed
-  * (never all-pairs); blocked jaccard is the documented-quadratic exact
-  * verify kernel.
+  * (never all-pairs); blocked jaccard uses lossless prefix filtering, so
+  * no block ever materializes its quadratic pair set.
   */
 object TextPipeline {
 
@@ -127,9 +127,10 @@ object TextPipeline {
               |       simhash // ${1 << 15} AS band_hi
               |FROM fp ORDER BY id""".stripMargin)),
 
-    // Exact token-set Jaccard pairs blocked by source (quadratic within
-    // block — the exact-verify kernel; candidate generation at scale is
-    // q_pipe_dedup_minhash).
+    // Exact token-set Jaccard pairs blocked by source, computed with
+    // lossless prefix filtering (Bayardo WWW'07) — identical output to the
+    // quadratic all-pairs spelling the oracle uses, but never materializes
+    // |block|² pairs (see Dedup.ngramJaccardPairs scale notes).
     "q_pipe_jaccard_block" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
           "source", threshold = 0.5)

@@ -51,6 +51,70 @@ class DedupSpec extends SparkTestBase {
         .mkString(","))
   }
 
+  test("prefix-filtered jaccard pairs equal the naive all-pairs spelling") {
+    // corpus with near-dups, exact dups, and unrelated docs across 2 blocks
+    val docs = Seq(
+        (1L, "a", "the quick brown fox jumps over the lazy dog"),
+        (2L, "a", "the quick brown fox jumps over the lazy cat"),
+        (3L, "a", "totally unrelated words appear in this document"),
+        (4L, "a", "the quick brown fox jumps over the lazy dog"),
+        (5L, "b", "the quick brown fox jumps over the lazy dog"),
+        (6L, "b", "short text"),
+        (7L, "b", "short text too"))
+      .toDF("doc_id", "source", "text")
+    val fast = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.5)
+      .select($"id1", $"id2", $"jacc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive quadratic reference spelling (what the DuckDB oracle runs)
+    val sets = docs.select($"doc_id".as("id"), $"source".as("block"),
+      array_distinct(transform(split($"text", " "),
+        t => graft.expressions.TextExpressions.polyHash(t))).as("h"))
+    val naive = sets.as("a").join(sets.as("b"),
+        $"a.block" === $"b.block" && $"a.id" < $"b.id")
+      .select($"a.id".as("id1"), $"b.id".as("id2"),
+        graft.operators.TextOps.jaccard($"a.h", $"b.h").as("jacc"))
+      .filter($"jacc" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === naive)
+    assert(fast.contains((1L, 4L, 1.0)))       // exact dup within block a
+    assert(!fast.exists(p => p._1 == 4L && p._2 == 5L)) // cross-block excluded
+  }
+
+  test("prefix filtering prunes the candidate space below all-pairs") {
+    // 30 mutually-dissimilar docs in ONE block: all-pairs would be 435
+    // candidate pairs; disjoint vocabularies share no prefix token, so the
+    // prefix join must produce (near) zero candidates. We assert on the
+    // OUTPUT being empty and, structurally, that the plan joins on the
+    // exploded prefix token, not on the block alone.
+    val docs = (1 to 30).map(i =>
+        (i.toLong, "x", (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.5)
+    assert(out.count() === 0L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("tok"), plan)  // candidate join keyed by prefix token
+  }
+
+  test("dupGroups uses reliable checkpoint when a checkpoint dir is set") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+      val groups = Dedup.dupGroups(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // reliable checkpoint actually wrote RDD data under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote > 0, s"no rdd-* checkpoint data under $dir")
+    } finally {
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("exactGroups counts copies and keeps the min id") {
     val df = Seq((5L, "same"), (2L, "same"), (9L, "other"))
       .toDF("doc_id", "text")

@@ -68,6 +68,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.byte_len === blobLen / 30))
   }
 
+  // ---- real header fixtures: minimal but spec-valid dimension headers ----
+  private val png320x200 = Array[Int](
+    0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,   // signature
+    0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',             // IHDR chunk len + tag
+    0, 0, 0x01, 0x40,                              // width  = 320 (BE)
+    0, 0, 0x00, 0xC8                               // height = 200 (BE)
+  ).map(_.toByte)
+  private val gif320x200 = Array[Int](
+    'G', 'I', 'F', '8', '9', 'a',
+    0x40, 0x01,                                    // width  = 320 (LE)
+    0xC8, 0x00                                     // height = 200 (LE)
+  ).map(_.toByte)
+  private val jpeg320x240 = Array[Int](
+    0xFF, 0xD8,                                    // SOI
+    0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,            // APP0 (len 4, skipped)
+    0xFF, 0xC0, 0x00, 0x11, 0x08,                  // SOF0, len, precision
+    0x00, 0xF0,                                    // height = 240 (BE)
+    0x01, 0x40                                     // width  = 320 (BE)
+  ).map(_.toByte)
+  private val jpegProgressive = Array[Int](
+    0xFF, 0xD8,
+    0xFF, 0xC4, 0x00, 0x04, 0x00, 0x00,            // DHT — NOT a SOF marker
+    0xFF, 0xC2, 0x00, 0x11, 0x08,                  // SOF2 (progressive)
+    0x00, 0x64,                                    // height = 100
+    0x00, 0xC8                                     // width  = 200
+  ).map(_.toByte)
+
+  test("ImageHeaders parses real PNG/GIF/JPEG dimensions from headers") {
+    assert(Multimodal.ImageHeaders.dims(png320x200) === Some((320, 200)))
+    assert(Multimodal.ImageHeaders.dims(gif320x200) === Some((320, 200)))
+    assert(Multimodal.ImageHeaders.dims(jpeg320x240) === Some((320, 240)))
+    assert(Multimodal.ImageHeaders.dims(jpegProgressive) === Some((200, 100)))
+    // truncated / non-image bytes fall through to None
+    assert(Multimodal.ImageHeaders.dims(jpeg) === None)
+    assert(Multimodal.ImageHeaders.dims(png) === None)
+    assert(Multimodal.ImageHeaders.dims(blob(100, 5)) === None)
+    assert(Multimodal.ImageHeaders.dims(Array.empty[Byte]) === None)
+  }
+
+  test("decodeAndEmbed surfaces real header dimensions for images") {
+    val ds = Seq(
+        MediaRow(1L, "image", png320x200, 0, 0, 0),
+        MediaRow(2L, "image", jpeg320x240, 0, 0, 0),
+        MediaRow(3L, "image", gif320x200, 0, 0, 0))
+      .toDS()
+    val dims = Multimodal.decodeAndEmbed(ds, dim = 4).collect()
+      .map(f => f.media_id -> ((f.out_width, f.out_height))).toMap
+    assert(dims === Map(1L -> ((320, 200)), 2L -> ((320, 240)),
+      3L -> ((320, 200))))
+  }
+
   test("repartitionBySize bounds blob bytes per partition") {
     val df = media.toDF()
     val out = Multimodal.repartitionBySize(df, $"bytes", targetBytes = 1000)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Learned-centroid IVF path: deterministic k-means|| centroids and the
+  * recall contract vs brute force. The oracle gate keeps the seed-centroid
+  * spelling (cross-engine reproducible); this pins the production path.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private val queryIds = Seq(1L, 2L, 3L)
+
+  test("kmeansCentroids is deterministic and returns k centroids") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+      .persist()
+    val c1 = Similarity.kmeansCentroids(corpus, k = 8, lloydIters = 2)
+      .orderBy($"cid").collect()
+    val c2 = Similarity.kmeansCentroids(corpus, k = 8, lloydIters = 2)
+      .orderBy($"cid").collect()
+    assert(c1.length === 8)
+    assert(c1.map(_.getSeq[Double](1)).toSeq ===
+      c2.map(_.getSeq[Double](1)).toSeq)
+    corpus.unpersist()
+  }
+
+  test("knnIvfLearned returns k neighbors per query with sane recall") {
+    val k = 5
+    val brute = Similarity.knnBrute(emb, "embedding", "vec_id", queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val learned = Similarity.knnIvfLearned(emb, "embedding", "vec_id",
+        queryIds, k, numCentroids = 4, lloydIters = 2)
+      .collect()
+    val byQuery = learned.groupBy(_.getLong(0))
+    assert(byQuery.keySet === queryIds.toSet)
+    assert(byQuery.values.forall(_.length <= k))
+    // IVF probes one cell — recall is approximate; demand a nontrivial
+    // overlap with brute force rather than exactness
+    val hits = learned.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains)
+    assert(hits >= queryIds.length,
+      s"expected >= ${queryIds.length} brute-force hits, got $hits")
+  }
+}
