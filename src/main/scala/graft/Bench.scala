@@ -29,21 +29,29 @@ object Bench {
     // Per-query: one untimed warmup (plan compile + codegen cache), then
     // median of 3 timed runs — JVM noise is ±0.3s single-shot, which would
     // drown real round-over-round regressions.
+    // A query that throws is recorded as null (failed), never as its
+    // time-to-exception — a broken query must not masquerade as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      try run(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(1)
+      name -> (try {
+        run(fn) // untimed warmup (plan compile + codegen cache)
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(times(1))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

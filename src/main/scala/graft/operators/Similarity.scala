@@ -73,45 +73,76 @@ object Similarity {
       when(dot(v, lw) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Driver-side centroid: id, vector, precomputed norm. Centroid sets are
+    * tiny by construction (k ≤ a few thousand · dim doubles), so holding
+    * them on the driver and folding them into a literal is the scale-safe
+    * spelling — the alternative (a condition-less broadcast join + per-id
+    * window) multiplies the corpus ×k and shuffles every embedding. */
+  final case class Cent(cid: Long, cv: Array[Double], cnrm: Double)
+
+  /** Argmax-cosine cell id as ONE narrow projection over a literal centroid
+    * array: an `aggregate` fold keeping the best (cosine, cid) pair. No row
+    * multiplication, no shuffle — the corpus never moves for assignment.
+    * Tie-break: centroids fold in ascending cid with a strict `>`, so ties
+    * keep the smallest cid (same as the old window's `cos desc, cid`). */
+  private def cellFor(v: Column, nrm: Column, cents: Seq[Cent]): Column = {
+    val centArr = array(cents.sortBy(_.cid).map { c =>
+      struct(lit(c.cid).as("cid"),
+        array(c.cv.map(lit): _*).as("cv"),
+        lit(c.cnrm).as("cnrm"))
+    }: _*)
+    // both branches cast to one explicit type: field aliases inside lambda
+    // bodies don't survive analysis, and literal-vs-computed nullability
+    // would otherwise make the CASE branches mismatch
+    val accType = "struct<best:double,cid:bigint>"
+    aggregate(centArr,
+      struct(lit(Double.NegativeInfinity).as("best"), lit(-1L).as("cid"))
+        .cast(accType),
+      (acc, c) => {
+        val cs = cosine(v, nrm, c.getField("cv"), c.getField("cnrm"))
+        when(cs > acc.getField("best"),
+          struct(cs.as("best"), c.getField("cid").as("cid")).cast(accType))
+          .otherwise(acc)
+      }).getField("cid")
+  }
+
   /** IVF-style ANN: partition the corpus into cells by nearest centroid,
     * probe only the query's cell. Centroid selection for the ORACLE gate is
     * the deterministic "first n ids" seed (cross-engine reproducible);
     * production recall uses [[kmeansCentroids]] via [[knnIvfLearned]] — the
-    * cell-assign/probe machinery is identical. Cell assignment is a
-    * broadcast of the tiny centroid set + a per-id window, so the corpus
-    * shuffles once on (id). */
+    * cell-assign/probe machinery is identical. The seed-centroid collect is
+    * bounded at numCentroids rows. */
   def knnIvf(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, numCentroids: Int): DataFrame = {
     val corpus = prepared(emb, vecCol, idCol)
     val cents = corpus.filter(col("id") < numCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .collect()
+      .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toSeq
     knnIvfWith(corpus, cents, queryIds, k)
   }
 
   /** IVF ANN with centroids LEARNED by deterministic k-means||
     * ([[kmeansCentroids]]) instead of the seed heuristic — the production
-    * recall path. */
+    * recall path. The corpus is cached only for the multi-pass Lloyd loop
+    * and released before the (single-pass) scoring plan is returned. */
   def knnIvfLearned(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, numCentroids: Int,
       lloydIters: Int = 3): DataFrame = {
     val corpus = prepared(emb, vecCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = kmeansCentroids(corpus, numCentroids, lloydIters)
-    val out = knnIvfWith(corpus, cents, queryIds, k)
-    out
+    val cents = try kmeansDriver(corpus, numCentroids, lloydIters)
+                finally corpus.unpersist()
+    knnIvfWith(corpus, cents, queryIds, k)
   }
 
   /** Shared IVF machinery: assign every corpus row to its max-cosine
-    * centroid cell, then score queries only against their own cell. */
-  private def knnIvfWith(corpus: DataFrame, cents: DataFrame,
+    * centroid cell (narrow, via [[cellFor]]), then score queries only
+    * against their own cell. */
+  private def knnIvfWith(corpus: DataFrame, cents: Seq[Cent],
       queryIds: Seq[Long], k: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("cos_c").desc, col("cid"))
-    val assigned = corpus.join(broadcast(cents))
-      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cnrm")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = corpus
+      .withColumn("cell", cellFor(col("v"), col("nrm"), cents))
     val queries = assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
@@ -141,6 +172,13 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, k: Int, lloydIters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    kmeansDriver(corpus, k, lloydIters)
+      .map(c => (c.cid, c.cv.toSeq, c.cnrm))
+      .toDF("cid", "cv", "cnrm")
+  }
+
+  private def kmeansDriver(corpus: DataFrame, k: Int,
+      lloydIters: Int): Seq[Cent] = {
     // 1. oversample (distributed top-2k by hash — TakeOrdered, no full sort)
     val cand = corpus.select(col("id"), col("v"), col("nrm"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -160,28 +198,27 @@ object Similarity {
       val next = cand.maxBy(c => -picked.map(p => cos(c, p)).max) // farthest
       picked += next
     }
-    var cents = picked.zipWithIndex.map { case ((v, n), i) =>
-      (i.toLong, v.toSeq, n)
-    }.toSeq.toDF("cid", "cv", "cnrm")
-    // 3. Lloyd rounds: assign → recompute means
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("cos_c").desc, col("cid"))
+    var cents: Seq[Cent] = picked.zipWithIndex.map { case ((v, n), i) =>
+      Cent(i.toLong, v, n)
+    }.toSeq
+    // 3. Lloyd rounds: narrow argmax assignment over the literal centroids
+    // (see cellFor — no join, no window), then per-(cell,dim) mean via a
+    // two-stage reduce. Each round collects only the k·dim new centroid
+    // components; the plan restarts from `corpus` every round, so there is
+    // no growing lineage to checkpoint.
     for (_ <- 1 to lloydIters) {
-      val assigned = corpus.join(broadcast(cents))
-        .withColumn("cos_c",
-          cosine(col("v"), col("nrm"), col("cv"), col("cnrm")))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("v"), col("cid").as("cell"))
-      cents = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      cents = corpus
+        .select(cellFor(col("v"), col("nrm"), cents).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"))
-        .withColumn("cnrm", norm(col("cv")))
-        .localCheckpoint(true)  // truncate the per-round growing plan
+        .collect()
+        .map { r =>
+          val cv = r.getSeq[Double](1).toArray
+          Cent(r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+        }.toSeq.sortBy(_.cid)
     }
     cents
   }

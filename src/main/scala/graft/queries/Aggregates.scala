@@ -168,15 +168,32 @@ object Aggregates {
     "q_sketches" -> Q(
       (s, dir) => {
         import s.implicits._
-        tbl(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
+        val li = tbl(s, dir, "lineitem")
+        // Sketch pass: one narrow aggregate — no countDistinct (whose mixed
+        // distinct/non-distinct spelling forces an Expand plan) and no exact
+        // percentile (which buffers every group's values).
+        val sketches = li.groupBy($"l_returnflag")
           .agg(
-            countDistinct($"l_partkey").as("exact_parts"),
             approx_count_distinct($"l_partkey", rsd = 0.05).as("hll_raw"),
-            percentile($"l_quantity", lit(0.5)).as("exact_median_qty"),
             percentile_approx($"l_quantity", lit(0.5), lit(10000))
               .as("pq_raw"),
             count(lit(1)).as("cnt"))
+        // Exact sides for the bound check, each as a two-stage reduce with
+        // map-side partial combine; both end tiny (|flags| rows) so they
+        // broadcast into the sketch result.
+        val exactDistinct = li.select($"l_returnflag", $"l_partkey").distinct()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        // Exact median from a (flag, quantity) frequency histogram via
+        // weighted percentile — identical result to an exact percentile over
+        // raw rows, but only |flags|·|distinct quantities| rows ever buffer.
+        val exactMedian = li
+          .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("freq"))
+          .groupBy($"l_returnflag")
+          .agg(percentile($"l_quantity", lit(0.5), $"freq")
+            .as("exact_median_qty"))
+        sketches
+          .join(broadcast(exactDistinct), Seq("l_returnflag"))
+          .join(broadcast(exactMedian), Seq("l_returnflag"))
           .select(
             $"l_returnflag",
             $"exact_parts",

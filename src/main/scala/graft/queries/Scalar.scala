@@ -24,7 +24,9 @@ object Scalar {
             ($"l_quantity" * $"l_extendedprice").as("mul"),
             ($"l_extendedprice" / $"l_quantity").as("div"),
             ($"l_quantity" % lit(7.0)).as("mod"),
-            floor($"l_extendedprice" / $"l_quantity").as("floordiv"),
+            // floor(double) is BIGINT in Spark but DOUBLE in DuckDB; cast to
+            // double so both engines emit the same result type.
+            floor($"l_extendedprice" / $"l_quantity").cast("double").as("floordiv"),
             ($"l_orderkey" % lit(97L)).as("imod"),
             expr("l_orderkey div 7").as("idiv"),
             ($"l_quantity" * $"l_quantity").as("sq"),

@@ -95,26 +95,6 @@ class FunctionsSpec extends SparkTestBase {
   }
 }
 
-/** Sketch aggregates: error bounds vs exact values (no cross-engine oracle
-  * exists for sketch internals, so the bound IS the contract). */
-class SketchSpec extends SparkTestBase {
-  import spark.implicits._
-
-  test("approx_count_distinct within rsd bound; approx median exact on ints") {
-    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
-    val row = SparkEntry.queries("q_sketches")(spark, sf0001).head
-    val exactParts = df.filter($"l_returnflag" === row.getString(0))
-      .select(org.apache.spark.sql.functions.countDistinct($"l_partkey"))
-      .head.getLong(0)
-    val approx = row.getLong(1)
-    assert(math.abs(approx - exactParts).toDouble / exactParts < 0.15,
-      s"approx=$approx exact=$exactParts")
-    val exactMedian = df.filter($"l_returnflag" === row.getString(0))
-      .stat.approxQuantile("l_quantity", Array(0.5), 0.0).head
-    assert(row.getDouble(2) === exactMedian)
-  }
-}
-
 /** Positional ops: pandas-parity null handling for factorize. */
 class PositionalSpec extends SparkTestBase {
   import spark.implicits._
