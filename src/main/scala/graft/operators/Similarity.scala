@@ -141,6 +141,11 @@ object Similarity {
     * against their own cell. */
   private def knnIvfWith(corpus: DataFrame, cents: Seq[Cent],
       queryIds: Seq[Long], k: Int): DataFrame = {
+    // empty corpus → empty centroid set → empty result (a zero-length
+    // literal centroid array would not analyze inside the fold)
+    if (cents.isEmpty)
+      return corpus.select(col("id").as("query_id"),
+        col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val assigned = corpus
       .withColumn("cell", cellFor(col("v"), col("nrm"), cents))
     val queries = assigned.filter(col("id").isin(queryIds: _*))

@@ -12,7 +12,15 @@ package object queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String] = None)
 
+  /** Physical-layout hook applied to every table read. Identity in
+    * production; LayoutMatrixSpec swaps in repartition(n) / empty-input to
+    * assert every gated query is layout-invariant — the Spark analog of the
+    * reference's adversarial chunk-offset/chunking fixtures
+    * (reference tests/conftest.py:141-144, tests/test_algorithms.py:58-66).
+    */
+  @volatile private[graft] var tableLayout: DataFrame => DataFrame = identity
+
   /** Read one of the driver-generated tables under the given sf directory. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableLayout(spark.read.parquet(s"$dir/$name.parquet"))
 }
