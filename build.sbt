@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// LayoutMatrixSpec mutates the JVM-global graft.queries.tableLayout hook
+// around each query; suites in the forked test JVM must therefore run
+// sequentially. Pin it explicitly rather than relying on sbt's default.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -50,7 +50,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.flatten.sum
+    // A total over a partial query set is not comparable across rounds: if
+    // ANY query failed, "value" is null so a broken query can never read as
+    // a speedup to a consumer that only looks at the total.
+    val total =
+      if (results.values.exists(_.isEmpty)) "null"
+      else results.values.flatten.sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -189,7 +189,12 @@ object Multimodal {
   }
 
   /** Size-aware repartition before a decode stage: ~`targetBytes` of blob
-    * per partition, so one huge partition can't OOM the codec. */
+    * per partition, so one huge partition can't OOM the codec.
+    *
+    * The sizing aggregate is an extra planning scan over the blob column —
+    * acceptable when the decode stage it protects dwarfs it, but at 100 TB
+    * prefer [[rebalance]], which lets AQE size partitions from runtime
+    * shuffle statistics with NO pre-scan. */
   def repartitionBySize(df: DataFrame, bytesCol: Column,
       targetBytes: Long): DataFrame = {
     val total = df.select(coalesce(sum(octet_length(bytesCol)).cast("long"),
@@ -197,4 +202,11 @@ object Multimodal {
     val parts = math.max((total / targetBytes).toInt, 1)
     df.repartition(parts)
   }
+
+  /** Scan-free alternative: AQE's REBALANCE hint splits oversized and
+    * coalesces undersized shuffle partitions toward
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` using the shuffle's
+    * own runtime size stats (blob bytes included) — set that conf to the
+    * codec-safe target. Requires AQE (on by default in Spark 3.2+). */
+  def rebalance(df: DataFrame): DataFrame = df.hint("REBALANCE")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -8,18 +9,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * The naive Spark spelling of "global row number" —
   * `row_number().over(Window.orderBy(key))` — funnels the ENTIRE table
-  * through one partition: a scale-killer at 100 TB. The subtle alternative —
-  * range-partition, then join per-partition counts back — is WRONG under
-  * re-evaluation: each `Exchange rangepartitioning` instance samples its own
-  * boundaries, and Spark does not always reuse the exchange between the
-  * rows branch and the counts branch, so the two branches can disagree by a
-  * row at partition edges (observed in practice).
+  * through one partition: a scale-killer at 100 TB. The subtle trap in the
+  * parallel spelling — range partition, then join per-partition counts
+  * back — is that each `Exchange rangepartitioning` instance samples its
+  * own boundaries, and Spark does not always reuse the exchange between
+  * the rows branch and the counts branch, so the two branches can disagree
+  * by a row at partition edges (observed in practice).
   *
-  * This implementation therefore goes through ONE sorted RDD and
-  * `zipWithIndex`: the RangePartitioner is constructed once for the single
-  * RDD DAG, zipWithIndex's count job and data job share the same shuffle
-  * files and boundaries, and both the sort and the indexing are fully
-  * parallel (the classic deterministic zipWithIndex decomposition).
+  * [[withGlobalPos]] therefore pins the boundaries itself: a deterministic
+  * hash-filtered sample of the key column is collected ONCE on the driver
+  * and folded into a PURE bucket expression (literal split points). Every
+  * pass — per-bucket counts, and the per-bucket `row_number` — evaluates
+  * that same pure expression, so no two branches can ever disagree, and the
+  * whole plan stays inside whole-stage codegen (no RDD drop-out, no row
+  * boxing). Only the final pass moves whole rows; the count/sample/offset
+  * passes scan just the key column (parquet-pruned).
   *
   * Reference semantics: fletcher take/gather (base.py:1215-1270) and
   * factorize (base.py:961-983).
@@ -28,9 +32,74 @@ object Positional {
 
   /** Attach 0-based global position `posCol` under the total order given by
     * `sortCols` (must be a key — ties across partition boundaries would make
-    * positions nondeterministic). Plan is parallel end-to-end: range
-    * shuffle + per-partition scan; no single-partition stage. */
+    * positions nondeterministic). Single sort column takes the codegen
+    * sampled-splits path; multi-column falls back to the deterministic
+    * sorted-RDD zipWithIndex decomposition. */
   def withGlobalPos(df: DataFrame, sortCols: Seq[Column],
+      posCol: String): DataFrame = sortCols match {
+    case Seq(key) => sampledSplitPos(df, key, posCol)
+    case _ => zipWithIndexPos(df, sortCols, posCol)
+  }
+
+  /** Codegen global-position plan for a single key column.
+    *
+    * 1. count + deterministic sample (`xxhash64(key) mod M < t`, a pure
+    *    predicate — layout- and retry-invariant) → ≤ numShufflePartitions−1
+    *    literal split points on the driver;
+    * 2. bucket = Σ [key > splitᵢ] — a pure, order-preserving expression;
+    * 3. per-bucket row counts (map-side combined, ≤ n rows) → driver
+    *    cumulative offsets, folded back in as a literal map;
+    * 4. pos = offset(bucket) + row_number() over (bucket, key) — the window
+    *    shuffles each bucket to one reducer, never the whole table to one.
+    */
+  private def sampledSplitPos(df: DataFrame, key: Column,
+      posCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val cnt = df.count()
+    if (cnt == 0) return df.withColumn(posCol, lit(0L))
+    // ~64 sample keys per target bucket: plenty for split selection, tiny
+    // on the driver. The hash-mod filter is pure, so the sample (and thus
+    // every downstream boundary) is identical under any physical layout.
+    val sampleTarget = math.max(n.toLong * 64, 2048L)
+    val M = 1000000L
+    val thresh = math.min(M, (M * sampleTarget) / cnt + 1)
+    val sample = df
+      .filter(pmod(xxhash64(key), lit(M)) < lit(thresh))
+      .select(key.as("__gp_k")).orderBy(col("__gp_k").asc_nulls_first)
+      .collect().map(_.get(0)).filter(_ != null)
+    val m = sample.length
+    val splits: Seq[Any] =
+      if (m == 0) Nil // degenerate sample → single bucket (tiny input)
+      else (1 until n).map(i => sample((i.toLong * m / n).toInt)).distinct
+    // NULL keys: null > s is null → otherwise(0) → bucket 0, matching the
+    // window's asc_nulls_first order below.
+    val bucketOf: Column =
+      if (splits.isEmpty) lit(0)
+      else splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
+    val bucketCounts = df.groupBy(bucketOf.as("__gp_b"))
+      .agg(count(lit(1)).as("__gp_c"))
+      .orderBy(col("__gp_b"))
+      .collect() // ≤ n rows — bounded driver-side planning action
+    var acc = 0L
+    val offsets: Map[Int, Long] = bucketCounts.map { r =>
+      val entry = r.getInt(0) -> acc; acc += r.getLong(1); entry
+    }.toMap
+    val rn = row_number().over(
+      Window.partitionBy(col("__gp_b")).orderBy(key.asc_nulls_first))
+    df.withColumn("__gp_b", bucketOf)
+      .withColumn(posCol,
+        element_at(typedLit(offsets), col("__gp_b")) + rn.cast("long") - 1L)
+      .drop("__gp_b")
+  }
+
+  /** Multi-column fallback: ONE sorted RDD and `zipWithIndex` — the
+    * RangePartitioner is constructed once for the single RDD DAG, so the
+    * count job and the data job share the same shuffle files and
+    * boundaries, and both the sort and the indexing are fully parallel.
+    * Costs row boxing + a codegen break; the single-key path above avoids
+    * both. */
+  private def zipWithIndexPos(df: DataFrame, sortCols: Seq[Column],
       posCol: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
@@ -60,11 +129,17 @@ object Positional {
     * (reference base.py:961-983). */
   def factorize(df: DataFrame, valueCol: String,
       codeCol: String = "code"): DataFrame = {
-    val dict = withGlobalPos(
-      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct(),
-      Seq(col(valueCol)), codeCol)
+    // The dict side is persisted through withGlobalPos's multi-pass plan:
+    // it must end broadcast-small anyway, and without the cache each pass
+    // would re-run the full-table distinct shuffle.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val distinctVals =
+      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct()
+        .persist(lvl)
+    val dict = withGlobalPos(distinctVals, Seq(col(valueCol)), codeCol)
       .withColumn(codeCol, col(codeCol).cast("int"))
-    df.join(broadcast(dict), Seq(valueCol), "left")
+    val out = df.join(broadcast(dict), Seq(valueCol), "left")
       .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
+    out
   }
 }

@@ -86,11 +86,20 @@ object Similarity {
     * Tie-break: centroids fold in ascending cid with a strict `>`, so ties
     * keep the smallest cid (same as the old window's `cos desc, cid`). */
   private def cellFor(v: Column, nrm: Column, cents: Seq[Cent]): Column = {
-    val centArr = array(cents.sortBy(_.cid).map { c =>
-      struct(lit(c.cid).as("cid"),
-        array(c.cv.map(lit): _*).as("cv"),
-        lit(c.cnrm).as("cnrm"))
-    }: _*)
+    // The whole centroid set is ONE typedLit literal (plan-side data, a
+    // single Catalyst node), not k·dim individual Literal expressions —
+    // inlining thousands of centroids × hundreds of dims as separate
+    // literals makes analysis/codegen pathologically slow or fail. The cast
+    // renames the tuple fields to the names the fold below reads. Guard:
+    // beyond ~4M doubles (32 MB in the plan) a literal centroid table is the
+    // wrong tool — fail fast rather than silently degrade the driver.
+    val sorted = cents.sortBy(_.cid)
+    val centDoubles = sorted.iterator.map(_.cv.length.toLong).sum
+    require(centDoubles <= (1L << 22),
+      s"centroid set too large for literal inlining ($centDoubles doubles > " +
+        s"2^22); reduce numCentroids/dim or use the LSH path")
+    val centArr = typedLit(sorted.map(c => (c.cid, c.cv.toSeq, c.cnrm)))
+      .cast("array<struct<cid:bigint,cv:array<double>,cnrm:double>>")
     // both branches cast to one explicit type: field aliases inside lambda
     // bodies don't survive analysis, and literal-vs-computed nullability
     // would otherwise make the CASE branches mismatch

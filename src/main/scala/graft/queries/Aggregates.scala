@@ -191,11 +191,16 @@ object Aggregates {
           .groupBy($"l_returnflag")
           .agg(percentile($"l_quantity", lit(0.5), $"freq")
             .as("exact_median_qty"))
-        sketches
-          .join(broadcast(exactDistinct), Seq("l_returnflag"))
-          .join(broadcast(exactMedian), Seq("l_returnflag"))
+        // Null-safe (<=>) keys: all three sides group by the same flag, so a
+        // NULL-flag group (legal on general data, absent in TPC-H) must
+        // rejoin with itself instead of being dropped by a plain equi-join.
+        sketches.as("s")
+          .join(broadcast(exactDistinct).as("d"),
+            $"s.l_returnflag" <=> $"d.l_returnflag")
+          .join(broadcast(exactMedian).as("m"),
+            $"s.l_returnflag" <=> $"m.l_returnflag")
           .select(
-            $"l_returnflag",
+            $"s.l_returnflag".as("l_returnflag"),
             $"exact_parts",
             (abs($"hll_raw" - $"exact_parts") <= lit(3 * 0.05) * $"exact_parts")
               .as("approx_parts_ok"),

@@ -17,6 +17,11 @@ package object queries {
     * assert every gated query is layout-invariant — the Spark analog of the
     * reference's adversarial chunk-offset/chunking fixtures
     * (reference tests/conftest.py:141-144, tests/test_algorithms.py:58-66).
+    *
+    * SAFETY: this is a JVM-global mutable hook. It is only sound because the
+    * test JVM runs suites sequentially (build.sbt pins
+    * `Test / parallelExecution := false`); parallel forked tests would leak
+    * adversarial layouts into unrelated suites nondeterministically.
     */
   @volatile private[graft] var tableLayout: DataFrame => DataFrame = identity
 

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.TextExpressions._
+import graft.operators.{Reshape, Similarity}
+
+/** Exception-parity guards — the Spark analog of the reference pinning that
+  * fletcher raises the same exceptions as pandas for bad arguments
+  * (reference tests/test_text.py:193-213 `_check_str_to_t`).
+  *
+  * Invalid scalar arguments must fail FAST at Column-construction time with
+  * an IllegalArgumentException carrying a pandas/Python-parity message —
+  * never silently mis-evaluate, and never defer the failure to executor
+  * runtime where it would surface as a wrapped SparkException after a full
+  * scan. The SQL surface wraps the same expressions, so the same construction
+  * errors must also abort analysis of a SQL text query.
+  */
+class ExceptionParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def messageChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  test("textSlice(step=0) raises at construction (pandas ValueError parity)") {
+    val e = intercept[IllegalArgumentException](textSlice($"s", 0, 5, step = 0))
+    assert(e.getMessage.contains("slice step cannot be zero"))
+  }
+
+  test("normalizeText with unknown form raises at construction") {
+    val e = intercept[IllegalArgumentException](normalizeText($"s", "NFX"))
+    assert(e.getMessage.contains("bad form"))
+    // all four legal forms construct fine
+    for (f <- Seq("NFC", "NFD", "NFKC", "NFKD")) normalizeText($"s", f)
+  }
+
+  test("wrapText with non-positive width raises at construction") {
+    for (w <- Seq(0, -1)) {
+      val e = intercept[IllegalArgumentException](wrapText($"s", w))
+      assert(e.getMessage.contains("wrap width must be positive"))
+    }
+  }
+
+  test("utf8Is with unknown predicate raises at construction") {
+    val e = intercept[IllegalArgumentException](utf8Is($"s", "bogus"))
+    assert(e.getMessage.contains("unknown predicate"))
+  }
+
+  test("textPartition with out-of-range part index raises at construction") {
+    for (i <- Seq(-1, 3)) {
+      val e = intercept[IllegalArgumentException](textPartition($"s", ",", i))
+      assert(e.getMessage.contains("partition part index"))
+    }
+    for (i <- 0 to 2) textPartition($"s", ",", i)
+  }
+
+  test("SQL surface: graft_slice(step=0) aborts query analysis, not execution") {
+    graft.functions.SqlFunctions.register(spark)
+    spark.range(1).selectExpr("cast(id as string) as s")
+      .createOrReplaceTempView("ep_one")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT graft_slice(s, 0, 5, 0) FROM ep_one").collect()
+    }
+    assert(messageChain(e).contains("slice step cannot be zero"))
+  }
+
+  test("getDummies beyond maxCategories fails fast with a sizing message") {
+    val df = (0 until 40).map(i => s"tok$i").toDF("s")
+    val e = intercept[IllegalArgumentException](
+      Reshape.getDummies(df, $"s", ",", Seq($"s"), maxCategories = 10))
+    assert(e.getMessage.contains("maxCategories"))
+  }
+
+  test("knnLsh with probes outside [0, numPlanes] fails fast") {
+    val emb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Similarity.knnLsh(emb, "v", "id", Seq(0L), k = 1, numPlanes = 4,
+        dim = 2, probes = 5))
+    assert(e.getMessage.contains("probes"))
+  }
+}

@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   */
 class LayoutMatrixSpec extends SparkTestBase {
 
-  /** Order-independent result fingerprint: row count + XOR of per-row
-    * xxhash64 over every output column (same spelling as Bench.run, which
-    * forces full materialization of all columns). */
+  /** Order-independent but multiplicity-sensitive result fingerprint: row
+    * count + SUM of per-row xxhash64 over every output column, accumulated
+    * in decimal(38,0) so ANSI long-overflow can't throw. XOR would let any
+    * layout bug that duplicates rows an even number of times cancel out;
+    * a sum only collides if hash deltas cancel exactly. */
   private def fingerprint(df: DataFrame): (Long, Any) = {
     val n = df.count()
     val h =
       if (n == 0) null
-      else df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*))))
-        .head.get(0)
+      else df.agg(sum(xxhash64(struct(df.columns.map(col): _*))
+        .cast("decimal(38,0)"))).head.get(0)
     (n, h)
   }
 

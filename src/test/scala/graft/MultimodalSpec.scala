@@ -125,4 +125,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.rdd.getNumPartitions >= 3)   // ~3.8KB total / 1KB target
     assert(out.count() === 4)
   }
+
+  test("rebalance is scan-free: a REBALANCE exchange, no sizing aggregate") {
+    val out = Multimodal.rebalance(media.toDF())
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("rebalance"))
+    assert(out.count() === 4) // rows survive the AQE re-partitioning
+  }
 }
