@@ -279,6 +279,106 @@ object Relational {
              |                  AND o_totalprice > 250000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // §2.3 extension: as-of join (operators.AsofJoin) — each click joined
+    // to the user's most recent preceding error. Spark lacks the operator;
+    // the union+window decomposition is one |L|+|R| shuffle with zero row
+    // multiplication (vs the range-join cross-product blowup). DuckDB has
+    // native ASOF JOIN, so the oracle gates full values, not just rows.
+    // events.ts is parquet TIMESTAMP(NANOS) read as nanos-long; outputs
+    // normalize to microsecond timestamps exactly (integer div).
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = tbl(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts",
+            $"event_id".as("err_id"), $"value".as("err_value"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("err_id", "err_value"))
+          .select($"event_id", $"user_id",
+            timestamp_micros(expr("ts div 1000")).as("event_time"),
+            $"asof_err_id".as("prev_error_id"),
+            $"asof_err_value".as("prev_error_value"),
+            timestamp_micros(expr("asof_ts div 1000")).as("prev_error_time"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.ts AS event_time,
+             |  r.event_id AS prev_error_id, r.value AS prev_error_value,
+             |  r.ts AS prev_error_time
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN
+             |     (SELECT * FROM events WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // §2.3 extension: point-in-interval range join (operators.RangeJoin) —
+    // clicks within 10 minutes after an error, per user. Bin blocking makes
+    // this an equi-join on (key, bin) + a narrow exact filter; the naive
+    // BETWEEN join re-filters the full per-key cross product. binWidth =
+    // the interval length, so each interval explodes to ≤ 2 bins.
+    "q_range_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tenMinNs = 600L * 1000 * 1000 * 1000
+        val ev = tbl(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"ts")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts".as("err_start"),
+            ($"ts" + lit(tenMinNs)).as("err_end"),
+            $"event_id".as("error_id"))
+        graft.operators.RangeJoin.pointInInterval(clicks, errors,
+            Seq("user_id"), "ts", "err_start", "err_end",
+            binWidth = tenMinNs)
+          .select($"click_id", $"iv_error_id".as("error_id"), $"user_id",
+            timestamp_micros(expr("ts div 1000")).as("click_time"))
+          .orderBy($"click_id", $"error_id")
+      },
+      Some("""SELECT c.event_id AS click_id, e.event_id AS error_id,
+             |  c.user_id, c.ts AS click_time
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id
+             | AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 10 MINUTE
+             |ORDER BY click_id, error_id""".stripMargin)),
+
+    // §2.5 extension: gap-based sessionization (operators.Sessionize) —
+    // 30-minute-gap user sessions over the event stream, reduced to
+    // per-session stats. One shuffle + one sort; the batch analog of
+    // streaming session windows.
+    "q_sessionize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val halfHourNs = 1800L * 1000 * 1000 * 1000
+        graft.operators.Sessionize.sessionize(
+            tbl(s, dir, "events").select($"user_id", $"ts"),
+            Seq("user_id"), "ts", gap = halfHourNs)
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts").as("s_ns"), max($"ts").as("e_ns"))
+          .select($"user_id", $"session_id", $"n_events",
+            timestamp_micros(expr("s_ns div 1000")).as("session_start"),
+            timestamp_micros(expr("e_ns div 1000")).as("session_end"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
+             |  FROM events),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |         ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(ts) AS session_start, MAX(ts) AS session_end
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // §2.5 windows: ranking + lag + running sum (running double sum is
     // order-pinned by the unique (o_orderdate, o_orderkey) sort both sides).
     "q_window" -> Q(

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.AsofJoin
+
+/** Pins merge_asof/ASOF-JOIN semantics for the union+window decomposition:
+  * backward/forward direction, inclusivity at equal times, tolerance
+  * nulling, unmatched-left retention, and multi-key isolation. */
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val left = Seq(
+    // (key, t, tag)
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+    ("b", 15L, "l4"), ("c", 5L, "l5"))
+    .toDF("k", "t", "tag")
+  private val right = Seq(
+    ("a", 10L, 1.0), ("a", 25L, 2.0), ("b", 14L, 3.0), ("b", 16L, 4.0))
+    .toDF("k", "rt", "v")
+
+  private def run(dir: String, tol: Option[Long] = None): Map[String, (Any, Any)] =
+    AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"),
+        direction = dir, tolerance = tol)
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        ((r.getAs[Any]("asof_v"), r.getAs[Any]("asof_rt")))).toMap
+
+  test("backward: greatest right time <= left time, inclusive at equality") {
+    val m = run("backward")
+    assert(m("l1") === ((1.0, 10L)))  // equal time matches (inclusive)
+    assert(m("l2") === ((1.0, 10L)))  // 25 is in the future
+    assert(m("l3") === ((2.0, 25L)))
+    assert(m("l4") === ((3.0, 14L)))  // not 16 (future)
+    assert(m("l5") === ((null, null))) // key with no right rows: left kept
+  }
+
+  test("forward: least right time >= left time, inclusive at equality") {
+    val m = run("forward")
+    assert(m("l1") === ((1.0, 10L)))
+    assert(m("l2") === ((2.0, 25L)))
+    assert(m("l3") === ((null, null))) // nothing at or after 30
+    assert(m("l4") === ((4.0, 16L)))
+    assert(m("l5") === ((null, null)))
+  }
+
+  test("tolerance nulls matches beyond the gap but keeps the left row") {
+    val m = run("backward", tol = Some(5L))
+    assert(m("l1") === ((1.0, 10L)))  // gap 0
+    assert(m("l2") === ((null, null))) // gap 10 > 5
+    assert(m("l3") === ((2.0, 25L)))  // gap 5 == tol (inclusive)
+    assert(run("backward").size === m.size) // no left rows dropped
+  }
+
+  test("row counts: exactly one output row per left row, no multiplication") {
+    val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.count() === left.count())
+    assert(out.columns.toSeq ===
+      Seq("k", "t", "tag", "asof_v", "asof_rt"))
+  }
+
+  test("plan shape: no cartesian/range join — one shuffle by key + window") {
+    val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+    assert(physical.contains("Window"))
+  }
+}
