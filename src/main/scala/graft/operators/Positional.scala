@@ -43,12 +43,11 @@ object Positional {
 
   /** Codegen global-position plan for a single key column.
     *
-    * 1. count + deterministic sample (`xxhash64(key) mod M < t`, a pure
-    *    predicate — layout- and retry-invariant) → ≤ numShufflePartitions−1
-    *    literal split points on the driver;
+    * 1. [[splitPoints]] → ≤ numShufflePartitions−1 literal split points on
+    *    the driver (one key-pruned aggregate job for numeric keys);
     * 2. bucket = Σ [key > splitᵢ] — a pure, order-preserving expression;
-    * 3. per-bucket row counts (map-side combined, ≤ n rows) → driver
-    *    cumulative offsets, folded back in as a literal map;
+    * 3. per-bucket base offsets as a broadcast subquery (aggregate to ≤ n
+    *    rows + cumulative sum) — runs inside the final job;
     * 4. pos = offset(bucket) + row_number() over (bucket, key) — the window
     *    shuffles each bucket to one reducer, never the whole table to one.
     */
@@ -56,41 +55,62 @@ object Positional {
       posCol: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val cnt = df.count()
-    if (cnt == 0) return df.withColumn(posCol, lit(0L))
-    // ~64 sample keys per target bucket: plenty for split selection, tiny
-    // on the driver. The hash-mod filter is pure, so the sample (and thus
-    // every downstream boundary) is identical under any physical layout.
-    val sampleTarget = math.max(n.toLong * 64, 2048L)
-    val M = 1000000L
-    val thresh = math.min(M, (M * sampleTarget) / cnt + 1)
-    val sample = df
-      .filter(pmod(xxhash64(key), lit(M)) < lit(thresh))
-      .select(key.as("__gp_k")).orderBy(col("__gp_k").asc_nulls_first)
-      .collect().map(_.get(0)).filter(_ != null)
-    val m = sample.length
-    val splits: Seq[Any] =
-      if (m == 0) Nil // degenerate sample → single bucket (tiny input)
-      else (1 until n).map(i => sample((i.toLong * m / n).toInt)).distinct
+    val splits = splitPoints(df, key, n)
     // NULL keys: null > s is null → otherwise(0) → bucket 0, matching the
     // window's asc_nulls_first order below.
     val bucketOf: Column =
       if (splits.isEmpty) lit(0)
       else splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
-    val bucketCounts = df.groupBy(bucketOf.as("__gp_b"))
+    // Per-bucket base offsets stay IN the plan as a broadcast subquery (a
+    // key-column-pruned aggregate down to ≤ n rows, then a cumulative sum
+    // over those n rows) — no extra driver action, and the counts subtree
+    // executes inside the same job as the final pass.
+    val cumw = Window.orderBy(col("__gp_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(bucketOf.as("__gp_b"))
       .agg(count(lit(1)).as("__gp_c"))
-      .orderBy(col("__gp_b"))
-      .collect() // ≤ n rows — bounded driver-side planning action
-    var acc = 0L
-    val offsets: Map[Int, Long] = bucketCounts.map { r =>
-      val entry = r.getInt(0) -> acc; acc += r.getLong(1); entry
-    }.toMap
+      .select(col("__gp_b"),
+        coalesce(sum(col("__gp_c")).over(cumw), lit(0L)).as("__gp_base"))
     val rn = row_number().over(
       Window.partitionBy(col("__gp_b")).orderBy(key.asc_nulls_first))
     df.withColumn("__gp_b", bucketOf)
-      .withColumn(posCol,
-        element_at(typedLit(offsets), col("__gp_b")) + rn.cast("long") - 1L)
-      .drop("__gp_b")
+      .join(broadcast(offsets), "__gp_b")
+      .withColumn(posCol, col("__gp_base") + rn.cast("long") - 1L)
+      .drop("__gp_b", "__gp_base")
+  }
+
+  /** Driver-pinned split points for the bucket expression. Boundary QUALITY
+    * only affects bucket balance — positions are correct for ANY boundary
+    * set, because every branch of the plan evaluates the same literal
+    * splits. So an approximate one-pass answer is ideal: numeric keys get
+    * `percentile_approx` (a single key-column-pruned aggregate job); other
+    * orderable types fall back to a pure hash-mod sample (count job +
+    * pruned sample-collect job). */
+  private def splitPoints(df: DataFrame, key: Column, n: Int): Seq[Any] = {
+    import org.apache.spark.sql.types.NumericType
+    df.select(key).schema.head.dataType match {
+      case _: NumericType =>
+        val ps = (1 until n).map(_.toDouble / n)
+        val row = df.agg(
+          percentile_approx(key, typedLit(ps), lit(1000)).as("s")).head()
+        if (row.isNullAt(0)) Nil
+        else row.getSeq[Any](0).filter(_ != null).distinct
+      case _ =>
+        val cnt = df.count()
+        if (cnt == 0) return Nil
+        // ~64 sample keys per target bucket: plenty for split selection,
+        // tiny on the driver; the hash-mod filter is a pure predicate.
+        val sampleTarget = math.max(n.toLong * 64, 2048L)
+        val M = 1000000L
+        val thresh = math.min(M, (M * sampleTarget) / cnt + 1)
+        val sample = df
+          .filter(pmod(xxhash64(key), lit(M)) < lit(thresh))
+          .select(key.as("__gp_k")).orderBy(col("__gp_k").asc_nulls_first)
+          .collect().map(_.get(0)).filter(_ != null).toSeq
+        val m = sample.length
+        if (m == 0) Nil
+        else (1 until n).map(i => sample((i.toLong * m / n).toInt)).distinct
+    }
   }
 
   /** Multi-column fallback: ONE sorted RDD and `zipWithIndex` — the
@@ -129,17 +149,17 @@ object Positional {
     * (reference base.py:961-983). */
   def factorize(df: DataFrame, valueCol: String,
       codeCol: String = "code"): DataFrame = {
-    // The dict side is persisted through withGlobalPos's multi-pass plan:
-    // it must end broadcast-small anyway, and without the cache each pass
-    // would re-run the full-table distinct shuffle.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val distinctVals =
+    // The dict MUST end broadcast-small (it feeds broadcast(dict) below),
+    // so a single-partition row_number over it is bounded by the exact same
+    // limit the broadcast imposes — the multi-pass withGlobalPos machinery
+    // would cost three extra jobs to avoid a sort the broadcast already
+    // caps. High-cardinality columns need a shuffle-join factorize variant
+    // anyway, not denser machinery here.
+    val dict =
       df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct()
-        .persist(lvl)
-    val dict = withGlobalPos(distinctVals, Seq(col(valueCol)), codeCol)
-      .withColumn(codeCol, col(codeCol).cast("int"))
-    val out = df.join(broadcast(dict), Seq(valueCol), "left")
+        .withColumn(codeCol,
+          (row_number().over(Window.orderBy(col(valueCol))) - 1).cast("int"))
+    df.join(broadcast(dict), Seq(valueCol), "left")
       .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
-    out
   }
 }
