@@ -149,16 +149,26 @@ object Positional {
     * (reference base.py:961-983). */
   def factorize(df: DataFrame, valueCol: String,
       codeCol: String = "code"): DataFrame = {
-    // The dict MUST end broadcast-small (it feeds broadcast(dict) below),
-    // so a single-partition row_number over it is bounded by the exact same
-    // limit the broadcast imposes — the multi-pass withGlobalPos machinery
-    // would cost three extra jobs to avoid a sort the broadcast already
-    // caps. High-cardinality columns need a shuffle-join factorize variant
-    // anyway, not denser machinery here.
-    val dict =
-      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct()
-        .withColumn(codeCol,
-          (row_number().over(Window.orderBy(col(valueCol))) - 1).cast("int"))
+    val spark = df.sparkSession
+    // The dictionary MUST end broadcast-small (it feeds broadcast(dict)
+    // below), so collecting the distinct values is bounded by the exact
+    // same limit the broadcast imposes — the same bounded-collect contract
+    // as Reshape.getDummies. The distinct is a distributed two-stage
+    // aggregate; only the ALREADY-SMALL result reaches the driver, where
+    // sort order assigns the dense codes. Unbounded-cardinality columns
+    // need a shuffle-join factorize, not a dictionary, by definition.
+    val values = df.select(col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
+      .orderBy(col(valueCol))
+      .collect().map(_.get(0))
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      df.schema(valueCol).copy(name = valueCol),
+      StructField(codeCol, org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
+    val dict = spark.createDataFrame(
+      values.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava,
+      schema)
     df.join(broadcast(dict), Seq(valueCol), "left")
       .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
   }

@@ -94,4 +94,28 @@ object TextOps {
       when(s === best, lit(l)).otherwise(acc)
     }
   }
+
+  /** Per-mille resolution of the deterministic sampling hash. */
+  val SampleMod = 10000L
+
+  /** Deterministic stratified downsampling: keep a row iff
+    * `polyHash(content) mod 10000 < 10000·rate(stratum)` — the standard
+    * corpus-rebalancing primitive (e.g. downweight over-represented
+    * languages or sources before training).
+    *
+    * Content-hash selection (vs rand()) means the decision is a pure,
+    * reproducible function of the row: stable across runs, engines, and
+    * partitionings, and exact duplicates are kept or dropped TOGETHER —
+    * composes soundly with content-hash train/val splitting. A narrow
+    * filter: no shuffle, no state. */
+  def stratifiedKeep(content: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0, 1]")
+    val thresh = rates.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultRate * SampleMod).toLong)) { case (acc, (k, r)) =>
+      when(stratum === k, lit((r * SampleMod).toLong)).otherwise(acc)
+    }
+    polyHash(content) % SampleMod < thresh
+  }
 }

