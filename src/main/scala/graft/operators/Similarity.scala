@@ -122,13 +122,14 @@ object Similarity {
     * cell-assign/probe machinery is identical. The seed-centroid collect is
     * bounded at numCentroids rows. */
   def knnIvf(emb: DataFrame, vecCol: String, idCol: String,
-      queryIds: Seq[Long], k: Int, numCentroids: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int, numCentroids: Int,
+      nProbe: Int = 1): DataFrame = {
     val corpus = prepared(emb, vecCol, idCol)
     val cents = corpus.filter(col("id") < numCentroids)
       .collect()
       .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .toSeq
-    knnIvfWith(corpus, cents, queryIds, k)
+    knnIvfWith(corpus, cents, queryIds, k, nProbe)
   }
 
   /** IVF ANN with centroids LEARNED by deterministic k-means||
@@ -137,29 +138,53 @@ object Similarity {
     * and released before the (single-pass) scoring plan is returned. */
   def knnIvfLearned(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, numCentroids: Int,
-      lloydIters: Int = 3): DataFrame = {
+      lloydIters: Int = 3, nProbe: Int = 1): DataFrame = {
     val corpus = prepared(emb, vecCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = try kmeansDriver(corpus, numCentroids, lloydIters)
                 finally corpus.unpersist()
-    knnIvfWith(corpus, cents, queryIds, k)
+    knnIvfWith(corpus, cents, queryIds, k, nProbe)
+  }
+
+  /** Top-`p` centroid cells by cosine, as an array of cids — the nProbe
+    * probe list. Same literal centroid array as [[cellFor]]; the sort is a
+    * per-row array_sort over ≤ |cents| scored structs. */
+  private def cellsFor(v: Column, nrm: Column, cents: Seq[Cent],
+      p: Int): Column = {
+    val sorted = cents.sortBy(_.cid)
+    val centArr = typedLit(sorted.map(c => (c.cid, c.cv.toSeq, c.cnrm)))
+      .cast("array<struct<cid:bigint,cv:array<double>,cnrm:double>>")
+    val scoredArr = transform(centArr, c =>
+      struct(cosine(v, nrm, c.getField("cv"), c.getField("cnrm")).as("cos"),
+        c.getField("cid").as("cid")))
+    val byCosDesc = array_sort(scoredArr, (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), lit(-1))
+        .when(l.getField("cos") < r.getField("cos"), lit(1))
+        .when(l.getField("cid") < r.getField("cid"), lit(-1))
+        .otherwise(lit(1)))
+    transform(slice(byCosDesc, 1, p), s => s.getField("cid"))
   }
 
   /** Shared IVF machinery: assign every corpus row to its max-cosine
-    * centroid cell (narrow, via [[cellFor]]), then score queries only
-    * against their own cell. */
+    * centroid cell (narrow, via [[cellFor]]), then score queries against
+    * their `nProbe` nearest cells. The probe expansion explodes on the
+    * TINY broadcast query side — the corpus never multiplies or reshuffles;
+    * nProbe = |cents| probes every cell (exact search, the recall
+    * upper bound SimilaritySpec pins). */
   private def knnIvfWith(corpus: DataFrame, cents: Seq[Cent],
-      queryIds: Seq[Long], k: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int, nProbe: Int = 1): DataFrame = {
     // empty corpus → empty centroid set → empty result (a zero-length
     // literal centroid array would not analyze inside the fold)
     if (cents.isEmpty)
       return corpus.select(col("id").as("query_id"),
         col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+    require(nProbe >= 1 && nProbe <= cents.size, "nProbe in [1, |cents|]")
     val assigned = corpus
       .withColumn("cell", cellFor(col("v"), col("nrm"), cents))
     val queries = assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell").as("qcell"))
+        col("nrm").as("qn"),
+        explode(cellsFor(col("v"), col("nrm"), cents, nProbe)).as("qcell"))
     val scored = assigned.join(broadcast(queries),
         col("cell") === col("qcell") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

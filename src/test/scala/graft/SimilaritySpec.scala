@@ -43,4 +43,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= queryIds.length,
       s"expected >= ${queryIds.length} brute-force hits, got $hits")
   }
+
+  test("nProbe recall ladder: monotone, and nProbe=|cells| == brute force") {
+    val k = 5
+    val nc = 4
+    def hitsAt(p: Int): (Int, Set[(Long, Long)]) = {
+      val got = Similarity.knnIvf(emb, "embedding", "vec_id", queryIds, k,
+          numCentroids = nc, nProbe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got.size, got)
+    }
+    val brute = Similarity.knnBrute(emb, "embedding", "vec_id", queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (_, p1) = hitsAt(1)
+    val (_, p2) = hitsAt(2)
+    val (_, pAll) = hitsAt(nc)
+    // probing every cell is exhaustive search — must equal brute force
+    assert(pAll === brute)
+    // more probes never lose recall
+    assert((p1 & brute).size <= (p2 & brute).size)
+    assert((p2 & brute).size <= (pAll & brute).size)
+  }
 }
