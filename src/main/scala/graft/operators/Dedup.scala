@@ -85,7 +85,8 @@ object Dedup {
     * parallel; rounds = component diameter (near-dup clusters are
     * shallow — a handful of rounds in practice, `maxIter` caps
     * pathological chains). */
-  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Iteration durability: localCheckpoint blocks live on executors, so on
     // a real cluster losing one executor mid-iteration fails the job. When
@@ -101,8 +102,38 @@ object Dedup {
     // pairs feeds both union branches — cache it so the (expensive)
     // upstream pair pipeline runs once, not twice
     val p = pairs.persist(lvl)
-    p.count()  // eager: the union below scans p twice concurrently —
-               // materializing first makes both scans cache hits
+    val nPairs = p.count() // eager: the union below scans p twice
+                           // concurrently — materializing first makes both
+                           // scans cache hits; also the strategy switch
+    // ADAPTIVE strategy (the broadcast-join-threshold pattern): the dup-pair
+    // graph is usually orders of magnitude smaller than the corpus — near-dup
+    // clusters are sparse. Below the edge limit (~32 MB of longs), a driver
+    // union-find answers in one collect instead of O(log d) distributed
+    // rounds of joins + checkpoints. Above it, the iterative path keeps
+    // everything distributed. Both produce identical min-label components.
+    if (nPairs <= driverEdgeLimit) {
+      val spark = p.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      p.select(col("id1"), col("id2")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min: keeper is the smallest id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      p.unpersist()
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "keeper")
+    }
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist(lvl)

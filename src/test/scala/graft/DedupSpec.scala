@@ -44,11 +44,25 @@ class DedupSpec extends SparkTestBase {
     val n = 40
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id1", "id2")
-    val groups = Dedup.dupGroups(pairs, maxIter = 10).collect()
+    // driverEdgeLimit=0 forces the distributed iterative path under test
+    val groups = Dedup.dupGroups(pairs, maxIter = 10, driverEdgeLimit = 0)
+      .collect()
     assert(groups.length === n)
     assert(groups.forall(_.getLong(1) === 1L),
       groups.sortBy(_.getLong(0)).map(r => s"${r.getLong(0)}->${r.getLong(1)}")
         .mkString(","))
+  }
+
+  test("dupGroups driver union-find and distributed propagation agree") {
+    // mixed topology: chain, star, pair, self-contained triangle
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (40L, 41L), (41L, 42L),
+      (40L, 42L))).toDF("id1", "id2")
+    val fast = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupGroups(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
   }
 
   test("prefix-filtered jaccard pairs equal the naive all-pairs spelling") {
@@ -101,7 +115,7 @@ class DedupSpec extends SparkTestBase {
     sc.setCheckpointDir(dir)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
-      val groups = Dedup.dupGroups(pairs).collect()
+      val groups = Dedup.dupGroups(pairs, driverEdgeLimit = 0).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         10L -> 10L, 11L -> 10L))
