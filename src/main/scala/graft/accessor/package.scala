@@ -105,5 +105,30 @@ package object accessor {
           throw new IllegalArgumentException(s"unknown reduction: $other")
       }
     }
+
+    /** DataFrame-level operators (temporal joins, sessions, sampling) —
+      * forwarding sugar over graft.operators.*. */
+    implicit class GraftDataFrameOps(
+        private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+      def asofJoin(right: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          leftTime: String, rightTime: String, rightPayload: Seq[String],
+          direction: String = "backward",
+          tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame =
+        graft.operators.AsofJoin.asof(df, right, keys, leftTime, rightTime,
+          rightPayload, direction, tolerance)
+      def rangeJoin(intervals: org.apache.spark.sql.DataFrame,
+          keys: Seq[String], pointCol: String, startCol: String,
+          endCol: String, binWidth: Long): org.apache.spark.sql.DataFrame =
+        graft.operators.RangeJoin.pointInInterval(df, intervals, keys,
+          pointCol, startCol, endCol, binWidth)
+      def sessionize(keys: Seq[String], tsCol: String,
+          gap: Long): org.apache.spark.sql.DataFrame =
+        graft.operators.Sessionize.sessionize(df, keys, tsCol, gap)
+      def stratifiedSample(content: Column, stratum: Column,
+          rates: Map[String, Double],
+          defaultRate: Double): org.apache.spark.sql.DataFrame =
+        df.filter(graft.operators.TextOps.stratifiedKeep(content, stratum,
+          rates, defaultRate))
+    }
   }
 }

@@ -57,4 +57,19 @@ class AccessorSpec extends SparkTestBase {
     assert(r(0).isNullAt(1))               // true AND null = null
     assert(r(1).getBoolean(3) === false)   // fillNa
   }
+
+  test("DataFrame-level accessors forward to the temporal operators") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, 2.0)).toDF("k", "rt", "v")
+    val asof = left.asofJoin(right, Seq("k"), "t", "rt", Seq("v")).collect()
+    assert(asof.head.getAs[Double]("asof_v") === 2.0)
+    val iv = Seq((1L, 5L, 15L, 7L)).toDF("k", "s", "e", "ivid")
+    assert(left.rangeJoin(iv, Seq("k"), "t", "s", "e", 10L).count() === 1)
+    val sess = Seq((1L, 0L), (1L, 500L)).toDF("u", "t")
+      .sessionize(Seq("u"), "t", gap = 100L).collect()
+    assert(sess.map(_.getLong(2)).toSet === Set(1L, 2L))
+    val docs = Seq((1L, "aaa", "en")).toDF("id", "text", "lang")
+    assert(docs.stratifiedSample($"text", $"lang", Map("en" -> 1.0), 0.0)
+      .count() === 1)
+  }
 }
