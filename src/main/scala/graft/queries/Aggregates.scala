@@ -217,6 +217,43 @@ object Aggregates {
              |  TRUE AS approx_median_ok,
              |  COUNT(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Mergeable-sketch ROLLUP (beyond-parity, the 100 TB cube pattern):
+    // build one Datasketches-HLL sketch per fine-grained group, then answer
+    // the coarser distinct-count by MERGING the stored sketches
+    // (hll_union_agg) — never rescanning the fact table. This is what makes
+    // sketches usable as materialized state: daily sketches roll up to
+    // monthly distincts for free. Gate spelling mirrors q_sketches: exact
+    // values + a bound flag (lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%), so
+    // the DuckDB oracle (exact + literal TRUE) hash-matches.
+    "q_sketch_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = tbl(s, dir, "lineitem")
+        val fine = li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(hll_sketch_agg($"l_partkey", lit(12)).as("sk"),
+            count(lit(1)).as("cnt"))
+        val coarse = fine.groupBy($"l_returnflag")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+            sum($"cnt").as("cnt"))
+        val exact = li.select($"l_returnflag", $"l_partkey").distinct()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        coarse.as("c")
+          .join(broadcast(exact).as("e"),
+            $"c.l_returnflag" <=> $"e.l_returnflag")
+          .select($"c.l_returnflag".as("l_returnflag"),
+            $"exact_parts",
+            (abs($"est" - $"exact_parts") <= lit(3 * 0.0163) * $"exact_parts")
+              .as("merged_est_ok"),
+            $"cnt")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS merged_est_ok,
+             |  COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
   )
 }

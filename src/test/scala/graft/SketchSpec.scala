@@ -47,4 +47,25 @@ class SketchSpec extends SparkTestBase {
     assert(bad === 0L)
     assert(df.count() > 0)
   }
+
+  test("HLL sketch MERGE equals a direct sketch over the union") {
+    // the property that makes sketches usable as materialized rollup state:
+    // merging per-group sketches must estimate the same as sketching the
+    // whole column directly (Datasketches HLL union is lossless for fixed
+    // lgConfigK)
+    val direct = lineitem
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_partkey", lit(12))))
+      .head.getLong(0)
+    val merged = lineitem.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey", lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .head.getLong(0)
+    assert(merged === direct, s"merged=$merged direct=$direct")
+  }
+
+  test("q_sketch_rollup gate booleans are all TRUE") {
+    val df = SparkEntry.queries("q_sketch_rollup")(spark, sf0001)
+    assert(df.filter(!$"merged_est_ok").count() === 0L)
+    assert(df.count() > 0)
+  }
 }
