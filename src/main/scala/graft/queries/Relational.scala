@@ -421,6 +421,29 @@ object Relational {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // §2.6 extension: top-k PER GROUP (the pipeline spelling of "best 3
+    // documents per language"): rank window partitioned by the group key —
+    // fully parallel across groups, never a global sort; the filter on
+    // row_number keeps only k rows per group on the reduce side.
+    "q_group_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        tbl(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)),
+
     // §2.8.5 date functions (beyond-parity; storage-only in the reference).
     "q_date_parts" -> Q(
       (s, dir) => {
