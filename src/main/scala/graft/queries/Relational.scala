@@ -279,6 +279,32 @@ object Relational {
              |                  AND o_totalprice > 250000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // §2.3 extension: skew-safe salted join (operators.Skew.saltedJoin) —
+    // the planned-ahead mitigation for power-law join keys: fact rows get a
+    // deterministic salt, the dimension explodes ×saltFactor, and the
+    // result is EXACTLY the plain equi-join (which is what the oracle
+    // runs). Revenue per supplier nation through the salted path.
+    "q_salted_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = tbl(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_extendedprice")
+        val supp = tbl(s, dir, "supplier")
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.operators.Skew.saltedJoin(li, supp, Seq("l_suppkey"),
+            saltFactor = 4)
+          .groupBy($"s_nationkey")
+          .agg(detSum($"l_extendedprice").as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS revenue,
+             |  COUNT(*) AS cnt
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // §2.3 extension: as-of join (operators.AsofJoin) — each click joined
     // to the user's most recent preceding error. Spark lacks the operator;
     // the union+window decomposition is one |L|+|R| shuffle with zero row
