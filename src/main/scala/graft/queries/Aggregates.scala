@@ -83,14 +83,28 @@ object Aggregates {
     "q_stats" -> Q(
       (s, dir) => {
         import s.implicits._
-        tbl(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
+        val li = tbl(s, dir, "lineitem")
+        // Moments are algebraic (map-side partial combine); keeping the
+        // exact percentile OUT of that aggregate keeps it a HashAggregate —
+        // a mixed moments+percentile agg degrades to object buffering of
+        // every group's values. The exact median instead comes from a
+        // (flag, quantity) frequency histogram via weighted percentile:
+        // identical value, only |flags|·|distinct qty| rows ever buffer.
+        val mom = li.groupBy($"l_returnflag")
           .agg(
             detVarSamp($"l_quantity").as("var_qty"),
             detStddevSamp($"l_quantity").as("std_qty"),
             detSkewness($"l_quantity").as("skew_qty"),
-            detKurtosis($"l_quantity").as("kurt_qty"),
-            percentile($"l_quantity", lit(0.5)).as("median_qty"))
+            detKurtosis($"l_quantity").as("kurt_qty"))
+        val med = li.groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("freq"))
+          .groupBy($"l_returnflag")
+          .agg(percentile($"l_quantity", lit(0.5), $"freq").as("median_qty"))
+        mom.as("m")
+          .join(broadcast(med).as("p"),
+            $"m.l_returnflag" <=> $"p.l_returnflag")
+          .select($"m.l_returnflag".as("l_returnflag"), $"var_qty",
+            $"std_qty", $"skew_qty", $"kurt_qty", $"median_qty")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
