@@ -279,6 +279,21 @@ object Relational {
              |                  AND o_totalprice > 250000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // §2.1 Arrow IPC boundary, oracle-gated: egress the nation table as a
+    // self-contained Arrow IPC stream, re-ingest it, and the oracle reads
+    // the same parquet directly — the round-trip must be value-identical
+    // (the reference's __arrow_array__ / pandas_from_arrow contract).
+    // Boundary op by design: tiny dimension table, driver materialization
+    // is the contract, not a scale path.
+    "q_arrow_roundtrip" -> Q(
+      (s, dir) => {
+        val bytes = graft.sources.ArrowInterop.toArrow(
+          tbl(s, dir, "nation"))
+        graft.sources.ArrowInterop.fromArrow(s, bytes)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     // §2.3 extension: skew-safe salted join (operators.Skew.saltedJoin) —
     // the planned-ahead mitigation for power-law join keys: fact rows get a
     // deterministic salt, the dimension explodes ×saltFactor, and the
