@@ -198,7 +198,7 @@ object Multimodal {
   def repartitionBySize(df: DataFrame, bytesCol: Column,
       targetBytes: Long): DataFrame = {
     val total = df.select(coalesce(sum(octet_length(bytesCol)).cast("long"),
-      lit(0L))).head.getLong(0)
+      lit(0L))).head().getLong(0)
     val parts = math.max((total / targetBytes).toInt, 1)
     df.repartition(parts)
   }
