@@ -279,6 +279,21 @@ object Relational {
              |                  AND o_totalprice > 250000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // §2.1 sequence ingest (_from_sequence analogue), oracle-gated with a
+    // table-free VALUES oracle: a typed in-memory sequence becomes a
+    // distributed Dataset whose contents must match the literal rows.
+    "q_sequence_ingest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.ArrowInterop.fromSequence(s, Seq(
+            (1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "gamma", 0.0)))
+          .toDF("id", "name", "score")
+          .orderBy($"id")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),
+             |                      (2, 'beta', -2.25), (3, 'gamma', 0.0))
+             |  AS t(id, name, score) ORDER BY id""".stripMargin)),
+
     // §2.1 Arrow IPC boundary, oracle-gated: egress the nation table as a
     // self-contained Arrow IPC stream, re-ingest it, and the oracle reads
     // the same parquet directly — the round-trip must be value-identical

@@ -57,6 +57,17 @@ class AsofJoinSpec extends SparkTestBase {
       Seq("k", "t", "tag", "asof_v", "asof_rt"))
   }
 
+  test("multi-key: matches isolate per composite key") {
+    val l2 = Seq(("a", 1L, 10L, "l1"), ("a", 2L, 10L, "l2"))
+      .toDF("k1", "k2", "t", "tag")
+    val r2 = Seq(("a", 1L, 5L, 9.0)).toDF("k1", "k2", "rt", "v")
+    val m = AsofJoin.asof(l2, r2, Seq("k1", "k2"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_v"))
+      .toMap
+    assert(m("l1") === 9.0)  // (a,1) matches
+    assert(m("l2") === null) // (a,2) shares k1 only — no leak across k2
+  }
+
   test("plan shape: no cartesian/range join — one shuffle by key + window") {
     val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
     val physical = out.queryExecution.executedPlan.toString
