@@ -91,12 +91,17 @@ object AsofJoin {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
 
     val matchedT = col(prefix + rightTime)
+    // A NULL left time matches nothing (pandas merge_asof rejects NaT
+    // outright; we keep the row, unmatched). Without this, the forward
+    // direction's desc_nulls_last order would hand null-time rows the
+    // window's final running value as a spurious match.
+    val validLeft = col(leftTime).isNotNull
     val gapOk: Column = tolerance match {
-      case None => lit(true)
+      case None => validLeft
       case Some(tol) =>
         val gap = if (backward) col(leftTime) - matchedT
                   else matchedT - col(leftTime)
-        gap <= lit(tol)
+        validLeft && gap <= lit(tol)
     }
     val toleranced = filledNames.foldLeft(filled)((df, c) =>
       df.withColumn(c, when(gapOk, col(c))))

@@ -57,10 +57,23 @@ object Positional {
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, key, n)
     // NULL keys: null > s is null → otherwise(0) → bucket 0, matching the
-    // window's asc_nulls_first order below.
+    // window's asc_nulls_first order below. NaN keys: every comparison is
+    // false, which would strand them in bucket 0 while Spark SORTS NaN
+    // greatest — route them to the top bucket explicitly so bucket order
+    // and sort order agree.
+    val isFloating = df.select(key).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
     val bucketOf: Column =
       if (splits.isEmpty) lit(0)
-      else splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
+      else {
+        val fold =
+          splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
+        if (isFloating) when(isnan(key), lit(splits.size)).otherwise(fold)
+        else fold
+      }
     // Per-bucket base offsets stay IN the plan as a broadcast subquery (a
     // key-column-pruned aggregate down to ≤ n rows, then a cumulative sum
     // over those n rows) — no extra driver action, and the counts subtree

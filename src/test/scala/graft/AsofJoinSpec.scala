@@ -57,6 +57,20 @@ class AsofJoinSpec extends SparkTestBase {
       Seq("k", "t", "tag", "asof_v", "asof_rt"))
   }
 
+  test("null left time matches nothing in either direction") {
+    val l = Seq(("a", Some(20L), "has_t"), ("a", Option.empty[Long], "no_t"))
+      .toDF("k", "t", "tag")
+    val r = Seq(("a", 10L, 1.0)).toDF("k", "rt", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val m = AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"),
+          direction = dir)
+        .collect().map(x => x.getAs[String]("tag") -> x.getAs[Any]("asof_v"))
+        .toMap
+      assert(m("no_t") === null, s"direction=$dir")
+      assert(m.size === 2) // the null-time row is kept, unmatched
+    }
+  }
+
   test("multi-key: matches isolate per composite key") {
     val l2 = Seq(("a", 1L, 10L, "l1"), ("a", 2L, 10L, "l2"))
       .toDF("k1", "k2", "t", "tag")

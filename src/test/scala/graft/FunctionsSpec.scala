@@ -95,17 +95,4 @@ class FunctionsSpec extends SparkTestBase {
   }
 }
 
-/** Positional ops: pandas-parity null handling for factorize. */
-class PositionalSpec extends SparkTestBase {
-  import spark.implicits._
-
-  test("factorize keeps null rows with code -1 (na_sentinel)") {
-    val df = Seq(Some("b"), None, Some("a"), Some("b"))
-      .toDF("v")
-    val out = graft.operators.Positional.factorize(df, "v").collect()
-      .map(r => Option(r.getString(0)) -> r.getInt(1))
-    assert(out.length === 4)
-    assert(out.toSet === Set(Some("a") -> 0, Some("b") -> 1, None -> -1))
-    assert(out.count(_ == (Some("b") -> 1)) === 2)
-  }
-}
+// Positional operator coverage lives in PositionalSpec.scala.
