@@ -198,6 +198,49 @@ object TextPipeline {
               |          AND stop_ratio >= 0.01 AS keep
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top terms per document — the classic corpus-statistics op
+    // (keyword extraction / quality signals). Shape at scale: explode →
+    // two partial/final count aggregates → a token-keyed join (DF side is
+    // vocabulary-sized) → per-doc rank window. RANKING uses the exact
+    // integer proxy (tf DESC, df ASC, tok) rather than the float score —
+    // cross-engine ln() can differ in the last ulp, and a ranking must
+    // never depend on that; the score itself is emitted rounded to 6
+    // decimals as a value column.
+    "q_pipe_tfidf" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val toks = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = d.select(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("tok"))
+        tf.join(df_, "tok")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, tok, tf, df,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, df ASC, tok) AS INTEGER) AS rk
+             |  FROM tf JOIN df USING (tok))
+             |SELECT doc_id, rk, tok, tf, df,
+             |  ROUND(tf * ln(n_docs * 1.0 / df), 6) AS score
+             |FROM ranked, n WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // Deterministic content-hash train/val/test split (80/10/10): the
     // assignment depends only on the text (PolyHash mod 100), so it is
     // reproducible across engines, runs, and partitionings — and exact
