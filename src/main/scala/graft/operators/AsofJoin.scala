@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (nearest-key temporal) join — pandas `merge_asof` / DuckDB
   * `ASOF JOIN` semantics: for every left row, attach the right row with the
@@ -14,14 +15,17 @@ import org.apache.spark.sql.functions._
   * product before filtering, and a per-left-row subquery is quadratic. This
   * implementation uses the scale-safe UNION + WINDOW decomposition:
   *
-  *   1. tag both sides and union them (right payload columns nulled on the
-  *      left side and vice versa — no data movement yet);
+  *   1. tag both sides and union them — each right row carries its time +
+  *      payload packed into ONE struct column, null on left rows (no data
+  *      movement yet). The single struct is what makes a match ATOMIC: a
+  *      legitimately-NULL payload field stays inside the matched row's
+  *      non-null struct instead of back-filling from an older right row;
   *   2. ONE hash shuffle by key, sort within partitions by (time, side)
   *      with right rows ordered before left rows at equal times (backward
   *      inclusivity);
-  *   3. `last(payload, ignoreNulls)` over ROWS UNBOUNDED PRECEDING..CURRENT
+  *   3. `last(struct, ignoreNulls)` over ROWS UNBOUNDED PRECEDING..CURRENT
   *      carries each right row forward to exactly the left rows it is the
-  *      most recent match for;
+  *      most recent match for; then the struct is unpacked;
   *   4. keep left rows; apply the tolerance by nulling matches whose time
   *      gap exceeds it.
   *
@@ -31,8 +35,16 @@ import org.apache.spark.sql.functions._
   * salting cannot cross a running-window boundary) — pre-filter or bucket
   * pathological keys upstream.
   *
-  * Determinism requires (keys, rightTime) to be unique on the right side —
-  * the same precondition pandas `merge_asof` has for a stable answer.
+  * Right rows with a NULL time are dropped before the union — they can
+  * never be a valid match (DuckDB ASOF and pandas `merge_asof` both
+  * exclude/reject null ordering keys).
+  *
+  * Duplicate (keys, rightTime) right rows are resolved DETERMINISTICALLY:
+  * the sort tie-breaks on the packed (payload..., time) struct itself, so
+  * the row with the greatest payload tuple (field-wise, nulls first) wins —
+  * stable across runs, partitionings, and engines. pandas `merge_asof`
+  * instead requires uniqueness; callers wanting that strictness can assert
+  * it upstream, but a silent nondeterministic winner is never possible here.
   */
 object AsofJoin {
 
@@ -55,42 +67,47 @@ object AsofJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
-    val payloadTypes = rightPayload.map(p => p -> right.schema(p).dataType)
-    val rtType = right.schema(rightTime).dataType
 
-    // Union layout: every left column + prefixed right payload + the right
-    // time (for tolerance) + order/side markers. Missing columns are typed
-    // nulls, so the union is exact and nothing is shuffled twice.
+    // Union layout: every left column + ONE packed (payload..., time) struct
+    // + order/side markers. The struct is null on left rows and non-null on
+    // every right row — even when individual payload FIELDS are null — so
+    // the ignoreNulls forward-fill treats a match atomically and can never
+    // mix payload values from two different right rows. The time rides
+    // inside as "__rt" (a reserved name, so a payload column may itself be
+    // the time column).
+    val packT = StructType(
+      rightPayload.map(p => right.schema(p).copy(name = p)) :+
+        right.schema(rightTime).copy(name = "__rt"))
+    val pack = struct(
+      rightPayload.map(p => col(p).as(p)) :+ col(rightTime).as("__rt"): _*)
     val lSide = left
-      .withColumns(payloadTypes.map { case (p, t) =>
-        prefix + p -> lit(null).cast(t) }.toMap)
-      .withColumn(prefix + rightTime, lit(null).cast(rtType))
+      .withColumn("__asof_s", lit(null).cast(packT))
       .withColumn("__ord", col(leftTime))
       .withColumn("__side", lit(1))
-    val rSide = right.select(
-      leftCols.map(c =>
-        if (keys.contains(c)) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      payloadTypes.map { case (p, _) => col(p).as(prefix + p) } ++
-      Seq(col(rightTime).as(prefix + rightTime),
-        col(rightTime).as("__ord"), lit(0).as("__side")): _*)
+    val rSide = right
+      .filter(col(rightTime).isNotNull) // null time rows can never match
+      .select(
+        leftCols.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(pack.as("__asof_s"),
+          col(rightTime).as("__ord"), lit(0).as("__side")): _*)
 
     val backward = direction == "backward"
     val ord = if (backward) col("__ord").asc_nulls_first
               else col("__ord").desc_nulls_last
     // Right rows sort before left rows at equal times → equality matches
-    // are visible (inclusive), in both directions.
+    // are visible (inclusive), in both directions. The struct tie-break
+    // orders duplicate (keys, rightTime) right rows deterministically:
+    // last() picks the greatest (payload..., time) tuple.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ord, col("__side").asc)
+      .orderBy(ord, col("__side").asc, col("__asof_s").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filledNames =
-      (rightPayload.map(prefix + _) :+ (prefix + rightTime))
-    val unioned = lSide.unionByName(rSide)
-    val filled = filledNames.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__asof_s", last(col("__asof_s"), ignoreNulls = true).over(w))
 
-    val matchedT = col(prefix + rightTime)
+    val matchedT = col("__asof_s").getField("__rt")
     // A NULL left time matches nothing (pandas merge_asof rejects NaT
     // outright; we keep the row, unmatched). Without this, the forward
     // direction's desc_nulls_last order would hand null-time rows the
@@ -103,8 +120,15 @@ object AsofJoin {
                   else matchedT - col(leftTime)
         validLeft && gap <= lit(tol)
     }
-    val toleranced = filledNames.foldLeft(filled)((df, c) =>
-      df.withColumn(c, when(gapOk, col(c))))
-    toleranced.filter(col("__side") === 1).drop("__ord", "__side")
+    // Null the whole struct when the match fails the gap/validity test, then
+    // unpack — field nulls inside a surviving struct are the matched row's
+    // own nulls, by construction.
+    filled
+      .withColumn("__asof_s", when(gapOk, col("__asof_s")))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(p =>
+          col("__asof_s").getField(p).as(prefix + p)) :+
+        col("__asof_s").getField("__rt").as(prefix + rightTime): _*)
   }
 }

@@ -82,6 +82,49 @@ class AsofJoinSpec extends SparkTestBase {
     assert(m("l2") === null) // (a,2) shares k1 only — no leak across k2
   }
 
+  test("match atomicity: a matched row's NULL payload stays NULL") {
+    // the matched right row (t=2) has v=NULL; the older row's v=5.0 must
+    // NOT leak forward into the match (pandas merge_asof returns the
+    // matched row's NaN)
+    val l = Seq(("a", 3L, "l1")).toDF("k", "t", "tag")
+    val r = Seq(("a", 1L, Some(5.0)), ("a", 2L, Option.empty[Double]))
+      .toDF("k", "rt", "v")
+    val row = AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v")).head()
+    assert(row.getAs[Any]("asof_rt") === 2L)
+    assert(row.getAs[Any]("asof_v") === null)
+  }
+
+  test("right rows with NULL time are never a match") {
+    val l = Seq(("a", 10L, "l1"), ("b", 10L, "l2")).toDF("k", "t", "tag")
+    val r = Seq(("a", Option.empty[Long], 9.0), ("a", Some(1L), 1.0),
+        ("b", Option.empty[Long], 8.0))
+      .toDF("k", "rt", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val m = AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"),
+          direction = dir)
+        .collect().map(x => x.getAs[String]("tag") ->
+          ((x.getAs[Any]("asof_v"), x.getAs[Any]("asof_rt")))).toMap
+      // key b has ONLY a null-time right row: left kept, unmatched
+      assert(m("l2") === ((null, null)), s"direction=$dir")
+      if (dir == "backward") assert(m("l1") === ((1.0, 1L)))
+      assert(m.size === 2)
+    }
+  }
+
+  test("duplicate (key, rightTime): deterministic greatest-payload winner") {
+    val l = Seq(("a", 10L, "l1")).toDF("k", "t", "tag")
+    val r = Seq(("a", 5L, 1.0), ("a", 5L, 2.0), ("a", 5L, 0.5))
+      .toDF("k", "rt", "v")
+    // repartition the right side differently across runs — the winner must
+    // not depend on physical layout
+    for (p <- Seq(1, 3)) {
+      val row = AsofJoin.asof(l, r.repartition(p), Seq("k"), "t", "rt",
+        Seq("v")).head()
+      assert(row.getAs[Double]("asof_v") === 2.0, s"partitions=$p")
+      assert(row.getAs[Long]("asof_rt") === 5L)
+    }
+  }
+
   test("plan shape: no cartesian/range join — one shuffle by key + window") {
     val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
     val physical = out.queryExecution.executedPlan.toString
