@@ -95,8 +95,14 @@ object TextOps {
     }
   }
 
-  /** Per-mille resolution of the deterministic sampling hash. */
+  /** Per-ten-thousand resolution of the deterministic sampling hash. */
   val SampleMod = 10000L
+
+  /** Integer keep-threshold for a rate: round-half-up, NOT truncation —
+    * rate 0.3 must give exactly 3000, not 2999 (binary 0.3·10000 is
+    * 2999.999…). Shared with the oracle SQL so both engines compare the
+    * hash against the identical literal. */
+  def sampleThreshold(r: Double): Long = math.round(r * SampleMod)
 
   /** Deterministic stratified downsampling: keep a row iff
     * `polyHash(content) mod 10000 < 10000·rate(stratum)` — the standard
@@ -113,8 +119,8 @@ object TextOps {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "sampling rates must be in [0, 1]")
     val thresh = rates.toSeq.sortBy(_._1).foldLeft(
-      lit((defaultRate * SampleMod).toLong)) { case (acc, (k, r)) =>
-      when(stratum === k, lit((r * SampleMod).toLong)).otherwise(acc)
+      lit(sampleThreshold(defaultRate))) { case (acc, (k, r)) =>
+      when(stratum === k, lit(sampleThreshold(r))).otherwise(acc)
     }
     polyHash(content) % SampleMod < thresh
   }

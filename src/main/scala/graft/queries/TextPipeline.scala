@@ -280,12 +280,13 @@ object TextPipeline {
       },
       Some(s"""WITH h AS (
               |  SELECT doc_id, lang,
-              |         ${DuckFrag.polyHashSql("text")} % 10000 AS hv
+              |         ${DuckFrag.polyHashSql("text")} % $SampleMod AS hv
               |  FROM documents)
               |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
               |FROM h
-              |WHERE hv < CASE lang WHEN 'en' THEN 5000
-              |                     WHEN 'de' THEN 2500 ELSE 1000 END
+              |WHERE hv < CASE lang WHEN 'en' THEN ${sampleThreshold(0.5)}
+              |                     WHEN 'de' THEN ${sampleThreshold(0.25)}
+              |                     ELSE ${sampleThreshold(0.1)} END
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Token counting: whitespace words + a BPE-ish regex segmentation

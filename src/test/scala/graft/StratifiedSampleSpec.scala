@@ -35,6 +35,15 @@ class StratifiedSampleSpec extends SparkTestBase {
     assert(a === b) // layout-independent
   }
 
+  test("threshold is round-half-up, not binary truncation") {
+    // 0.3 * 10000 is 2999.999… in binary; truncation would silently
+    // diverge from an oracle that writes the exact literal 3000
+    assert(TextOps.sampleThreshold(0.3) === 3000L)
+    assert(TextOps.sampleThreshold(0.0) === 0L)
+    assert(TextOps.sampleThreshold(1.0) === 10000L)
+    assert(TextOps.sampleThreshold(0.0001) === 1L)
+  }
+
   test("rates outside [0,1] fail fast") {
     intercept[IllegalArgumentException](
       TextOps.stratifiedKeep($"text", $"lang", Map("en" -> 1.5), 0.1))
