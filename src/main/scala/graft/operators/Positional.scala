@@ -31,28 +31,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Positional {
 
   /** Attach 0-based global position `posCol` under the total order given by
-    * `sortCols` (must be a key — ties across partition boundaries would make
-    * positions nondeterministic). Single sort column takes the codegen
-    * sampled-splits path; multi-column falls back to the deterministic
-    * sorted-RDD zipWithIndex decomposition. */
+    * `sortCols`, ascending nulls-first (the combination must be a key —
+    * ties across partition boundaries would make positions
+    * nondeterministic). Single- and multi-column keys both take the codegen
+    * sampled-splits path: buckets come from the LEADING column's split
+    * points, and the per-bucket window tie-breaks on the remaining columns.
+    * This is sound because bucket boundaries respect leading-column order
+    * and equal leading values always land in one bucket, so concatenating
+    * buckets yields exactly the composite sort order. */
   def withGlobalPos(df: DataFrame, sortCols: Seq[Column],
-      posCol: String): DataFrame = sortCols match {
-    case Seq(key) => sampledSplitPos(df, key, posCol)
-    case _ => zipWithIndexPos(df, sortCols, posCol)
-  }
+      posCol: String): DataFrame = sampledSplitPos(df, sortCols, posCol)
 
-  /** Codegen global-position plan for a single key column.
+  /** Codegen global-position plan.
     *
     * 1. [[splitPoints]] → ≤ numShufflePartitions−1 literal split points on
-    *    the driver (one key-pruned aggregate job for numeric keys);
+    *    the driver (one key-pruned aggregate job for numeric keys), from
+    *    the LEADING sort column;
     * 2. bucket = Σ [key > splitᵢ] — a pure, order-preserving expression;
     * 3. per-bucket base offsets as a broadcast subquery (aggregate to ≤ n
     *    rows + cumulative sum) — runs inside the final job;
-    * 4. pos = offset(bucket) + row_number() over (bucket, key) — the window
-    *    shuffles each bucket to one reducer, never the whole table to one.
+    * 4. pos = offset(bucket) + row_number() over (bucket, sortCols...) —
+    *    the window shuffles each bucket to one reducer, never the whole
+    *    table to one. A leading column whose hot value dominates serializes
+    *    that bucket through one reducer — put the highest-cardinality
+    *    column first when the order is a free choice.
     */
-  private def sampledSplitPos(df: DataFrame, key: Column,
+  private def sampledSplitPos(df: DataFrame, sortCols: Seq[Column],
       posCol: String): DataFrame = {
+    require(sortCols.nonEmpty, "withGlobalPos needs at least one sort column")
+    val key = sortCols.head
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, key, n)
@@ -85,7 +92,8 @@ object Positional {
       .select(col("__gp_b"),
         coalesce(sum(col("__gp_c")).over(cumw), lit(0L)).as("__gp_base"))
     val rn = row_number().over(
-      Window.partitionBy(col("__gp_b")).orderBy(key.asc_nulls_first))
+      Window.partitionBy(col("__gp_b"))
+        .orderBy(sortCols.map(_.asc_nulls_first): _*))
     df.withColumn("__gp_b", bucketOf)
       .join(broadcast(offsets), "__gp_b")
       .withColumn(posCol, col("__gp_base") + rn.cast("long") - 1L)
@@ -126,26 +134,6 @@ object Positional {
     }
   }
 
-  /** Multi-column fallback: ONE sorted RDD and `zipWithIndex` — the
-    * RangePartitioner is constructed once for the single RDD DAG, so the
-    * count job and the data job share the same shuffle files and
-    * boundaries, and both the sort and the indexing are fully parallel.
-    * Costs row boxing + a codegen break; the single-key path above avoids
-    * both. */
-  private def zipWithIndexPos(df: DataFrame, sortCols: Seq[Column],
-      posCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val sorted = df.repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(posCol, LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
-  }
-
   /** Positional take (gather): rows at the given 0-based positions under the
     * `sortCols` total order, with their positions. Only the matching rows
     * survive; everything stays parallel. */
@@ -155,34 +143,56 @@ object Positional {
       .filter(col(posCol).isin(positions: _*))
 
   /** Dictionary-encode `valueCol`: stable dense codes 0..n-1 assigned in
-    * value sort order on the (small) distinct side, broadcast-joined back to
-    * the full table — the scale-correct factorize (the dictionary is tiny;
-    * the big table never funnels through one partition). Null values keep
-    * their rows and get code -1, matching pandas factorize's na_sentinel
-    * (reference base.py:961-983). */
-  def factorize(df: DataFrame, valueCol: String,
-      codeCol: String = "code"): DataFrame = {
-    val spark = df.sparkSession
-    // The dictionary MUST end broadcast-small (it feeds broadcast(dict)
-    // below), so collecting the distinct values is bounded by the exact
-    // same limit the broadcast imposes — the same bounded-collect contract
-    // as Reshape.getDummies. The distinct is a distributed two-stage
-    // aggregate; only the ALREADY-SMALL result reaches the driver, where
-    // sort order assigns the dense codes. Unbounded-cardinality columns
-    // need a shuffle-join factorize, not a dictionary, by definition.
-    val values = df.select(col(valueCol))
+    * value sort order. Null values keep their rows and get code -1, matching
+    * pandas factorize's na_sentinel (reference base.py:961-983).
+    *
+    * Cardinality strategy (probed with one LIMIT maxCategories+1 count over
+    * the distributed distinct — no unbounded driver collect anywhere):
+    *   - ≤ maxCategories distinct values → dictionary path: the small
+    *     distinct set is collected, codes assigned in driver sort order,
+    *     broadcast-joined back. One aggregate + zero shuffles of `df`.
+    *   - above → [[factorizeShuffle]]: dense codes from the sampled-splits
+    *     global-position machinery over the distinct values — fully
+    *     distributed, works at any cardinality (one extra shuffle join).
+    */
+  def factorize(df: DataFrame, valueCol: String, codeCol: String = "code",
+      maxCategories: Int = 65536): DataFrame = {
+    require(maxCategories > 0, "maxCategories must be positive")
+    val distinctVals = df.select(col(valueCol))
       .filter(col(valueCol).isNotNull).distinct()
-      .orderBy(col(valueCol))
-      .collect().map(_.get(0))
+    // fail-fast-free probe: counts at most maxCategories+1 rows, so the
+    // answer is cheap even when the true cardinality is billions
+    val overLimit =
+      distinctVals.limit(maxCategories + 1).count() > maxCategories
+    if (overLimit) return factorizeShuffle(df, valueCol, codeCol)
+    val spark = df.sparkSession
+    // Bounded by the probe above (≤ maxCategories rows reach the driver) —
+    // the same explicit-limit contract as Reshape.getDummies.
+    val values = distinctVals.orderBy(col(valueCol)).collect().map(_.get(0))
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
       df.schema(valueCol).copy(name = valueCol),
-      StructField(codeCol, org.apache.spark.sql.types.IntegerType,
-        nullable = false)))
+      StructField(codeCol, LongType, nullable = false)))
     val dict = spark.createDataFrame(
-      values.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava,
+      values.zipWithIndex.map { case (v, i) => Row(v, i.toLong) }.toSeq.asJava,
       schema)
     df.join(broadcast(dict), Seq(valueCol), "left")
-      .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
+      .withColumn(codeCol, coalesce(col(codeCol), lit(-1L)))
+  }
+
+  /** Shuffle-join factorize for unbounded cardinality: dense codes are the
+    * GLOBAL POSITIONS of the distinct values under value sort order
+    * ([[withGlobalPos]] over the distinct side — codegen sampled-splits, no
+    * driver dictionary), joined back on the value. Both sides shuffle on the
+    * value key; the dictionary side is |distinct| rows, never collected.
+    * Same output contract as [[factorize]]: codes 0..n-1 in value sort
+    * order, nulls → -1. */
+  def factorizeShuffle(df: DataFrame, valueCol: String,
+      codeCol: String = "code"): DataFrame = {
+    val dict = withGlobalPos(
+      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct(),
+      Seq(col(valueCol)), codeCol)
+    df.join(dict, Seq(valueCol), "left")
+      .withColumn(codeCol, coalesce(col(codeCol), lit(-1L)))
   }
 }

@@ -62,6 +62,28 @@ object Relational {
              |  FROM orders)
              |WHERE pos IN (0, 7, 3, 999, 42) ORDER BY pos""".stripMargin)),
 
+    // §2.2 take under a COMPOSITE sort key: same codegen sampled-splits
+    // plan — buckets from the leading column's splits, remaining sort
+    // columns tie-break inside the per-bucket window (no RDD fallback,
+    // no zipWithIndex row boxing).
+    "q_take_multi" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Positional.takePositions(
+            tbl(s, dir, "lineitem")
+              .select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+            Seq($"l_orderkey", $"l_linenumber"),
+            Seq(0L, 1L, 2L, 500L, 2500L, 5999L))
+          .select($"pos", $"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"pos")
+      },
+      Some("""SELECT pos, l_orderkey, l_linenumber, l_quantity FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |         row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+             |           - 1 AS pos
+             |  FROM lineitem)
+             |WHERE pos IN (0, 1, 2, 500, 2500, 5999) ORDER BY pos""".stripMargin)),
+
     // §2.2 scatter/update (reference __setitem__ → immutable CASE WHEN).
     "q_setitem" -> Q(
       (s, dir) => {
@@ -229,6 +251,24 @@ object Relational {
       Some("""SELECT p_partkey, p_type,
              |  dense_rank() OVER (ORDER BY p_type) - 1 AS code
              |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // §2.4 factorize at UNBOUNDED cardinality: the shuffle-join spelling —
+    // dense codes are global positions of the distinct values (codegen
+    // sampled-splits over the distinct side, no driver dictionary, no
+    // broadcast). factorize() auto-switches to this path above
+    // maxCategories; gated explicitly so both spellings stay oracle-green.
+    "q_factorize_shuffle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Positional.factorizeShuffle(
+            tbl(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            "o_custkey")
+          .select($"o_orderkey", $"o_custkey", $"code")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  dense_rank() OVER (ORDER BY o_custkey) - 1 AS code
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // §2.3 joins — broadcast the dims, let AQE/Catalyst pick the big-side
     // strategy. Revenue per nation (TPC-H Q5 flavor).

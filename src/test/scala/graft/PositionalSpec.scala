@@ -35,10 +35,56 @@ class PositionalSpec extends SparkTestBase {
     val df = Seq(Some("b"), None, Some("a"), Some("b"))
       .toDF("v")
     val out = Positional.factorize(df, "v").collect()
-      .map(r => Option(r.getString(0)) -> r.getInt(1))
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
     assert(out.length === 4)
-    assert(out.toSet === Set(Some("a") -> 0, Some("b") -> 1, None -> -1))
-    assert(out.count(_ == (Some("b") -> 1)) === 2)
+    assert(out.toSet === Set(Some("a") -> 0L, Some("b") -> 1L, None -> -1L))
+    assert(out.count(_ == (Some("b") -> 1L)) === 2)
+  }
+
+  test("factorizeShuffle assigns the same codes as the dictionary path") {
+    val df = (0 until 300).map(i => s"val_${i % 37}").toDF("v")
+      .union(Seq.fill(5)(null.asInstanceOf[String]).toDF("v"))
+    def codes(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(codes(Positional.factorizeShuffle(df, "v")) ===
+      codes(Positional.factorize(df, "v")))
+  }
+
+  test("factorize auto-switches to the shuffle path above maxCategories") {
+    val df = Seq("c", "a", "b", "a", null).toDF("v")
+    // 3 distinct > maxCategories=2 → shuffle path, same answer
+    val out = Positional.factorize(df, "v", maxCategories = 2).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(out === Set(Some("a") -> 0L, Some("b") -> 1L, Some("c") -> 2L,
+      None -> -1L))
+  }
+
+  test("multi-column positions equal local sort rank for composite keys") {
+    val rows = scala.util.Random.shuffle(
+      (for { a <- 0L until 20L; b <- 0L until 25L } yield (a, b)).toList)
+    val df = rows.toDF("a", "b").repartition(5)
+    val out = Positional.withGlobalPos(df, Seq($"a", $"b"), "pos")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(got === want)
+    // the multi-key path must stay in the declarative plan — no RDD
+    // drop-out (the old zipWithIndex fallback showed up as ExistingRDD)
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
+  test("multi-column: tie-heavy leading column rides the tie-break") {
+    // only 3 distinct leading values — every split lands on a tie, all
+    // ordering comes from the second column
+    val rows = scala.util.Random.shuffle(
+      (0 until 300).map(i => ((i % 3).toLong, i.toLong)).toList)
+    val got = Positional.withGlobalPos(rows.toDF("a", "b").repartition(4),
+        Seq($"a", $"b"), "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(got === want)
   }
 
   test("takePositions returns exactly the requested ranks") {
