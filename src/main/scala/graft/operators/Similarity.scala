@@ -66,12 +66,28 @@ object Similarity {
       }
     }
 
-  /** Signed-random-projection LSH bucket id (one bit per hyperplane). */
-  def lshBucket(v: Column, ps: Seq[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (w, p) =>
-      val lw = array(w.map(lit): _*)
-      when(dot(v, lw) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Signed-random-projection LSH bucket id (one bit per hyperplane).
+    *
+    * The whole plane matrix is ONE typedLit literal (a single Catalyst
+    * node) folded with `aggregate` — NOT numPlanes × dim individual
+    * `lit()` expressions, which would bloat the plan the same way inlined
+    * centroids did (see [[cellFor]]); 64 planes × 1024 dims would be 65k
+    * Literal nodes. Same 2^22-double guard as the centroid literal: beyond
+    * ~32 MB of plan-side data a literal matrix is the wrong tool. */
+  def lshBucket(v: Column, ps: Seq[Array[Double]]): Column = {
+    val planeDoubles = ps.iterator.map(_.length.toLong).sum
+    require(planeDoubles <= (1L << 22),
+      s"plane matrix too large for literal inlining ($planeDoubles doubles " +
+        s"> 2^22); reduce numPlanes/dim")
+    // each entry carries its precomputed bit value (1L << planeIndex) so
+    // the fold is a pure add — no variable-distance shift expression needed
+    val mat = typedLit(ps.zipWithIndex.map { case (w, p) =>
+        (1L << p, w.toSeq) })
+      .cast("array<struct<bit:bigint,w:array<double>>>")
+    aggregate(mat, lit(0L), (acc, pl) =>
+      acc + when(dot(v, pl.getField("w")) > 0, pl.getField("bit"))
+        .otherwise(lit(0L)))
+  }
 
   /** Driver-side centroid: id, vector, precomputed norm. Centroid sets are
     * tiny by construction (k ≤ a few thousand · dim doubles), so holding

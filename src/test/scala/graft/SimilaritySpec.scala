@@ -44,6 +44,26 @@ class SimilaritySpec extends SparkTestBase {
       s"expected >= ${queryIds.length} brute-force hits, got $hits")
   }
 
+  test("lshBucket fails fast on a plane matrix too large to inline") {
+    // 64 planes × 70k dims ≈ 4.5M doubles > the 2^22 literal guard — must
+    // raise instead of silently planting a 36 MB literal in the plan
+    val huge = Seq.fill(64)(new Array[Double](70000))
+    intercept[IllegalArgumentException](
+      Similarity.lshBucket(lit(0), huge))
+  }
+
+  test("lshBucket literal-fold matches the per-plane spelling") {
+    // independent re-derivation of the bucket id for a known vector
+    val ps = Similarity.planes(numPlanes = 6, dim = 8)
+    val v = Array.tabulate(8)(i => (i - 3).toDouble / 2.0)
+    val expected = ps.zipWithIndex.map { case (w, p) =>
+      if (w.zip(v).map { case (a, b) => a * b }.sum > 0) 1L << p else 0L
+    }.sum
+    val got = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(Similarity.lshBucket($"v", ps).as("b")).head().getLong(0)
+    assert(got === expected)
+  }
+
   test("nProbe recall ladder: monotone, and nProbe=|cells| == brute force") {
     val k = 5
     val nc = 4
