@@ -26,13 +26,18 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no unpartitioned Window.orderBy in any optimized plan") {
-    // A global window is only fatal over full-cardinality input. Same
-    // principle as the shuffle guard below: once a global AGGREGATE has
-    // reduced the stream (e.g. per-bucket counts, ≤ shuffle-partitions
-    // rows), a single-partition window over the residue is bounded.
+    // A global window is only fatal over full-cardinality input. But NOT
+    // every Aggregate child reduces: a groupBy on a full-cardinality key
+    // reduces nothing. Exempt only aggregates with PROVABLY bounded
+    // grouping: empty grouping (global aggregate → ≤ 1 row) or the
+    // global-position bucket pattern (__gp_b has ≤ shuffle-partitions + 1
+    // distinct values by construction — a sum of ≤ n split indicators).
     @scala.annotation.tailrec
     def reduced(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          (a.groupingExpressions.size == 1 &&
+            a.aggregateExpressions.exists(_.name == "__gp_b"))
       case p: Project => reduced(p.child)
       case f: Filter => reduced(f.child)
       case _ => false
