@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * mapInPandas/Arrow-batch shape: bounded memory per batch regardless of
   * blob count per partition).
   *
-  * Image DIMENSIONS are decoded for real (pure header parsing — JPEG
-  * SOF/PNG IHDR/GIF logical screen, [[ImageHeaders]]); only the
-  * pixel-level EMBED kernel is stubbed ([[FakeCodec.embed]] derives
-  * deterministic pseudo-features) because this container ships no native
-  * codecs. The schema, partitioning, batching and operator signatures are
-  * the real, tested surface; swap the embed stub for a JNI/javacpp encoder
-  * to go live.
+  * The decode/embed stage is PLUGGABLE behind [[Codec]]: [[ImageIoCodec]]
+  * is a real pure-JVM implementation (javax.imageio pixel decode + a fixed
+  * downsampled-luminance projection — JPEG/PNG/GIF/BMP, no native deps) and
+  * the default; [[FakeCodec]] is the deterministic test stand-in and the
+  * fallback for modalities the JDK cannot decode (video/audio). A
+  * production CLIP-style encoder drops in as another Codec without touching
+  * the operator. Image DIMENSIONS are always decoded for real where the
+  * header admits it (pure header parsing — JPEG SOF/PNG IHDR/GIF logical
+  * screen, [[ImageHeaders]]).
   */
 object Multimodal {
 
@@ -126,20 +128,29 @@ object Multimodal {
     }
   }
 
-  /** STUB codec: deterministic pseudo-decode so the PIXEL pipeline is
-    * testable without native codecs. Dimensions are REAL where the header
-    * admits it ([[ImageHeaders]]); only the pixel-level embed remains a
-    * stub — replace with a real encoder (`???` marks the swap point)
-    * keeping the signature. */
-  object FakeCodec {
-    /** Real header parse for JPEG/PNG/GIF; deterministic pseudo-dims only
-      * for formats that genuinely need a codec (video/audio/unknown). */
+  /** Pluggable pixel codec: the injection point for real encoders. Must be
+    * Serializable (instances ship to executors inside the mapPartitions
+    * closure) and deterministic (same bytes → same features) so decode
+    * stages are retry-safe under task re-execution. */
+  trait Codec extends Serializable {
+    /** (width, height) of the decoded media. */
+    def decodeDims(bytes: Array[Byte]): (Int, Int)
+    /** Fixed-`dim` feature vector from the raw bytes. */
+    def embed(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic TEST codec: pseudo-decode so the pixel pipeline is
+    * testable for any modality without decoders. Dimensions are REAL where
+    * the header admits it ([[ImageHeaders]]); features are a pure hash of
+    * the bytes. */
+  object FakeCodec extends Codec {
+    /** Real header parse for JPEG/PNG/GIF; deterministic pseudo-dims for
+      * formats that genuinely need a decoder (video/audio/unknown). */
     def decodeDims(bytes: Array[Byte]): (Int, Int) =
       ImageHeaders.dims(bytes).getOrElse {
         val h = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
         ((h % 640 + 64).toInt, (h / 640 % 480 + 48).toInt)
       }
-    // real impl: ??? (CNN/CLIP-style encoder over decoded pixels)
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1469598103934665603L
       val out = new Array[Float](dim)
@@ -155,19 +166,74 @@ object Multimodal {
     }
   }
 
-  /** Decode + embed in bounded batches per partition. The grouped iterator
-    * is the batch contract: at most `batchSize` blobs are resident per
-    * step, independent of partition size — the property that keeps
-    * executors alive when blobs are MBs each. */
+  /** REAL pure-JVM image codec: `javax.imageio` pixel decode (JPEG/PNG/
+    * GIF/BMP ship with the JDK — no native deps) + a fixed
+    * downsampled-luminance projection as the embedding: the image is
+    * average-pooled onto a ⌈√dim⌉² luminance grid (BT.601 luma weights),
+    * the first `dim` cells are emitted normalized to [-0.5, 0.5]. A crude
+    * but REAL content embedding: deterministic, resolution-invariant-ish,
+    * and nearby crops map to nearby vectors — the standard cheap baseline
+    * before a learned encoder. Non-decodable bytes (video/audio/corrupt)
+    * fall back to [[FakeCodec]] so mixed-modality batches never throw. */
+  object ImageIoCodec extends Codec {
+    private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decodeDims(bytes: Array[Byte]): (Int, Int) =
+      read(bytes).map(im => (im.getWidth, im.getHeight))
+        .orElse(ImageHeaders.dims(bytes))
+        .getOrElse(FakeCodec.decodeDims(bytes))
+
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] =
+      read(bytes) match {
+        case None => FakeCodec.embed(bytes, dim)
+        case Some(im) =>
+          val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+          val w = im.getWidth; val h = im.getHeight
+          val sums = new Array[Double](g * g)
+          val counts = new Array[Long](g * g)
+          var y = 0
+          while (y < h) {
+            val gy = math.min(y * g / h, g - 1)
+            var x = 0
+            while (x < w) {
+              val gx = math.min(x * g / w, g - 1)
+              val rgb = im.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              sums(gy * g + gx) += lum
+              counts(gy * g + gx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Array.tabulate(dim) { d =>
+            if (d < g * g && counts(d) > 0)
+              (sums(d) / counts(d) / 255.0 - 0.5).toFloat
+            else 0.0f
+          }
+      }
+  }
+
+  /** Decode + embed in bounded batches per partition with the given codec
+    * ([[ImageIoCodec]] by default — real JDK pixel decode; inject
+    * [[FakeCodec]] for hermetic tests or a production encoder for real
+    * features). The grouped iterator is the batch contract: at most
+    * `batchSize` blobs are resident per step, independent of partition
+    * size — the property that keeps executors alive when blobs are MBs
+    * each. Size partitions with [[rebalance]] (scan-free, AQE-driven)
+    * before this stage. */
   def decodeAndEmbed(media: Dataset[MediaRow], dim: Int = 16,
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+      batchSize: Int = 64, codec: Codec = ImageIoCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h) = FakeCodec.decodeDims(r.bytes)
+          val (w, h) = codec.decodeDims(r.bytes)
           MediaFeatures(r.media_id, r.kind, w, h,
-            FakeCodec.embed(r.bytes, dim))
+            codec.embed(r.bytes, dim))
         }
       }
     }
@@ -188,13 +254,12 @@ object Multimodal {
     }
   }
 
-  /** Size-aware repartition before a decode stage: ~`targetBytes` of blob
-    * per partition, so one huge partition can't OOM the codec.
-    *
-    * The sizing aggregate is an extra planning scan over the blob column —
-    * acceptable when the decode stage it protects dwarfs it, but at 100 TB
-    * prefer [[rebalance]], which lets AQE size partitions from runtime
-    * shuffle statistics with NO pre-scan. */
+  /** EXPLICIT OPT-IN size-aware repartition: ~`targetBytes` of blob per
+    * partition, so one huge partition can't OOM the codec. Prefer
+    * [[rebalance]] — the recommended decode-sizing path — which gets the
+    * same bound from AQE's runtime shuffle statistics with NO pre-scan;
+    * this variant costs an extra full scan over the blob column for an
+    * exact up-front count, useful only when AQE is off. */
   def repartitionBySize(df: DataFrame, bytesCol: Column,
       targetBytes: Long): DataFrame = {
     val total = df.select(coalesce(sum(octet_length(bytesCol)).cast("long"),

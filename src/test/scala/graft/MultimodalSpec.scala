@@ -119,6 +119,62 @@ class MultimodalSpec extends SparkTestBase {
       3L -> ((320, 200))))
   }
 
+  // a REAL PNG rendered through the JDK: 8×6, left half dark gray (64),
+  // right half light gray (192) — known luminance structure
+  private def realPng: Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val v = if (x < 4) 64 else 192
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real pixels: dims + luminance-grid embedding") {
+    val bytes = realPng
+    assert(Multimodal.ImageIoCodec.decodeDims(bytes) === ((8, 6)))
+    // dim=4 → 2×2 grid; gray luma == the gray value exactly (BT.601 weights
+    // sum to 1), so left cells ≈ 64/255-0.5, right cells ≈ 192/255-0.5
+    val e = Multimodal.ImageIoCodec.embed(bytes, 4)
+    assert(e.length === 4)
+    val dark = 64f / 255f - 0.5f
+    val light = 192f / 255f - 0.5f
+    assert(math.abs(e(0) - dark) < 1e-3, s"e0=${e(0)}")
+    assert(math.abs(e(1) - light) < 1e-3, s"e1=${e(1)}")
+    assert(math.abs(e(2) - dark) < 1e-3)
+    assert(math.abs(e(3) - light) < 1e-3)
+    // deterministic
+    assert(e.toSeq === Multimodal.ImageIoCodec.embed(bytes, 4).toSeq)
+  }
+
+  test("ImageIoCodec falls back to FakeCodec for non-decodable bytes") {
+    val junk = blob(500, 11)
+    assert(Multimodal.ImageIoCodec.embed(junk, 8).toSeq ===
+      Multimodal.FakeCodec.embed(junk, 8).toSeq)
+    assert(Multimodal.ImageIoCodec.decodeDims(junk) ===
+      Multimodal.FakeCodec.decodeDims(junk))
+  }
+
+  test("decodeAndEmbed is codec-pluggable and runs both codecs distributed") {
+    val ds = Seq(MediaRow(1L, "image", realPng, 0, 0, 0),
+        MediaRow(2L, "audio", blob(300, 5), 0, 0, 0))
+      .toDS().repartition(2)
+    val real = Multimodal.decodeAndEmbed(ds, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    val fake = Multimodal.decodeAndEmbed(ds, dim = 4,
+        codec = Multimodal.FakeCodec).collect()
+      .map(f => f.media_id -> f).toMap
+    // the real PNG: real pixel dims either way, but only the default
+    // (ImageIoCodec) embedding reflects pixel content
+    assert(real(1L).out_width === 8 && real(1L).out_height === 6)
+    assert(real(1L).embedding.toSeq !== fake(1L).embedding.toSeq)
+    // non-image rows: both codecs agree (ImageIoCodec falls back)
+    assert(real(2L).embedding.toSeq === fake(2L).embedding.toSeq)
+  }
+
   test("repartitionBySize bounds blob bytes per partition") {
     val df = media.toDF()
     val out = Multimodal.repartitionBySize(df, $"bytes", targetBytes = 1000)
