@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Stream/batch parity gates (SURVEY.md §2.10, beyond-parity — the
+  * reference has no streaming). The streaming surface is driven through the
+  * REAL production entry (file-source micro-batches over the events
+  * parquet), drained with an AvailableNow trigger, and the finite result is
+  * value-compared against the same aggregation computed by the DuckDB
+  * oracle — so the streaming operators are held to the same hash-equality
+  * bar as every batch operator, not just spec assertions.
+  *
+  * Determinism note: the windowed VALUE sum goes through DECIMAL (exact,
+  * association-independent) — a double sum's value would depend on
+  * micro-batch arrival order, which no cross-engine compare can pin.
+  */
+object Streaming {
+
+  /** The parquet file source streams a DIRECTORY of arriving files; the
+    * testdata ships one flat events.parquet per sf. Stage it into a
+    * scratch directory (idempotent, keyed by sf dir) — exactly the
+    * production layout, where each arriving file is one micro-batch. */
+  private def stageEventsDir(dir: String): String = {
+    val stage = java.nio.file.Paths.get(
+      "/tmp/graft_stream_stage", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stage.toString
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_stream_window_parity" -> Q(
+      (s, dir) => {
+        val stream = Streams.eventStream(s, stageEventsDir(dir))
+          .withColumn("value", col("value").cast("decimal(38,6)"))
+        val agg = Streams.windowedCounts(stream,
+          width = "1 hour", slide = "1 hour", maxDelay = "1 hour")
+        Streams.runToTable(agg, "stream_window_parity")
+          .select(col("w_start"), col("w_end"), col("event_type"), col("n"),
+            col("total_value").cast("double").as("total_value"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+             |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS w_end,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY 1, 2, 3
+             |ORDER BY w_start, event_type""".stripMargin))
+  )
+}

@@ -1,8 +1,9 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (beyond-parity: the reference has no
   * streaming, SURVEY.md §2.10) over the `events` stream shape
@@ -63,6 +64,27 @@ object Streams {
   def dedupStream(events: DataFrame, maxDelay: String): DataFrame =
     events.withWatermark("ts", maxDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  private val runSeq = new AtomicLong(0)
+
+  /** Drain a FINITE stream to completion and return the result as a batch
+    * DataFrame: AvailableNow trigger (process everything currently in the
+    * source, then stop) into a Complete-mode memory sink. This is the
+    * bounded-replay face of the streaming surface — it lets a stream plan
+    * be value-compared against a batch/oracle computation of the same
+    * aggregation (the stream/batch parity gate). Table names are
+    * uniquified per run; the tiny memory sink holds only the AGGREGATED
+    * result, never the input. */
+  def runToTable(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(unique)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(unique)
+  }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count and mean value, emitted on every update — the
