@@ -50,6 +50,42 @@ object Streaming {
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
              |FROM events
              |GROUP BY 1, 2, 3
-             |ORDER BY w_start, event_type""".stripMargin))
+             |ORDER BY w_start, event_type""".stripMargin)),
+
+    // Streaming SESSION windows vs the oracle's gap-session SQL. Boundary
+    // semantics pinned exactly: Spark's session window is [start, last+gap)
+    // — end-EXCLUSIVE — so an event arriving at exactly `gap` after the
+    // previous one starts a NEW session (windows [t1,t1+g) and [t2,t2+g)
+    // merge iff t2 < t1+g). The oracle therefore flags `diff >= gap`, NOT
+    // the `diff > gap` of the batch Sessionize operator's oracle.
+    "q_stream_session_parity" -> Q(
+      (s, dir) => {
+        val stream = Streams.eventStream(s, stageEventsDir(dir))
+          .withColumn("value", col("value").cast("decimal(38,6)"))
+        val agg = Streams.sessionize(stream, gap = "30 minutes",
+          maxDelay = "1 hour")
+        Streams.runToTable(agg, "stream_session_parity")
+          .select(col("user_id"), col("s_start"), col("s_end"),
+            col("n_events"),
+            col("session_value").cast("double").as("session_value"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
+             |  FROM events),
+             |sessions AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |         ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, MIN(ts) AS s_start,
+             |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS session_value
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin))
   )
 }
