@@ -7,8 +7,11 @@ import org.apache.spark.sql.types.StructType
 
 /** As-of (nearest-key temporal) join — pandas `merge_asof` / DuckDB
   * `ASOF JOIN` semantics: for every left row, attach the right row with the
-  * same key whose time is the greatest ≤ the left time (backward; inclusive)
-  * or the least ≥ it (forward), optionally within a tolerance.
+  * same key whose time is the greatest ≤ the left time (backward), the
+  * least ≥ it (forward), or whichever of those two is closer (nearest;
+  * backward wins ties), optionally within a tolerance and optionally
+  * excluding exact-time matches (`allowExactMatches = false`) — the full
+  * pandas `merge_asof` parameter surface.
   *
   * Spark has no native as-of join, and the naive spellings both fail at
   * 100 TB: a range-condition join explodes to the full per-key cross
@@ -49,23 +52,31 @@ import org.apache.spark.sql.types.StructType
 object AsofJoin {
 
   /** @param keys        equality key column names (same names both sides)
-    * @param leftTime    left ordering column (numeric or timestamp)
+    * @param leftTime    left ordering column (numeric or timestamp; for
+    *                    direction=nearest it must be numeric, so gaps
+    *                    subtract)
     * @param rightTime   right ordering column (same type as leftTime)
     * @param rightPayload right columns to attach; emitted as
     *                    `prefix + name`, plus the matched right time as
     *                    `prefix + rightTime`
-    * @param direction   "backward" (greatest right time ≤ left, inclusive)
-    *                    or "forward" (least right time ≥ left, inclusive)
+    * @param direction   "backward" (greatest right time ≤ left),
+    *                    "forward" (least right time ≥ left), or "nearest"
+    *                    (whichever of the two has the smaller |gap|;
+    *                    backward wins ties — pandas merge_asof semantics)
     * @param tolerance   max |leftTime − rightTime| in the time column's
     *                    units; matches beyond it become NULL (left row kept)
+    * @param allowExactMatches false excludes right rows at EXACTLY the left
+    *                    time (pandas allow_exact_matches=False): backward
+    *                    becomes strictly-less-than, forward strictly-greater
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
       direction: String = "backward", tolerance: Option[Long] = None,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one equality key")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
 
     // Union layout: every left column + ONE packed (payload..., time) struct
@@ -93,38 +104,63 @@ object AsofJoin {
         Seq(pack.as("__asof_s"),
           col(rightTime).as("__ord"), lit(0).as("__side")): _*)
 
-    val backward = direction == "backward"
-    val ord = if (backward) col("__ord").asc_nulls_first
-              else col("__ord").desc_nulls_last
-    // Right rows sort before left rows at equal times → equality matches
-    // are visible (inclusive), in both directions. The struct tie-break
+    // Running fill for one direction. Right rows sort BEFORE left rows at
+    // equal times when exact matches are allowed (side asc: 0 < 1), AFTER
+    // them when excluded (side desc) — so the running last() at a left row
+    // either sees or skips the same-time right row. The struct tie-break
     // orders duplicate (keys, rightTime) right rows deterministically:
     // last() picks the greatest (payload..., time) tuple.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ord, col("__side").asc, col("__asof_s").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(backward: Boolean): Column = {
+      val ord = if (backward) col("__ord").asc_nulls_first
+                else col("__ord").desc_nulls_last
+      val side = if (allowExactMatches) col("__side").asc
+                 else col("__side").desc
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(ord, side, col("__asof_s").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__asof_s"), ignoreNulls = true).over(w)
+    }
 
-    val filled = lSide.unionByName(rSide)
-      .withColumn("__asof_s", last(col("__asof_s"), ignoreNulls = true).over(w))
-
-    val matchedT = col("__asof_s").getField("__rt")
     // A NULL left time matches nothing (pandas merge_asof rejects NaT
     // outright; we keep the row, unmatched). Without this, the forward
     // direction's desc_nulls_last order would hand null-time rows the
     // window's final running value as a spurious match.
     val validLeft = col(leftTime).isNotNull
-    val gapOk: Column = tolerance match {
-      case None => validLeft
-      case Some(tol) =>
-        val gap = if (backward) col(leftTime) - matchedT
-                  else matchedT - col(leftTime)
-        validLeft && gap <= lit(tol)
+    // Gate one direction's candidate struct by validity + tolerance.
+    // (Exact-match exclusion needs no gate: the side sort order above
+    // already hides same-time right rows from the running fill.)
+    def gated(s: Column, backward: Boolean): Column = {
+      val gap = if (backward) col(leftTime) - s.getField("__rt")
+                else s.getField("__rt") - col(leftTime)
+      val ok = tolerance.foldLeft(validLeft)((c, tol) => c && gap <= lit(tol))
+      when(ok, s)
     }
-    // Null the whole struct when the match fails the gap/validity test, then
-    // unpack — field nulls inside a surviving struct are the matched row's
-    // own nulls, by construction.
+
+    val unioned = lSide.unionByName(rSide)
+    val filled = direction match {
+      case "nearest" =>
+        // both running fills share the one hash shuffle (same partitioning;
+        // two sorts); the smaller-gap candidate wins, backward on ties —
+        // pandas merge_asof nearest semantics
+        val b = gated(fill(backward = true), backward = true)
+        val f = gated(fill(backward = false), backward = false)
+        val bGap = col(leftTime) - col("__b").getField("__rt")
+        val fGap = col("__f").getField("__rt") - col(leftTime)
+        unioned
+          .withColumn("__b", b).withColumn("__f", f)
+          .withColumn("__asof_s",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(bGap <= fGap, col("__b")).otherwise(col("__f")))
+          .drop("__b", "__f")
+      case d =>
+        unioned.withColumn("__asof_s",
+          gated(fill(backward = d == "backward"), backward = d == "backward"))
+    }
+
+    // Unpack the surviving struct — field nulls inside it are the matched
+    // row's own nulls, by construction.
     filled
-      .withColumn("__asof_s", when(gapOk, col("__asof_s")))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightPayload.map(p =>

@@ -410,6 +410,48 @@ object Relational {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // §2.3 extension: as-of NEAREST direction (pandas merge_asof parity —
+    // DuckDB has no native nearest, so the oracle composes a backward and
+    // a forward ASOF join and picks the smaller gap, backward on ties:
+    // an independent spelling of the same semantics). Same one-shuffle
+    // union+window plan; the two direction fills share the hash exchange.
+    "q_asof_nearest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = tbl(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"event_id".as("err_id"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("err_id"), direction = "nearest")
+          .select($"event_id", $"user_id",
+            $"asof_err_id".as("near_error_id"),
+            timestamp_micros(expr("asof_ts div 1000")).as("near_error_time"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT * FROM events WHERE event_type = 'error'),
+             |b AS (SELECT l.event_id, l.user_id, l.ts,
+             |             r.event_id AS b_id, r.ts AS b_ts
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+             |f AS (SELECT l.event_id, r.event_id AS f_id, r.ts AS f_ts
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+             |SELECT b.event_id, b.user_id,
+             |  CASE WHEN f_ts IS NULL THEN b_id
+             |       WHEN b_ts IS NULL THEN f_id
+             |       WHEN b.ts - b_ts <= f_ts - b.ts THEN b_id
+             |       ELSE f_id END AS near_error_id,
+             |  CASE WHEN f_ts IS NULL THEN b_ts
+             |       WHEN b_ts IS NULL THEN f_ts
+             |       WHEN b.ts - b_ts <= f_ts - b.ts THEN b_ts
+             |       ELSE f_ts END AS near_error_time
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // §2.3 extension: point-in-interval range join (operators.RangeJoin) —
     // clicks within 10 minutes after an error, per user. Bin blocking makes
     // this an equi-join on (key, bin) + a narrow exact filter; the naive

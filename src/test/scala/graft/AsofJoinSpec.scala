@@ -82,6 +82,44 @@ class AsofJoinSpec extends SparkTestBase {
     assert(m("l2") === null) // (a,2) shares k1 only — no leak across k2
   }
 
+  test("nearest: smaller gap wins, backward breaks ties") {
+    val m = run("nearest")
+    assert(m("l1") === ((1.0, 10L)))   // exact match, gap 0
+    assert(m("l2") === ((2.0, 25L)))   // forward gap 5 < backward gap 10
+    assert(m("l3") === ((2.0, 25L)))   // backward gap 5, nothing forward
+    assert(m("l4") === ((3.0, 14L)))   // TIE (gap 1 both ways) → backward
+    assert(m("l5") === ((null, null)))
+  }
+
+  test("nearest with tolerance nulls both directions beyond the gap") {
+    val l = Seq(("a", 100L, "far")).toDF("k", "t", "tag")
+    val r = Seq(("a", 80L, 1.0), ("a", 130L, 2.0)).toDF("k", "rt", "v")
+    // gaps 20 back / 30 forward; tol 25 keeps only backward, tol 10 none
+    val keep = AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"),
+      direction = "nearest", tolerance = Some(25L)).head()
+    assert(keep.getAs[Any]("asof_v") === 1.0)
+    val none = AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"),
+      direction = "nearest", tolerance = Some(10L)).head()
+    assert(none.getAs[Any]("asof_v") === null)
+  }
+
+  test("allowExactMatches=false excludes same-time right rows") {
+    // backward: l1 at t=10 must skip the right row at 10 and find nothing
+    // earlier; l2 at 20 still matches 10
+    val m = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"),
+        allowExactMatches = false)
+      .collect().map(r => r.getAs[String]("tag") ->
+        ((r.getAs[Any]("asof_v"), r.getAs[Any]("asof_rt")))).toMap
+    assert(m("l1") === ((null, null)))
+    assert(m("l2") === ((1.0, 10L)))
+    // forward: l1 at 10 skips 10, takes 25
+    val f = AsofJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"),
+        direction = "forward", allowExactMatches = false)
+      .collect().map(r => r.getAs[String]("tag") ->
+        r.getAs[Any]("asof_rt")).toMap
+    assert(f("l1") === 25L)
+  }
+
   test("match atomicity: a matched row's NULL payload stays NULL") {
     // the matched right row (t=2) has v=NULL; the older row's v=5.0 must
     // NOT leak forward into the match (pandas merge_asof returns the
