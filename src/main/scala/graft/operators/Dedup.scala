@@ -215,4 +215,36 @@ object Dedup {
         jaccard(col("h1"), col("h2")).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * k-gram with an evaluation set. Returns (id, n_overlap) for each
+    * NON-eval document with ≥ 1 distinct k-gram hash in common with ANY
+    * eval document (`isEval` marks the eval rows inside `docs`).
+    *
+    * This is the standard n-gram test-set-overlap filter (GPT-3 appx C /
+    * PaLM-style); real pipelines use k ≈ 8-13 — callers pick k, the gate
+    * uses a small k only because its synthetic documents are short.
+    *
+    * Scale: the eval side reduces to DISTINCT gram hashes — benchmarks are
+    * tiny next to a 100 TB corpus, so with `broadcastEval` (default) the
+    * train side is scanned once with a broadcast-hash semi-ish join and
+    * NEVER shuffled; only (id, hash) pairs of actually-contaminated grams
+    * reach the final per-doc count. Set `broadcastEval=false` if the eval
+    * gram set genuinely exceeds broadcast size — same plan, shuffle join.
+    */
+  def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
+      isEval: Column, k: Int, broadcastEval: Boolean = true): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isEval.as("__is_eval"),
+        col(textCol).as("__text"))
+      .filter(size(tokens(col("__text"))) >= k)
+      .select(col("id"), col("__is_eval"),
+        explode(shingleHashes(col("__text"), k)).as("h"))
+    val evalGrams = sh.filter(col("__is_eval")).select(col("h")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    // (id, h) is unique per doc (shingleHashes is distinct), so count(*)
+    // after the gram join IS the distinct-overlap count — no countDistinct.
+    sh.filter(!col("__is_eval")).select(col("id"), col("h"))
+      .join(evalSide, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+  }
 }

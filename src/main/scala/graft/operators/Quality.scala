@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Corpus quality-filtering operators beyond the per-row heuristics in
+  * [[TextOps]]: n-gram repetition signals (the Gopher/C4 family of filters)
+  * and PII redaction.
+  *
+  * Scale design: repetition signals shuffle only (doc_id, gram-hash)
+  * pairs — never the document text — and aggregate map-side first; PII
+  * redaction is a pure narrow regexp projection (codegen'd, no UDFs).
+  */
+object Quality {
+
+  /** Per-document word n-gram repetition signals for each k in `ks`:
+    *
+    *   - `top{k}_frac` — occurrences of the single most frequent k-gram
+    *     divided by the total k-gram count (Gopher's "fraction of text in
+    *     the most common n-gram", word-level);
+    *   - `dup{k}_frac` — fraction of k-gram occurrences whose gram appears
+    *     more than once (Gopher's "duplicate n-gram fraction").
+    *
+    * Only documents with at least `max(ks)` tokens are scored — shorter
+    * documents have no k-gram for the largest k and belong to a length
+    * filter, not a repetition filter.
+    *
+    * Scale: explode → groupBy(doc, gram-HASH) — the shuffle carries two
+    * longs per occurrence, not text; partial aggregation collapses repeats
+    * map-side, so a pathological million-token spam doc contributes its
+    * distinct-gram count to the shuffle, not its length. Signals for all
+    * ks are computed from independent shuffles and joined back on doc_id
+    * (each side already reduced to one row per doc).
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val scored = docs
+      .filter(size(tokens(col(textCol))) >= ks.max)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    ks.map { k =>
+      // gram identity = PolyHash of the space-joined gram: collision-safe
+      // enough for a quality *signal* and 8 bytes instead of k words.
+      val grams = scored.select(col("doc_id"),
+        explode(transform(shingles(col("__text"), k),
+          s => graft.expressions.TextExpressions.polyHash(s))).as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          (max(col("n")) / sum(col("n"))).as(s"top${k}_frac"),
+          (sum(when(col("n") > 1, col("n")).otherwise(0L)) / sum(col("n")))
+            .as(s"dup${k}_frac"))
+    }.reduce(_.join(_, Seq("doc_id")))
+  }
+
+  // ---- PII patterns (shared with the DuckDB oracle via DuckFrag; kept to
+  // the RE2-safe common subset of Java and RE2 regex: no backrefs, no
+  // lookaround) ----
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Match counts per PII class, before redaction. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(text, lit(Ipv4Re)),
+      regexp_count(text, lit(PhoneRe)))
+
+  /** Redact PII in place: emails → `<EMAIL>`, IPv4s → `<IP>`, then
+    * phone-shaped digit groups → `<PHONE>`. Order matters — emails and IPs
+    * are replaced first so their digit runs can't be re-matched as phones.
+    * A pure narrow projection: no shuffle, codegen'd regexp. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+}

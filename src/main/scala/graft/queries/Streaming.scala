@@ -86,6 +86,24 @@ object Streaming {
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
              |    AS session_value
              |FROM sessions GROUP BY user_id, sid
-             |ORDER BY user_id, s_start""".stripMargin))
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) vs batch
+    // DISTINCT: the emitted KEY SET must match exactly. Only the key
+    // columns are compared — which duplicate arrives first is an
+    // arrival-order artifact no cross-engine compare can pin, but the set
+    // of distinct keys is deterministic.
+    "q_stream_dedup_parity" -> Q(
+      (s, dir) => {
+        val stream = Streams.eventStream(s, stageEventsDir(dir))
+        val dd = Streams.dedupStream(
+          stream.select(col("ts"), col("user_id"), col("event_type")),
+          maxDelay = "1 hour", keys = Seq("user_id", "event_type"))
+        Streams.runToTableAppend(dd, "stream_dedup_parity")
+          .select(col("user_id"), col("event_type"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }

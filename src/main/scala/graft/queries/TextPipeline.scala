@@ -353,6 +353,116 @@ object TextPipeline {
               |  FROM documents)
               |SELECT doc_id, ${DuckFrag.polyHashSql("text")} AS fp,
               |       list_min(${DuckFrag.shingleHashesSql(5)}) AS min_shingle
-              |FROM toks ORDER BY doc_id""".stripMargin))
+              |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style n-gram repetition signals (top-gram fraction + duplicate
+    // gram fraction, word-level, k = 2 and 3). Shuffle carries only
+    // (doc_id, gram-hash) longs — never text (operators.Quality).
+    "q_pipe_repetition" -> Q(
+      (s, dir) => graft.operators.Quality
+        .repetitionSignals(docs(s, dir), "text", "doc_id", Seq(2, 3))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |ok AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+              |${Seq(2, 3).map { k =>
+                 s"""g$k AS (
+                 |  SELECT doc_id, unnest(list_transform(list_transform(
+                 |    range(1, len(w)-${k - 2}),
+                 |    i -> array_to_string(list_slice(w, i, i+${k - 1}), ' ')),
+                 |    s -> ${DuckFrag.polyHashSql("s")})) AS g
+                 |  FROM ok),
+                 |c$k AS (SELECT doc_id, g, count(*) AS n
+                 |        FROM g$k GROUP BY 1, 2),
+                 |s$k AS (
+                 |  SELECT doc_id,
+                 |    CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 |      AS top${k}_frac,
+                 |    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) /
+                 |      CAST(sum(n) AS DOUBLE) AS dup${k}_frac
+                 |  FROM c$k GROUP BY 1)""".stripMargin
+               }.mkString(",\n")}
+              |SELECT s2.doc_id AS doc_id, top2_frac, dup2_frac,
+              |       top3_frac, dup3_frac
+              |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: training docs (doc_id % 20 <> 0) sharing
+    // any word 3-gram with the eval slice (doc_id % 20 = 0). The eval gram
+    // set is DISTINCT'd and broadcast, so the 100 TB train side is never
+    // shuffled (operators.Dedup.ngramContamination). Real pipelines use
+    // k ≈ 8-13; the synthetic docs are short, hence k = 3 at gate scale.
+    "q_pipe_decontam" -> Q(
+      (s, dir) => graft.operators.Dedup
+        .ngramContamination(docs(s, dir), "text", "doc_id",
+          col("doc_id") % 20 === 0, k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""${shingleCte(3)},
+              |e AS (SELECT DISTINCT unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 = 0),
+              |t AS (SELECT doc_id, unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 <> 0)
+              |SELECT t.doc_id AS doc_id, count(*) AS n_overlap
+              |FROM t JOIN e USING (hh)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction (operators.Quality): the testdata carries
+    // no PII, so the gate deterministically injects synthetic emails /
+    // phones / IPs from doc_id before counting and redacting — the regex
+    // surface is what is under test. Patterns live in Quality.* and the
+    // oracle embeds the SAME strings (RE2-safe subset, no lookaround).
+    "q_pipe_pii_redact" -> Q(
+      (s, dir) => {
+        val Q_ = graft.operators.Quality
+        val injected = concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit("")))
+        val (nEmail, nIp, nPhone) = Q_.piiCounts(col("pii_text"))
+        docs(s, dir).select(col("doc_id"), injected.as("pii_text"))
+          .select(col("doc_id"),
+            nEmail.as("n_email"), nIp.as("n_ip"), nPhone.as("n_phone"),
+            Q_.redactPii(col("pii_text")).as("redacted"))
+          .filter(col("n_email") + col("n_ip") + col("n_phone") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH pii AS (
+              |  SELECT doc_id, text
+              |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+              |            || doc_id || '@example.com' ELSE '' END
+              |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+              |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |            ELSE '' END
+              |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+              |            || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              |            ELSE '' END AS pii_text
+              |  FROM documents),
+              |counted AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(pii_text,
+              |      '${graft.operators.Quality.EmailRe}')) AS INTEGER)
+              |      AS n_email,
+              |    CAST(len(regexp_extract_all(pii_text,
+              |      '${graft.operators.Quality.Ipv4Re}')) AS INTEGER)
+              |      AS n_ip,
+              |    CAST(len(regexp_extract_all(pii_text,
+              |      '${graft.operators.Quality.PhoneRe}')) AS INTEGER)
+              |      AS n_phone,
+              |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+              |      '${graft.operators.Quality.EmailRe}', '<EMAIL>', 'g'),
+              |      '${graft.operators.Quality.Ipv4Re}', '<IP>', 'g'),
+              |      '${graft.operators.Quality.PhoneRe}', '<PHONE>', 'g')
+              |      AS redacted
+              |  FROM pii)
+              |SELECT * FROM counted
+              |WHERE n_email + n_ip + n_phone > 0
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -59,11 +59,14 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
-  /** Streaming exact dedup by event_id with watermark-bounded state — the
-    * streaming face of Dedup.exactGroups. */
-  def dedupStream(events: DataFrame, maxDelay: String): DataFrame =
+  /** Streaming exact dedup on `keys` with watermark-bounded state — the
+    * streaming face of Dedup.exactGroups. State holds one entry per
+    * distinct key seen inside the watermark horizon and is evicted as the
+    * watermark advances, so an infinite stream runs in bounded memory. */
+  def dedupStream(events: DataFrame, maxDelay: String,
+      keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", maxDelay)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   private val runSeq = new AtomicLong(0)
 
@@ -80,6 +83,19 @@ object Streams {
     val unique = s"${name}_${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(unique)
       .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(unique)
+  }
+
+  /** [[runToTable]] for APPEND-mode plans (dedup, watermark-finalized
+    * windows): rows are emitted once and accumulated by the memory sink. */
+  def runToTableAppend(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(unique)
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Quality}
+
+/** Edge semantics of the quality-filter operators (repetition signals, PII
+  * redaction, n-gram decontamination) on constructed documents where the
+  * expected fractions are computable by hand.
+  */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetition signals: hand-computed fractions on a spam-shaped doc") {
+    // doc 1: "buy now buy now buy now" — 5 bigrams: (buy now)×3,
+    // (now buy)×2 → top2 = 3/5, dup2 = 5/5; 4 trigrams: (buy now buy)×2,
+    // (now buy now)×2 → top3 = 2/4, dup3 = 4/4.
+    // doc 2: all distinct tokens → top2 = 1/4, dup2 = 0.
+    val df = Seq(
+        (1L, "buy now buy now buy now"),
+        (2L, "a b c d e"),
+        (3L, "x y")) // < 3 tokens: excluded
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionSignals(df, "text", "doc_id", Seq(2, 3))
+      .orderBy("doc_id").collect()
+    assert(got.length === 2)
+    val r1 = got(0)
+    assert(r1.getLong(0) === 1L)
+    assert(r1.getAs[Double]("top2_frac") === 3.0 / 5)
+    assert(r1.getAs[Double]("dup2_frac") === 1.0)
+    assert(r1.getAs[Double]("top3_frac") === 2.0 / 4)
+    assert(r1.getAs[Double]("dup3_frac") === 1.0)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("top2_frac") === 1.0 / 4)
+    assert(r2.getAs[Double]("dup2_frac") === 0.0)
+  }
+
+  test("PII redaction replaces all three classes and counts match") {
+    val df = Seq(
+        (1L, "mail a.b-c_d@ex-ample.org and 10.0.0.1 then 555-0199 end"),
+        (2L, "no pii here"),
+        (3L, "two mails x@y.io z@w.co and ip 192.168.255.3"))
+      .toDF("id", "t")
+    val (ne, ni, np) = Quality.piiCounts(col("t"))
+    val got = df.select(col("id"), ne.as("e"), ni.as("i"), np.as("p"),
+        Quality.redactPii(col("t")).as("red"))
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) === 1 && got(0).getInt(2) === 1 &&
+      got(0).getInt(3) === 1)
+    assert(got(0).getString(4) ===
+      "mail <EMAIL> and <IP> then <PHONE> end")
+    assert(got(1).getInt(1) === 0 && got(1).getInt(2) === 0 &&
+      got(1).getInt(3) === 0)
+    assert(got(2).getInt(1) === 2 && got(2).getInt(2) === 1)
+    assert(got(2).getString(4) === "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
+
+  test("PII redaction order: email local parts are not re-matched as phones") {
+    // The local part contains a phone-shaped digit run; replacing emails
+    // first keeps the bare phone as the only phone match.
+    val df = Seq((1L, "reach 555-0123@x.io or 555-0123")).toDF("id", "t")
+    val red = df.select(Quality.redactPii(col("t"))).head.getString(0)
+    assert(red === "reach <EMAIL> or <PHONE>")
+  }
+
+  test("ngram contamination: only overlapping train docs, distinct-gram counts") {
+    // eval doc 100 has grams {a b c, b c d}; train doc 1 shares "a b c"
+    // (once, though it appears twice → distinct count 1), train doc 2
+    // shares both, train doc 3 shares none.
+    val df = Seq(
+        (100L, "a b c d"),
+        (1L, "a b c x a b c"),
+        (2L, "z a b c d q"),
+        (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(df, "text", "doc_id",
+        col("doc_id") >= 100L, k = 3)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("ngram contamination shuffle-join path matches broadcast path") {
+    val df = (0L until 60L).map(i =>
+        (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val isEval = col("doc_id") % 10 === 0
+    val a = Dedup.ngramContamination(df, "text", "doc_id", isEval, 3,
+      broadcastEval = true).orderBy("id").collect().toSeq
+    val b = Dedup.ngramContamination(df, "text", "doc_id", isEval, 3,
+      broadcastEval = false).orderBy("id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
