@@ -129,6 +129,13 @@ package object accessor {
           defaultRate: Double): org.apache.spark.sql.DataFrame =
         df.filter(graft.operators.TextOps.stratifiedKeep(content, stratum,
           rates, defaultRate))
+      def repetitionSignals(textCol: String, idCol: String,
+          ks: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame =
+        graft.operators.Quality.repetitionSignals(df, textCol, idCol, ks)
+      def decontaminate(textCol: String, idCol: String, isEval: Column,
+          k: Int, broadcastEval: Boolean = true): org.apache.spark.sql.DataFrame =
+        graft.operators.Dedup.ngramContamination(df, textCol, idCol, isEval,
+          k, broadcastEval)
     }
   }
 }

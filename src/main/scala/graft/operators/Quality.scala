@@ -40,11 +40,11 @@ object Quality {
       .filter(size(tokens(col(textCol))) >= ks.max)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     ks.map { k =>
-      // gram identity = PolyHash of the space-joined gram: collision-safe
-      // enough for a quality *signal* and 8 bytes instead of k words.
+      // gram identity = combined token-hash (TextOps.shingleHashesAll):
+      // collision-safe enough for a quality *signal* and 8 bytes instead
+      // of k words — and no gram string is ever built.
       val grams = scored.select(col("doc_id"),
-        explode(transform(shingles(col("__text"), k),
-          s => graft.expressions.TextExpressions.polyHash(s))).as("g"))
+        explode(shingleHashesAll(col("__text"), k)).as("g"))
       grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id")).agg(
           (max(col("n")) / sum(col("n"))).as(s"top${k}_frac"),

@@ -29,16 +29,33 @@ object TextOps {
   /** Whitespace tokens (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles, space-joined. */
+  /** Word k-shingles, space-joined. (Kept for callers that need the gram
+    * TEXT; the hash-only paths below never materialize these strings.) */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     transform(sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
 
-  /** Distinct PolyHash values of the k-shingle set — the dedup signature. */
+  /** All k-shingle hashes IN ORDER (with multiplicity), via token-hash
+    * combination: each token is PolyHash'd exactly once, then the shingle
+    * hash is the left fold h = (h·31 + tokHash) mod P over its k token
+    * hashes. Overlapping shingles therefore share the per-char work
+    * instead of re-hashing the joined string k times over, and no gram
+    * string is ever materialized — the hot path of every dedup /
+    * fingerprint / decontamination operator is pure long arithmetic
+    * inside codegen. Caller must guarantee ≥ k tokens (a negative
+    * sequence length flips direction). */
+  def shingleHashesAll(text: Column, k: Int): Column = {
+    val th = transform(tokens(text), t => polyHash(t))
+    transform(sequence(lit(0), size(th) - k),
+      i => (0 until k).foldLeft(lit(0L).cast("long"): Column)((acc, j) =>
+        (acc * lit(31L) + element_at(th, i + j + 1)) % lit(PolyMod)))
+  }
+
+  /** Distinct k-shingle hash set — the dedup signature. */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s => polyHash(s)))
+    array_distinct(shingleHashesAll(text, k))
 
   /** 16 MinHash values of a shingle-hash set. */
   def minHashSig(hashes: Column): Column =

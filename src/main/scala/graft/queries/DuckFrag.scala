@@ -13,12 +13,23 @@ object DuckFrag {
     s"CAST(list_reduce(list_prepend(0, list_transform(regexp_split_to_array($expr,''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a,c) -> (a*31+c) % $PolyMod) AS BIGINT)"
 
-  /** Distinct k-shingle PolyHash set over token list column `w`. */
+  /** One k-shingle hash at 1-based token offset `i` of token list `w`:
+    * left fold h = (h·31 + PolyHash(token)) mod P over the k tokens
+    * (mirrors TextOps.shingleHashesAll's token-hash combination). */
+  def shingleHashAtSql(k: Int): String =
+    (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 31 + ${polyHashSql(s"w[i+$j]")}) % $PolyMod)"
+    }
+
+  /** All k-shingle hashes in order (with multiplicity) over token list
+    * column `w`. */
+  def shingleHashesAllSql(k: Int): String =
+    s"list_transform(range(1, greatest(len(w)-$k+2, 1)), " +
+      s"i -> ${shingleHashAtSql(k)})"
+
+  /** Distinct k-shingle hash set over token list column `w`. */
   def shingleHashesSql(k: Int): String =
-    s"list_distinct(list_transform(list_transform(" +
-      s"range(1, greatest(len(w)-$k+2, 1)), " +
-      s"i -> array_to_string(list_slice(w, i, i+${k - 1}), ' ')), " +
-      s"s -> ${polyHashSql("s")}))"
+    s"list_distinct(${shingleHashesAllSql(k)})"
 
   /** 16 MinHash values of hash-set column `h` (same affine family). */
   def minHashSigSql: String =

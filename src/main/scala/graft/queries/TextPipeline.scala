@@ -367,10 +367,8 @@ object TextPipeline {
               |ok AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
               |${Seq(2, 3).map { k =>
                  s"""g$k AS (
-                 |  SELECT doc_id, unnest(list_transform(list_transform(
-                 |    range(1, len(w)-${k - 2}),
-                 |    i -> array_to_string(list_slice(w, i, i+${k - 1}), ' ')),
-                 |    s -> ${DuckFrag.polyHashSql("s")})) AS g
+                 |  SELECT doc_id,
+                 |    unnest(${DuckFrag.shingleHashesAllSql(k)}) AS g
                  |  FROM ok),
                  |c$k AS (SELECT doc_id, g, count(*) AS n
                  |        FROM g$k GROUP BY 1, 2),

@@ -108,6 +108,46 @@ class PlanGuardSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontamination broadcasts the eval gram set, never the train side") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_pipe_decontam")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // per-doc overlap count partial-aggregates before its exchange
+      assert(plan.contains("partial_count"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("repetition signals shuffle gram hashes, not text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_pipe_repetition")(spark, sf0001)
+        .queryExecution.executedPlan
+      // every shuffle carries only longs/ints (doc_id, gram hash, counts /
+      // partial-agg buffers) — the document text column never leaves a
+      // map-side projection
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      for (e <- shuffles; attr <- e.child.output)
+        assert(!attr.dataType.typeName.contains("string"),
+          s"text-typed column ${attr.name} travels through a shuffle:\n$e")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("PII redaction is one codegen span over the scan — no shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_pipe_pii_redact")(spark, sf0001)
+        .queryExecution.executedPlan
+      // the ORDER BY adds a range-exchange at the very top; below it the
+      // count/redact pipeline must be shuffle-free narrow codegen
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1, s"extra shuffles in a narrow projection:\n$exec")
+      assert(exec.toString.contains("WholeStageCodegen"), exec.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no BroadcastNestedLoopJoin outside the documented allowlist") {
     for ((name, df) <- plans if !bnljAllowed(name)) {
       val bad = df.queryExecution.executedPlan.collect {
