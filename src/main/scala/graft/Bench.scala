@@ -5,6 +5,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated subset for fast local iteration on one
+    // operator; the driver never sets it, so round benches stay complete.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +35,9 @@ object Bench {
     // drown real round-over-round regressions.
     // A query that throws is recorded as null (failed), never as its
     // time-to-exception — a broken query must not masquerade as a speedup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => filter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       name -> (try {
         run(fn) // untimed warmup (plan compile + codegen cache)
         val times = (1 to 3).map { _ =>
@@ -56,7 +62,15 @@ object Bench {
     val total =
       if (results.values.exists(_.isEmpty)) "null"
       else results.values.flatten.sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line: the driver's stdout capture has truncated
+    // the per-query map in past rounds (BENCH_r06 lost 16 of 83 timings to a
+    // tail grab), which breaks round-over-round drift analysis.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

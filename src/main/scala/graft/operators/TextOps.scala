@@ -45,13 +45,21 @@ object TextOps {
     * string is ever materialized — the hot path of every dedup /
     * fingerprint / decontamination operator is pure long arithmetic
     * inside codegen. Caller must guarantee ≥ k tokens (a negative
-    * sequence length flips direction). */
-  def shingleHashesAll(text: Column, k: Int): Column = {
-    val th = transform(tokens(text), t => polyHash(t))
-    transform(sequence(lit(0), size(th) - k),
-      i => (0 until k).foldLeft(lit(0L).cast("long"): Column)((acc, j) =>
-        (acc * lit(31L) + element_at(th, i + j + 1)) % lit(PolyMod)))
-  }
+    * sequence length flips direction).
+    *
+    * The token-hash array is bound ONCE per row via a single-element
+    * transform (the [[jaccard]] idiom): lambda bodies are not
+    * subexpression-eliminated, so referencing the hash-array expression
+    * directly from inside the per-shingle lambda would re-hash every token
+    * for each of the k·(n−k+1) element_at calls — O(k·n²) per document
+    * instead of O(n + k·n). */
+  def shingleHashesAll(text: Column, k: Int): Column =
+    element_at(
+      transform(array(transform(tokens(text), t => polyHash(t))), th =>
+        transform(sequence(lit(0), size(th) - k),
+          i => (0 until k).foldLeft(lit(0L).cast("long"): Column)((acc, j) =>
+            (acc * lit(31L) + element_at(th, i + j + 1)) % lit(PolyMod)))),
+      1)
 
   /** Distinct k-shingle hash set — the dedup signature. */
   def shingleHashes(text: Column, k: Int): Column =
