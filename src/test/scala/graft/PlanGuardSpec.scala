@@ -144,7 +144,12 @@ class PlanGuardSpec extends SparkTestBase {
       // count/redact pipeline must be shuffle-free narrow codegen
       val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size <= 1, s"extra shuffles in a narrow projection:\n$exec")
-      assert(exec.toString.contains("WholeStageCodegen"), exec.toString)
+      // toString renders codegen spans as "*(n)" prefixes, so match the node
+      // itself, not the tree string
+      val codegenSpans = exec.collect {
+        case p: org.apache.spark.sql.execution.WholeStageCodegenExec => p
+      }
+      assert(codegenSpans.nonEmpty, exec.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
