@@ -30,30 +30,51 @@ object Bench {
     // classloading/JIT/codegen that would be misattributed to whichever
     // query happens to run first.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
-    // Per-query: one untimed warmup (plan compile + codegen cache), then
-    // median of 3 timed runs — JVM noise is ±0.3s single-shot, which would
-    // drown real round-over-round regressions.
+    // Per-query: one untimed warmup (plan compile + codegen cache), then 3
+    // timed runs recording BOTH wall time and process CPU time. The round-7
+    // driver bench reported phantom 4-12x regressions on untouched queries
+    // (and a phantom 5x speedup) because the whole machine was loaded by
+    // another process — a failure mode median-of-3-within-one-JVM cannot
+    // defend against, since every run is equally slowed. Defense:
+    //   * headline per-query stat is MIN of 3 (for a CPU-bound query the
+    //     minimum is the least-contaminated observation; external load can
+    //     only ADD wall time, never subtract it);
+    //   * the median and the process-CPU seconds of the min-wall run are
+    //     persisted alongside, so a contaminated run is detectable from the
+    //     artifact alone: external load inflates wall while THIS process's
+    //     CPU seconds stay flat, so cpu/wall collapsing vs prior rounds =
+    //     contamination, not a code regression.
     // A query that throws is recorded as null (failed), never as its
     // time-to-exception — a broken query must not masquerade as a speedup.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .map { case (name, fn) =>
       name -> (try {
         run(fn) // untimed warmup (plan compile + codegen cache)
-        val times = (1 to 3).map { _ =>
+        val samples = (1 to 3).map { _ =>
+          val c0 = osBean.getProcessCpuTime
           val t0 = System.nanoTime()
           run(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        Some(times(1))
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+          (wall, cpu)
+        }
+        val byWall = samples.sortBy(_._1)
+        Some((byWall.head._1, byWall(1)._1, byWall.head._2))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       })
     }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
-    }.mkString("{", ",", "}")
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(s => f(s).toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val qs = jmap(_._1)        // min-of-3 wall: the load-robust stat
+    val qsMedian = jmap(_._2)  // median wall: the r6/r7 historical stat
+    val qsCpu = jmap(_._3)     // process CPU seconds of the min-wall run
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A total over a partial query set is not comparable across rounds: if
@@ -61,9 +82,9 @@ object Bench {
     // a speedup to a consumer that only looks at the total.
     val total =
       if (results.values.exists(_.isEmpty)) "null"
-      else results.values.flatten.sum.toString
+      else results.values.flatten.map(_._1).sum.toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: the driver's stdout capture has truncated
     // the per-query map in past rounds (BENCH_r06 lost 16 of 83 timings to a
