@@ -429,6 +429,51 @@ object Strings {
               |  ${DuckFrag.polyHashSql("p_type")} AS ph
               |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // User-kernel extension surface end to end (reference's jitted
+    // apply_binary_str pitch, string.py:1046-1119 + tests/test_text.py:
+    // 967-984 prefix_length): BOTH spellings of the same user kernel —
+    // the interpreted lambda (`prefixLengthLambda`, what a user writes
+    // first) and its promoted static-Java + doGenCode form
+    // (`prefixLength`) — run under one oracle, so the gate proves the
+    // promotion preserved semantics, not just that each path returns
+    // rows. Columns are ASCII, so the kernel's byte-wise LCP equals the
+    // oracle's character-wise count (multi-byte divergence is pinned in
+    // UdfSurfaceSpec). The %97 NULL injection pins the
+    // validity-bitmap-AND null contract through the oracle too.
+    "q_user_kernel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val typeOrNull =
+          when($"p_partkey" % 97 === 0, lit(null)).otherwise($"p_type")
+        val probe = concat(substring($"p_name", 1, 7), lit("##"))
+        tbl(s, dir, "part").select(
+            $"p_partkey",
+            graft.functions.UdfSurface
+              .prefixLength($"p_name", typeOrNull).as("lcp_promoted"),
+            graft.functions.UdfSurface
+              .prefixLengthLambda($"p_name", typeOrNull).as("lcp_lambda"),
+            graft.functions.UdfSurface
+              .prefixLength($"p_name", probe).as("lcp_probe"))
+          .orderBy($"p_partkey")
+      },
+      Some {
+        def lcp(a: String, b: String) =
+          s"""CAST(len(list_filter(
+             |    range(1, least(length($a), length($b)) + 1),
+             |    i -> substr($a, 1, CAST(i AS INTEGER)) =
+             |         substr($b, 1, CAST(i AS INTEGER)))) AS INTEGER)""".stripMargin
+        s"""WITH p AS (
+           |  SELECT p_partkey, p_name,
+           |    CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_type END AS t,
+           |    substr(p_name, 1, 7) || '##' AS probe
+           |  FROM part)
+           |SELECT p_partkey,
+           |  ${lcp("p_name", "t")} AS lcp_promoted,
+           |  ${lcp("p_name", "t")} AS lcp_lambda,
+           |  ${lcp("p_name", "probe")} AS lcp_probe
+           |FROM p ORDER BY p_partkey""".stripMargin
+      }),
+
     // get_dummies: token-indicator encoding over a '|'-delimited column
     // (reference tests/test_text.py:950). Dictionary derived from the data
     // (two-pass, pandas contract); indicator columns are named by token.

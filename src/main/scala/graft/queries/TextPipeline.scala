@@ -339,6 +339,56 @@ object TextPipeline {
              |  'unknown' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Multimodal DECODE stage under the oracle: decodeAndEmbed end to end
+    // (typed Dataset → bounded-batch mapPartitions → MediaFeatures) on
+    // deterministic synthetic blobs. Even docs carry a minimal PNG whose
+    // IHDR encodes dims derived from doc_id — ImageIoCodec's pixel decode
+    // fails on the truncated body and falls back to the REAL header parse
+    // (Multimodal.ImageHeaders), which the oracle reproduces from the same
+    // arithmetic. Odd docs carry non-image bytes (the doc text's md5 hex,
+    // ASCII so DuckDB's codepoints == UTF-8 bytes) — FakeCodec's
+    // pseudo-dim fold (h·31+byte mod 1000003) is replicated in SQL.
+    // This closes the one surface previously gated only by ScalaTest.
+    "q_mm_decode_dims" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val isPng = col("doc_id") % 2 === 0
+        val be32 = (c: org.apache.spark.sql.Column) =>
+          unhex(lpad(hex(c), 8, "0"))
+        val w = (col("doc_id") % 512 + 16).cast("int")
+        val h = (col("doc_id") % 384 + 16).cast("int")
+        val png = concat(
+          unhex(lit("89504E470D0A1A0A0000000D49484452")), be32(w), be32(h))
+        val bin = encode(md5(col("text")), "UTF-8")
+        val media = docs(s, dir).select(
+            col("doc_id").as("media_id"),
+            when(isPng, "png").otherwise("bin").as("kind"),
+            when(isPng, png).otherwise(bin).as("bytes"),
+            lit(0).as("width"), lit(0).as("height"), lit(0).as("n_frames"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.Multimodal.decodeAndEmbed(media, dim = 16)
+          .toDF()
+          .select(col("media_id"), col("kind"),
+            col("out_width"), col("out_height"),
+            size(col("embedding")).as("emb_dim"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+             |      list_transform(regexp_split_to_array(md5(text), ''),
+             |        c -> CAST(unicode(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000003) AS fh
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bin' END AS kind,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 16
+             |            ELSE fh % 640 + 64 END AS INTEGER) AS out_width,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 384 + 16
+             |            ELSE fh // 640 % 480 + 48 END AS INTEGER) AS out_height,
+             |  CAST(16 AS INTEGER) AS emb_dim
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of
     // documents but not of content).

@@ -47,6 +47,49 @@ object StringKernelProps extends Properties("StringKernels") {
           s.replace(p, r)
     }
 
+  // greedy left-to-right first-n replace (Python str.replace(p, r, n)
+  // semantics incl. the empty-pattern interleave) — the reference drives
+  // replace through generated pattern corpora (tests/test_text.py:77-129);
+  // this is that corpus for the full (string, pattern, repl, n) surface.
+  private def bruteReplaceN(s: String, p: String, r: String, n: Int): String =
+    if (n == 0) s
+    else if (p.isEmpty) {
+      val sb = new StringBuilder; var done = 0
+      for (c <- cps(s)) {
+        if (n < 0 || done < n) { sb ++= r; done += 1 }
+        sb ++= fromCps(Seq(c))
+      }
+      if (n < 0 || done < n) sb ++= r
+      sb.toString
+    } else {
+      val sb = new StringBuilder; var i = 0; var done = 0
+      while (i < s.length) {
+        if ((n < 0 || done < n) && s.regionMatches(i, p, 0, p.length)) {
+          sb ++= r; i += p.length; done += 1
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+
+  property("replaceN(n) == greedy first-n reference on generated triples") =
+    forAll(uni, Gen.resize(3, uni), Gen.resize(4, uni), Gen.choose(-1, 6)) {
+      (s, p, r, n) =>
+        StringKernels.replaceN(u(s), u(p), u(r), n).toString ==
+          bruteReplaceN(s, p, r, n)
+    }
+
+  // self-replacement corpus: patterns drawn FROM the subject string (the
+  // adversarial case for KMP restart logic — overlapping near-matches)
+  property("replaceN with patterns sampled from the subject") =
+    forAll(uni.suchThat(_.nonEmpty), Gen.choose(0, 8), Gen.choose(1, 3),
+        Gen.resize(2, uni), Gen.choose(-1, 4)) { (s, off, len, r, n) =>
+      val v = cps(s)
+      val p = fromCps(v.slice(off % v.length, off % v.length + len))
+      p.isEmpty ||
+        StringKernels.replaceN(u(s), u(p), u(r), n).toString ==
+          bruteReplaceN(s, p, r, n)
+    }
+
   property("rfindLiteral == max position where sub matches (codepoints)") =
     forAll(uni, Gen.resize(2, uni)) { (s, p) =>
       val v = cps(s); val pv = cps(p)

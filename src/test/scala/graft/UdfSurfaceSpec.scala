@@ -48,6 +48,63 @@ class UdfSurfaceSpec extends SparkTestBase {
     assert(vals(1).isNullAt(0))
   }
 
+  // ---- the worked promotion example: lambda → static Java + doGenCode ----
+
+  test("promoted PrefixLength == lambda spelling (multi-byte, nulls, empties)") {
+    // byte-wise LCP: 'é' = C3 A9 vs 'è' = C3 A8 share ONE byte — pins that
+    // both paths compare raw UTF-8 bytes (the reference's numba kernels see
+    // byte views, tests/test_text.py:967-984), not decoded codepoints
+    val rows = Seq(
+      ("héllo", "hello"), ("é", "è"), ("中文ab", "中文xy"), ("中", "丮"),
+      ("flatmap", "flatten"), ("", ""), ("", "x"), ("same", "same"),
+      ("abc", null), (null, "x"), (null, null))
+    val df = rows.toDF("a", "b").repartition(3)
+    val out = df.select(
+      graft.functions.UdfSurface.prefixLength($"a", $"b").as("p"),
+      graft.functions.UdfSurface.prefixLengthLambda($"a", $"b").as("l"))
+      .collect()
+    for (r <- out)
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)),
+        s"promoted and lambda paths disagree on $r")
+    // repartition scrambled row order, so key expectations by (a, b)
+    val ordered = df.select($"a", $"b",
+        graft.functions.UdfSurface.prefixLength($"a", $"b").as("p"))
+      .collect()
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1))),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(ordered((Some("é"), Some("è"))) === Some(1))      // shared lead byte
+    assert(ordered((Some("héllo"), Some("hello"))) === Some(1))
+    assert(ordered((Some("中"), Some("丮"))) === Some(2))     // E4 B8 AD vs E4 B8 AE
+    assert(ordered((Some("same"), Some("same"))) === Some(4))
+    assert(ordered((Some(""), Some("x"))) === Some(0))
+    assert(ordered((Some("abc"), None)) === None)
+    assert(ordered((None, None)) === None)
+  }
+
+  test("promoted kernel joins the codegen span; the lambda breaks it") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = spark.read.parquet(s"$sf0001/part.parquet")
+    val promoted = df.select(
+      graft.functions.UdfSurface.prefixLength($"p_name", $"p_type").as("n"))
+    val spans = promoted.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(spans.exists(_.toString.contains("prefixlength")),
+      s"promoted kernel fell out of whole-stage codegen:\n" +
+        promoted.queryExecution.executedPlan)
+
+    val lambda = df.select(
+      graft.functions.UdfSurface.prefixLengthLambda($"p_name", $"p_type").as("n"))
+    val lambdaSpans = lambda.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(!lambdaSpans.exists(_.toString.contains("binarystringapply")),
+      "CodegenFallback lambda unexpectedly inside a codegen span — the " +
+        "performance contract in UdfSurface's doc is stale:\n" +
+        lambda.queryExecution.executedPlan)
+  }
+
   test("applyBinaryStr runs distributed over parquet-backed scans") {
     val df = spark.read.parquet(s"$sf0001/part.parquet")
     val out = df.select(
