@@ -46,8 +46,20 @@ object Bench {
     //     contamination, not a code regression.
     // A query that throws is recorded as null (failed), never as its
     // time-to-exception — a broken query must not masquerade as a speedup.
+    // The r8 round proved cpu/wall alone misses one contamination mode:
+    // machine-wide memory pressure drives THIS JVM into a GC storm, so wall
+    // AND process-CPU both inflate (q1_agg: wall 14.2s, cpu 17.5s driver-side
+    // vs 1.0s/1.45s clean) and the cpu-flat fingerprint never fires. GC
+    // collection time is the missing signal: gc >> 0 with unchanged plans
+    // reads as environment, mechanically. Rule for artifact consumers:
+    //   wall up, cpu flat            -> external CPU load (r7 mode)
+    //   wall up, cpu up, gc >> prior -> memory-pressure GC storm (r8 mode)
+    //   wall up, cpu up, gc flat     -> a real code regression; investigate.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     val results = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -55,26 +67,29 @@ object Bench {
         run(fn) // untimed warmup (plan compile + codegen cache)
         val samples = (1 to 3).map { _ =>
           val c0 = osBean.getProcessCpuTime
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           run(fn)
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-          (wall, cpu)
+          val gc = (gcMillis() - g0) / 1e3
+          (wall, cpu, gc)
         }
         val byWall = samples.sortBy(_._1)
-        Some((byWall.head._1, byWall(1)._1, byWall.head._2))
+        Some((byWall.head._1, byWall(1)._1, byWall.head._2, byWall.head._3))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       })
     }
-    def jmap(f: ((Double, Double, Double)) => Double): String =
+    def jmap(f: ((Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) =>
         s"\"" + k + "\":" + v.map(s => f(s).toString).getOrElse("null")
       }.mkString("{", ",", "}")
     val qs = jmap(_._1)        // min-of-3 wall: the load-robust stat
     val qsMedian = jmap(_._2)  // median wall: the r6/r7 historical stat
     val qsCpu = jmap(_._3)     // process CPU seconds of the min-wall run
+    val qsGc = jmap(_._4)      // GC seconds of the min-wall run (storm detector)
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A total over a partial query set is not comparable across rounds: if
@@ -84,7 +99,7 @@ object Bench {
       if (results.values.exists(_.isEmpty)) "null"
       else results.values.flatten.map(_._1).sum.toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: the driver's stdout capture has truncated
     // the per-query map in past rounds (BENCH_r06 lost 16 of 83 timings to a

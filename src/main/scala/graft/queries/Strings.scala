@@ -457,11 +457,16 @@ object Strings {
           .orderBy($"p_partkey")
       },
       Some {
+        // NULL guard is mandatory: DuckDB's least() IGNORES NULL
+        // arguments, so without it the NULL-injected rows would
+        // evaluate range(1, length(a)+1) and emit 0 instead of the
+        // kernel's (correct, validity-AND) NULL.
         def lcp(a: String, b: String) =
-          s"""CAST(len(list_filter(
+          s"""CASE WHEN $a IS NULL OR $b IS NULL THEN NULL
+             |ELSE CAST(len(list_filter(
              |    range(1, least(length($a), length($b)) + 1),
              |    i -> substr($a, 1, CAST(i AS INTEGER)) =
-             |         substr($b, 1, CAST(i AS INTEGER)))) AS INTEGER)""".stripMargin
+             |         substr($b, 1, CAST(i AS INTEGER)))) AS INTEGER) END""".stripMargin
         s"""WITH p AS (
            |  SELECT p_partkey, p_name,
            |    CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_type END AS t,

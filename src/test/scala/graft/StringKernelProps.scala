@@ -173,4 +173,68 @@ object StringKernelProps extends Properties("StringKernels") {
       val brute = cps(s).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
       h == brute && h >= 0 && h < 1000000007L
     }
+
+  // ---- strip corpora (reference tests/test_text.py:145-176 drives strip
+  // through curated multi-byte examples; this is the generated analog) ----
+  //
+  // graft's textStrip/textLStrip/textRStrip lower to Catalyst
+  // StringTrim/StringTrimLeft/StringTrimRight with an explicit trim set, so
+  // evaluating those expressions directly pins exactly the production path
+  // without a SparkSession. The brute-force reference is codepoint-level
+  // strip (Python str.strip semantics — the reference's contract).
+
+  import org.apache.spark.sql.catalyst.expressions.{Literal, StringTrim, StringTrimLeft, StringTrimRight}
+
+  // strip-set alphabet: the full Unicode-space default set plus multi-byte
+  // non-space codepoints (2-byte é/ß, 3-byte 中/Ω, 4-byte astral 𝄞, and the
+  // soft hyphen — invisible but NOT a space) plus ASCII letters/digits
+  private val stripAlphabet: Seq[String] =
+    graft.functions.GraftFunctions.FletcherStripChars.map(_.toString) ++
+      Seq("é", "ß", "Ω", "中", "丮", "­", "𝄞", "a", "0", "-")
+
+  // (subject, stripSet): subjects deliberately mix set members (to build
+  // leading/trailing runs) with non-members, so both strip-everything and
+  // strip-nothing edges get generated alongside the interesting middles
+  private val stripCase: Gen[(String, String)] = for {
+    setCps <- Gen.nonEmptyListOf(Gen.oneOf(stripAlphabet))
+    subj <- Gen.listOf(Gen.frequency(
+      3 -> Gen.oneOf(setCps),
+      2 -> Gen.oneOf(Seq("b", "Z", "1", "è", "文", "😀"))))
+  } yield (subj.mkString, setCps.distinct.mkString)
+
+  private def bruteStrip(s: String, set: String,
+      left: Boolean, right: Boolean): String = {
+    val cset = cps(set).toSet
+    var v = cps(s)
+    if (left) v = v.dropWhile(cset)
+    if (right) v = v.reverse.dropWhile(cset).reverse
+    fromCps(v)
+  }
+
+  private def evalStr(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval(null).asInstanceOf[UTF8String].toString
+
+  property("textStrip(chars) == codepoint-level strip on multi-byte sets") =
+    forAll(stripCase) { case (s, set) =>
+      evalStr(StringTrim(Literal(s), Literal(set))) ==
+        bruteStrip(s, set, left = true, right = true)
+    }
+
+  property("textLStrip/textRStrip(chars) == one-sided codepoint strip") =
+    forAll(stripCase) { case (s, set) =>
+      evalStr(StringTrimLeft(Literal(s), Literal(set))) ==
+        bruteStrip(s, set, left = true, right = false) &&
+      evalStr(StringTrimRight(Literal(s), Literal(set))) ==
+        bruteStrip(s, set, left = false, right = true)
+    }
+
+  property("textStrip default set strips exactly the Unicode-space set") =
+    forAll(Gen.listOf(Gen.frequency(
+        3 -> Gen.oneOf(graft.functions.GraftFunctions.FletcherStripChars
+          .map(_.toString)),
+        2 -> Gen.oneOf(Seq("b", "é", "中", "1")))).map(_.mkString)) { s =>
+      val set = graft.functions.GraftFunctions.FletcherStripChars
+      evalStr(StringTrim(Literal(s), Literal(set))) ==
+        bruteStrip(s, set, left = true, right = true)
+    }
 }

@@ -83,26 +83,45 @@ class UdfSurfaceSpec extends SparkTestBase {
   }
 
   test("promoted kernel joins the codegen span; the lambda breaks it") {
-    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import graft.functions.{BinaryStringApply, PrefixLength}
+    // Type-based span membership (not toString matching, which breaks on any
+    // prettyName / plan-rendering change): the expressions of the plan nodes
+    // inside a WholeStageCodegenExec, stopping at InputAdapter (nodes below
+    // it are OUTSIDE the generated function).
+    def spanExprs(w: WholeStageCodegenExec): Seq[Expression] = {
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: InputAdapter => Nil
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      nodes(w.child).flatMap(_.expressions)
+        .flatMap(_.collect { case e => e })
+    }
     val df = spark.read.parquet(s"$sf0001/part.parquet")
     val promoted = df.select(
       graft.functions.UdfSurface.prefixLength($"p_name", $"p_type").as("n"))
     val spans = promoted.queryExecution.executedPlan.collect {
       case w: WholeStageCodegenExec => w
     }
-    assert(spans.exists(_.toString.contains("prefixlength")),
+    assert(spans.exists(spanExprs(_).exists(_.isInstanceOf[PrefixLength])),
       s"promoted kernel fell out of whole-stage codegen:\n" +
         promoted.queryExecution.executedPlan)
 
     val lambda = df.select(
       graft.functions.UdfSurface.prefixLengthLambda($"p_name", $"p_type").as("n"))
-    val lambdaSpans = lambda.queryExecution.executedPlan.collect {
-      case w: WholeStageCodegenExec => w
-    }
-    assert(!lambdaSpans.exists(_.toString.contains("binarystringapply")),
+    val lambdaPlan = lambda.queryExecution.executedPlan
+    val lambdaSpans = lambdaPlan.collect { case w: WholeStageCodegenExec => w }
+    assert(!lambdaSpans.exists(
+        spanExprs(_).exists(_.isInstanceOf[BinaryStringApply])),
       "CodegenFallback lambda unexpectedly inside a codegen span — the " +
-        "performance contract in UdfSurface's doc is stale:\n" +
-        lambda.queryExecution.executedPlan)
+        "performance contract in UdfSurface's doc is stale:\n" + lambdaPlan)
+    // ... and it still EXECUTES in the plan (outside any span), so the
+    // assertion above can't green-wash an optimized-away projection.
+    assert(lambdaPlan.collect { case p => p }
+        .flatMap(_.expressions).flatMap(_.collect { case e => e })
+        .exists(_.isInstanceOf[BinaryStringApply]),
+      s"lambda expression missing from the executed plan entirely:\n$lambdaPlan")
   }
 
   test("applyBinaryStr runs distributed over parquet-backed scans") {
