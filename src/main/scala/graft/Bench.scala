@@ -24,7 +24,8 @@ object Bench {
     // longs throws under ANSI mode — Spark 4's default).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val df = fn(spark, sfDir)
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
+        .collect()
     }
     // Global warmup: the first query in a fresh JVM pays ~5s of
     // classloading/JIT/codegen that would be misattributed to whichever

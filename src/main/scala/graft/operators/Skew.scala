@@ -18,7 +18,8 @@ object Skew {
   /** Deterministic per-row salt in [0, n): hash of the whole row — stable
     * across retries (no rand(), which breaks task re-execution). */
   private def rowSalt(df: DataFrame, n: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(n.toLong)).cast("int")
+    pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(n.toLong))
+      .cast("int")
 
   /** Skew-safe equi-join of a skewed fact against a dimension: the fact
     * side gets a deterministic salt, the dimension side is exploded
