@@ -31,15 +31,15 @@ object Bench {
     // classloading/JIT/codegen that would be misattributed to whichever
     // query happens to run first.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
-    // Per-query: one untimed warmup (plan compile + codegen cache), then 3
-    // timed runs recording BOTH wall time and process CPU time. The round-7
-    // driver bench reported phantom 4-12x regressions on untouched queries
-    // (and a phantom 5x speedup) because the whole machine was loaded by
-    // another process — a failure mode median-of-3-within-one-JVM cannot
-    // defend against, since every run is equally slowed. Defense:
-    //   * headline per-query stat is MIN of 3 (for a CPU-bound query the
-    //     minimum is the least-contaminated observation; external load can
-    //     only ADD wall time, never subtract it);
+    // Per-query: one untimed warmup (plan compile + codegen cache), then 5
+    // timed runs recording wall time, process CPU time, GC time and peak
+    // heap. The round-7 driver bench reported phantom 4-12x regressions on
+    // untouched queries (and a phantom 5x speedup) because the whole machine
+    // was loaded by another process — a failure mode median-within-one-JVM
+    // cannot defend against, since every run is equally slowed. Defense:
+    //   * headline per-query stat is the MINIMUM of the samples (for a
+    //     CPU-bound query the minimum is the least-contaminated observation;
+    //     external load can only ADD wall time, never subtract it);
     //   * the median and the process-CPU seconds of the min-wall run are
     //     persisted alongside, so a contaminated run is detectable from the
     //     artifact alone: external load inflates wall while THIS process's
@@ -52,21 +52,53 @@ object Bench {
     // AND process-CPU both inflate (q1_agg: wall 14.2s, cpu 17.5s driver-side
     // vs 1.0s/1.45s clean) and the cpu-flat fingerprint never fires. GC
     // collection time is the missing signal: gc >> 0 with unchanged plans
-    // reads as environment, mechanically. Rule for artifact consumers:
-    //   wall up, cpu flat            -> external CPU load (r7 mode)
-    //   wall up, cpu up, gc >> prior -> memory-pressure GC storm (r8 mode)
-    //   wall up, cpu up, gc flat     -> a real code regression; investigate.
+    // reads as environment, mechanically. Round 9 then showed six sub-second
+    // queries swinging 1.4-4.4x round-over-round with gc=0, cpu ∝ wall and
+    // ZERO code change — min-of-3 was not enough samples to filter machine
+    // noise at the sub-second scale. Hence: 5 samples per query plus an
+    // explicit System.gc() settle before each query so the previous query's
+    // garbage is not charged to this one's timed runs. Rule for artifact
+    // consumers, in order:
+    //   0. no plan/code change for the query since the prior round
+    //                                -> environment; confirm by one re-run
+    //                                   (two consecutive artifacts agreeing
+    //                                   within ~1.3x supersede the outlier)
+    //   1. wall up, cpu flat         -> external CPU load (r7 mode)
+    //   2. wall up, cpu up, gc >> prior -> memory-pressure GC storm (r8 mode)
+    //   3. wall up, cpu up, gc flat, peak_mem ~flat, code changed
+    //                                -> a real code regression; investigate.
+    // Noise floor: for queries whose min wall is < 0.5 s, scheduler/JIT
+    // jitter alone reaches ~1.5x across runs even on an idle machine — a
+    // RATIO alarm on a sub-0.5 s query is only actionable if the absolute
+    // delta also exceeds ~0.3 s; otherwise read it as noise.
+    // queries_peak_mem (MB) is the sum of per-heap-pool peak usage during the
+    // min-wall run (upper bound on true concurrent peak): a query whose peak
+    // jumps across rounds with unchanged wall is building bigger intermediate
+    // state — the regression class wall clock hides (reference analog: asv
+    // track_size_* in /root/reference/benchmarks/boolean.py:24-39).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMb(): Double =
+      heapPools.map(p => math.max(0L, p.getPeakUsage.getUsed)).sum / 1e6
+    val samplesPerQuery = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
+      .map(_.toInt).getOrElse(5)
     val results = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .map { case (name, fn) =>
       name -> (try {
+        // settle: collect the previous query's garbage OUTSIDE this query's
+        // timed window, so cross-query heap pollution doesn't masquerade as
+        // this query's gc/wall cost
+        System.gc()
         run(fn) // untimed warmup (plan compile + codegen cache)
-        val samples = (1 to 3).map { _ =>
+        val samples = (1 to samplesPerQuery).map { _ =>
+          resetPeaks()
           val c0 = osBean.getProcessCpuTime
           val g0 = gcMillis()
           val t0 = System.nanoTime()
@@ -74,23 +106,30 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (osBean.getProcessCpuTime - c0) / 1e9
           val gc = (gcMillis() - g0) / 1e3
-          (wall, cpu, gc)
+          (wall, cpu, gc, peakMb())
         }
         val byWall = samples.sortBy(_._1)
-        Some((byWall.head._1, byWall(1)._1, byWall.head._2, byWall.head._3))
+        val med = byWall(samples.length / 2)._1
+        val m = byWall.head
+        Some((m._1, med, m._2, m._3, m._4))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       })
     }
-    def jmap(f: ((Double, Double, Double, Double)) => Double): String =
+    def jmap(f: ((Double, Double, Double, Double, Double)) => Double,
+        round: Boolean = false): String =
       results.map { case (k, v) =>
-        s"\"" + k + "\":" + v.map(s => f(s).toString).getOrElse("null")
+        s"\"" + k + "\":" + v.map { s =>
+          val x = f(s)
+          if (round) (math.rint(x * 10000) / 10000).toString else x.toString
+        }.getOrElse("null")
       }.mkString("{", ",", "}")
-    val qs = jmap(_._1)        // min-of-3 wall: the load-robust stat
+    val qs = jmap(_._1)        // min-of-N wall: the load-robust stat
     val qsMedian = jmap(_._2)  // median wall: the r6/r7 historical stat
     val qsCpu = jmap(_._3)     // process CPU seconds of the min-wall run
     val qsGc = jmap(_._4)      // GC seconds of the min-wall run (storm detector)
+    val qsMem = jmap(_._5)     // peak heap MB of the min-wall run
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A total over a partial query set is not comparable across rounds: if
@@ -99,15 +138,23 @@ object Bench {
     val total =
       if (results.values.exists(_.isEmpty)) "null"
       else results.values.flatten.map(_._1).sum.toString
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full line: the driver's stdout capture has truncated
-    // the per-query map in past rounds (BENCH_r06 lost 16 of 83 timings to a
-    // tail grab), which breaks round-over-round drift analysis.
+    val stat = s"min_of_$samplesPerQuery"
+    // Full-fidelity artifact: every stat map, unrounded. The driver's stdout
+    // capture has truncated long lines in past rounds (BENCH_r06 lost 16 of
+    // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
+    // and stdout carries a compact line that fits a tail grab.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"failed":$failed,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // Compact driver-facing line: per-query min wall only, rounded to 0.1ms
+    // (~2.5 KB for 85 queries vs ~13 KB with all five maps — fits the tail
+    // capture), printed LAST so nothing after it can push it out of a tail
+    // grab. "detail" names the full artifact.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":${jmap(_._1, round = true)},"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
+    println(compact)
   }
 }

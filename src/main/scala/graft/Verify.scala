@@ -21,6 +21,21 @@ object Verify {
     // oracle; the driver never sets it, so round dumps stay complete.
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
       .map(_.split(',').map(_.trim).toSet)
+    // A filtered run leaves any previous full dump's per-query dirs in
+    // place, so a later oracle pass over this outDir would silently mix
+    // fresh and stale outputs. Leave a marker naming what THIS run wrote
+    // (and warn); a full run removes it — so a partial dump can never be
+    // mistaken for a complete round dump.
+    val marker = Paths.get(s"$outDir/PARTIAL_DUMP.txt")
+    filter match {
+      case Some(sel) =>
+        Files.writeString(marker,
+          s"partial verify dump: only ${sel.toSeq.sorted.mkString(", ")} " +
+            "were (re)written by the last run; other query dirs may be stale\n")
+        System.err.println(s"[verify] PARTIAL dump (filter set): $outDir " +
+          "mixes fresh and possibly-stale outputs — see PARTIAL_DUMP.txt")
+      case None => Files.deleteIfExists(marker)
+    }
     SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -86,7 +86,15 @@ object Dedup {
     * shallow — a handful of rounds in practice, `maxIter` caps
     * pathological chains). */
   def dupGroups(pairs: DataFrame, maxIter: Int = 20,
-      driverEdgeLimit: Long = 2000000L): DataFrame = {
+      driverEdgeLimit: Long = 2000000L): DataFrame =
+    dupGroupsWithStats(pairs, maxIter, driverEdgeLimit)._1
+
+  /** [[dupGroups]] plus the number of distributed rounds executed (0 on the
+    * driver union-find branch) — the observability hook that lets specs and
+    * the bench pin the O(log diameter) convergence bound of the
+    * relax+pointer-jump loop instead of trusting it. */
+  def dupGroupsWithStats(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Iteration durability: localCheckpoint blocks live on executors, so on
     // a real cluster losing one executor mid-iteration fails the job. When
@@ -132,7 +140,7 @@ object Dedup {
       p.unpersist()
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       import spark.implicits._
-      return rows.toDF("id", "keeper")
+      return (rows.toDF("id", "keeper"), 0)
     }
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
@@ -167,7 +175,7 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
-    labels.withColumnRenamed("label", "keeper")
+    (labels.withColumnRenamed("label", "keeper"), iter)
   }
 
   /** Exact word-set Jaccard pairs within a blocking key (e.g. lang),

@@ -76,9 +76,10 @@ object Similarity {
     * ~32 MB of plan-side data a literal matrix is the wrong tool. */
   def lshBucket(v: Column, ps: Seq[Array[Double]]): Column = {
     val planeDoubles = ps.iterator.map(_.length.toLong).sum
-    require(planeDoubles <= (1L << 22),
+    require(planeDoubles <= LiteralDoubleLimit,
       s"plane matrix too large for literal inlining ($planeDoubles doubles " +
-        s"> 2^22); reduce numPlanes/dim")
+        s"> 2^22); use lshBucketsJoined / knnLsh, which dispatch to the " +
+        s"broadcast-join bucket computation past this limit")
     // each entry carries its precomputed bit value (1L << planeIndex) so
     // the fold is a pure add — no variable-distance shift expression needed
     val mat = typedLit(ps.zipWithIndex.map { case (w, p) =>
@@ -89,12 +90,79 @@ object Similarity {
         .otherwise(lit(0L)))
   }
 
+  /** Bucket computation for plane matrices too large to inline as a
+    * literal: broadcast the plane TABLE, expand corpus × planes, sum the
+    * per-plane bit contributions back to one (id, bucket) with a map-side
+    * partial aggregate, join back by id. Same shape and tie-free semantics
+    * as [[lshBucket]] (each plane contributes `bit` iff dot > 0). */
+  def lshBucketsJoined(corpus: DataFrame, ps: Seq[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planesDf = ps.zipWithIndex
+      .map { case (w, p) => (1L << p, w.toSeq) }.toDF("bit", "w")
+    val bits = corpus.join(broadcast(planesDf))
+      .select(col("id"),
+        when(dot(col("v"), col("w")) > 0, col("bit")).otherwise(lit(0L))
+          .as("contrib"))
+      .groupBy(col("id")).agg(sum(col("contrib")).as("bucket"))
+    corpus.join(bits, "id")
+  }
+
+  /** Corpus with a `bucket` column: literal fold below `literalLimit` total
+    * plane doubles, broadcast-join fallback above. */
+  def withBuckets(corpus: DataFrame, ps: Seq[Array[Double]],
+      literalLimit: Long = LiteralDoubleLimit): DataFrame =
+    if (ps.iterator.map(_.length.toLong).sum <= literalLimit)
+      corpus.withColumn("bucket", lshBucket(col("v"), ps))
+    else lshBucketsJoined(corpus, ps)
+
   /** Driver-side centroid: id, vector, precomputed norm. Centroid sets are
     * tiny by construction (k ≤ a few thousand · dim doubles), so holding
     * them on the driver and folding them into a literal is the scale-safe
     * spelling — the alternative (a condition-less broadcast join + per-id
     * window) multiplies the corpus ×k and shuffles every embedding. */
   final case class Cent(cid: Long, cv: Array[Double], cnrm: Double)
+
+  /** Literal-inlining budget: past ~2^22 doubles (~32 MB of plan-side data)
+    * a typedLit matrix bloats analysis/serialization; the join-backed
+    * fallbacks ([[assignCellsJoined]], [[lshBucketsJoined]]) take over. */
+  val LiteralDoubleLimit: Long = 1L << 22
+
+  private def centDoubles(cents: Seq[Cent]): Long =
+    cents.iterator.map(_.cv.length.toLong).sum
+
+  /** Centroid set as a (cid, cv, cnrm) DataFrame for the join-backed path. */
+  private def centsDf(corpus: DataFrame, cents: Seq[Cent]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm")
+  }
+
+  /** Cell assignment for centroid sets too large to inline as a literal
+    * (e.g. 64k × 1024 ≈ 2^26 doubles): broadcast the centroid TABLE, expand
+    * corpus × k, collapse back to one (id, cell) per row with a map-side
+    * partial `max_by` (the ×k expansion never reaches the shuffle), then
+    * join the cell back onto the corpus by id. Costs one corpus shuffle the
+    * literal path avoids — the honest price of a centroid set that cannot
+    * live in the plan. Tie-break matches [[cellFor]]: the (cos, -cid) key
+    * is unique per (id, cid), so ties keep the smallest cid
+    * deterministically. */
+  def assignCellsJoined(corpus: DataFrame, cents: Seq[Cent]): DataFrame = {
+    val scored = corpus.join(broadcast(centsDf(corpus, cents)))
+      .select(col("id"), col("cid"),
+        cosine(col("v"), col("nrm"), col("cv"), col("cnrm")).as("cos"))
+    val best = scored.groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
+    corpus.join(best, "id")
+  }
+
+  /** Corpus with a `cell` column: literal argmax fold below
+    * `literalLimit` total centroid doubles, broadcast-join fallback above. */
+  def assignCells(corpus: DataFrame, cents: Seq[Cent],
+      literalLimit: Long = LiteralDoubleLimit): DataFrame =
+    if (centDoubles(cents) <= literalLimit)
+      corpus.withColumn("cell", cellFor(col("v"), col("nrm"), cents))
+    else assignCellsJoined(corpus, cents)
 
   /** Argmax-cosine cell id as ONE narrow projection over a literal centroid
     * array: an `aggregate` fold keeping the best (cosine, cid) pair. No row
@@ -110,10 +178,11 @@ object Similarity {
     // beyond ~4M doubles (32 MB in the plan) a literal centroid table is the
     // wrong tool — fail fast rather than silently degrade the driver.
     val sorted = cents.sortBy(_.cid)
-    val centDoubles = sorted.iterator.map(_.cv.length.toLong).sum
-    require(centDoubles <= (1L << 22),
-      s"centroid set too large for literal inlining ($centDoubles doubles > " +
-        s"2^22); reduce numCentroids/dim or use the LSH path")
+    val nDoubles = centDoubles(sorted)
+    require(nDoubles <= LiteralDoubleLimit,
+      s"centroid set too large for literal inlining ($nDoubles doubles > " +
+        s"2^22); use assignCellsJoined / knnIvfFrom, which dispatch to the " +
+        s"broadcast-join cell assignment past this limit")
     val centArr = typedLit(sorted.map(c => (c.cid, c.cv.toSeq, c.cnrm)))
       .cast("array<struct<cid:bigint,cv:array<double>,cnrm:double>>")
     // both branches cast to one explicit type: field aliases inside lambda
@@ -145,7 +214,7 @@ object Similarity {
       .collect()
       .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .toSeq
-    knnIvfWith(corpus, cents, queryIds, k, nProbe)
+    knnIvfFrom(corpus, cents, queryIds, k, nProbe)
   }
 
   /** IVF ANN with centroids LEARNED by deterministic k-means||
@@ -159,8 +228,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = try kmeansDriver(corpus, numCentroids, lloydIters)
                 finally corpus.unpersist()
-    knnIvfWith(corpus, cents, queryIds, k, nProbe)
+    knnIvfFrom(corpus, cents, queryIds, k, nProbe)
   }
+
+  /** Learned k-means|| centroids as a driver-side Seq — the hook for
+    * callers that need the SAME centroid set both for scoring and for an
+    * external dump (e.g. the oracle side-table in q_sim_knn_ivf_learned). */
+  def kmeansCentroidsSeq(corpus: DataFrame, k: Int,
+      lloydIters: Int): Seq[Cent] = kmeansDriver(corpus, k, lloydIters)
 
   /** Top-`p` centroid cells by cosine, as an array of cids — the nProbe
     * probe list. Same literal centroid array as [[cellFor]]; the sort is a
@@ -182,25 +257,45 @@ object Similarity {
   }
 
   /** Shared IVF machinery: assign every corpus row to its max-cosine
-    * centroid cell (narrow, via [[cellFor]]), then score queries against
-    * their `nProbe` nearest cells. The probe expansion explodes on the
-    * TINY broadcast query side — the corpus never multiplies or reshuffles;
-    * nProbe = |cents| probes every cell (exact search, the recall
-    * upper bound SimilaritySpec pins). */
-  private def knnIvfWith(corpus: DataFrame, cents: Seq[Cent],
-      queryIds: Seq[Long], k: Int, nProbe: Int = 1): DataFrame = {
+    * centroid cell ([[assignCells]] — narrow literal fold below
+    * `literalLimit` total centroid doubles, broadcast-join fallback above),
+    * then score queries against their `nProbe` nearest cells. The probe
+    * expansion happens on the TINY broadcast query side — the corpus never
+    * multiplies, and only reshuffles on the join-backed fallback; nProbe =
+    * |cents| probes every cell (exact search, the recall upper bound
+    * SimilaritySpec pins). */
+  def knnIvfFrom(corpus: DataFrame, cents: Seq[Cent],
+      queryIds: Seq[Long], k: Int, nProbe: Int = 1,
+      literalLimit: Long = LiteralDoubleLimit): DataFrame = {
     // empty corpus → empty centroid set → empty result (a zero-length
     // literal centroid array would not analyze inside the fold)
     if (cents.isEmpty)
       return corpus.select(col("id").as("query_id"),
         col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     require(nProbe >= 1 && nProbe <= cents.size, "nProbe in [1, |cents|]")
-    val assigned = corpus
-      .withColumn("cell", cellFor(col("v"), col("nrm"), cents))
-    val queries = assigned.filter(col("id").isin(queryIds: _*))
+    val literal = centDoubles(cents) <= literalLimit
+    val assigned = assignCells(corpus, cents, literalLimit)
+    val qrows = assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"),
-        explode(cellsFor(col("v"), col("nrm"), cents, nProbe)).as("qcell"))
+        col("nrm").as("qn"))
+    val queries =
+      if (literal)
+        qrows.withColumn("qcell",
+          explode(cellsFor(col("qv"), col("qn"), cents, nProbe)))
+      else {
+        // probe list via the same broadcast centroid table: rank cells per
+        // query by (cos desc, cid) — identical ordering to cellsFor's
+        // array_sort comparator — and keep the top nProbe
+        val qscored = qrows.join(broadcast(centsDf(corpus, cents)))
+          .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+            cosine(col("qv"), col("qn"), col("cv"), col("cnrm")).as("cos"))
+        val qw = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cid"))
+        qscored.withColumn("rk", row_number().over(qw))
+          .filter(col("rk") <= nProbe)
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("cid").as("qcell"))
+      }
     val scored = assigned.join(broadcast(queries),
         col("cell") === col("qcell") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -240,7 +335,9 @@ object Similarity {
       .limit(2 * k)
       .collect()
       .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
-    require(cand.nonEmpty, "kmeansCentroids: empty corpus")
+    // empty corpus → empty centroid set (knnIvfFrom short-circuits to an
+    // empty result) — layout/empty-input invariance over throwing
+    if (cand.isEmpty) return Seq.empty
     // 2. greedy k-center on the driver (cosine distance), start from the
     // candidate with the largest norm (deterministic tie-break by order)
     def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
@@ -262,16 +359,24 @@ object Similarity {
     // components; the plan restarts from `corpus` every round, so there is
     // no growing lineage to checkpoint.
     for (_ <- 1 to lloydIters) {
-      cents = corpus
-        .select(cellFor(col("v"), col("nrm"), cents).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+      cents = assignCells(corpus, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cv"))
         .collect()
         .map { r =>
+          // Quantize each mean to a 1e-9 grid: the distributed avg() sums
+          // partials in partition order, so raw means carry ulp-level noise
+          // that varies with input partitioning — harmless numerically, but
+          // it would make the learned centroids (and any assignment within
+          // an ulp of a cell boundary) layout-SENSITIVE. Snapping to a grid
+          // far coarser than the noise (~1e-16 rel) and far finer than the
+          // data restores the invariant the layout matrix pins: partition
+          // count is an execution detail, never a semantic input.
           val cv = r.getSeq[Double](1).toArray
+            .map(x => math.rint(x * 1e9) / 1e9)
           Cent(r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
         }.toSeq.sortBy(_.cid)
     }
@@ -289,8 +394,7 @@ object Similarity {
       probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= numPlanes, "probes in [0, numPlanes]")
     val ps = planes(numPlanes, dim)
-    val corpus = prepared(emb, vecCol, idCol)
-      .withColumn("bucket", lshBucket(col("v"), ps))
+    val corpus = withBuckets(prepared(emb, vecCol, idCol), ps)
     val probeBuckets = array((col("bucket") +:
       (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val queries = corpus.filter(col("id").isin(queryIds: _*))

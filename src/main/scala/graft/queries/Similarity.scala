@@ -18,6 +18,24 @@ object Similarity {
   private val NumPlanes = 8
   private val Dim = 64
 
+  /** Side-table handing the LEARNED k-means|| centroids to the oracle: the
+    * query fn dumps the exact centroid set its plan scores with, and the
+    * oracle recomputes assign+probe+top-k in DuckDB from that parquet — so
+    * the gate checks the whole scoring pipeline bitwise without requiring
+    * DuckDB to replay the k-means|| training loop (whose distributed avg()
+    * sums in partition order, which no cross-engine SQL can reproduce).
+    *
+    * The path is suffixed with the SF-dir name: every scale a run touches
+    * dumps to its own table, so a concurrent run at another SF (e.g. the
+    * test suite exercising sf0.001 while the sf0.01 oracle dump awaits its
+    * DuckDB read) can never overwrite the dump the oracle is about to
+    * consume. The static oracle SQL reads the sf0.01 table — the scale the
+    * driver's correctness gate runs at. */
+  private val CentroidDumpBase =
+    "/root/repo/target/oracle_aux/ivf_centroids_learned_"
+  private def centroidDump(dir: String): String =
+    CentroidDumpBase + new java.io.File(dir).getName
+
   /** DuckDB prelude: corpus as DOUBLE[] vectors with precomputed norms —
     * mirrors Sim.prepared. */
   private val preparedCte =
@@ -134,6 +152,51 @@ object Similarity {
               |q AS (
               |  SELECT id AS query_id, v AS qv, nrm AS qn, cell AS qcell
               |  FROM assign WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM assign, q WHERE cell = qcell AND id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // IVF-cell ANN on LEARNED centroids (deterministic k-means||, the
+    // production recall path) with nProbe=2 multi-cell probing. The learned
+    // centroids are dumped to a parquet side-table; the oracle recomputes
+    // cell assignment, the 2-cell probe list, and top-k from that table —
+    // gating the whole scoring pipeline (assign/probe/score/rank) bitwise.
+    "q_sim_knn_ivf_learned" -> Q(
+      (s, dir) => {
+        val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
+            "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents =
+          try Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 3)
+          finally corpus.unpersist()
+        import s.implicits._
+        cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm")
+          .coalesce(1).write.mode("overwrite").parquet(centroidDump(dir))
+        Sim.knnIvfFrom(corpus, cents, QueryIds, K, nProbe = 2)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$preparedCte,
+              |cent AS (
+              |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
+              |  FROM read_parquet('${CentroidDumpBase}sf0.01/*.parquet')),
+              |ranked AS (
+              |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+              |         row_number() OVER (PARTITION BY n.id ORDER BY
+              |           ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
+              |             DESC, cent.cid) AS rk
+              |  FROM n, cent),
+              |assign AS (
+              |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+              |  FROM ranked WHERE rk <= 2 AND id IN $queryIdList),
               |s AS (
               |  SELECT query_id, id AS neighbor_id,
               |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine

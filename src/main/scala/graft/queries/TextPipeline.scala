@@ -110,6 +110,33 @@ object TextPipeline {
               |SELECT id, min(r) AS keeper FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // The SAME dup-group pipeline forced onto the DISTRIBUTED
+    // min-label + pointer-jump branch (driverEdgeLimit = 0): identical
+    // output to q_pipe_dup_groups by construction, so it shares the oracle —
+    // the gate proves branch equivalence cross-engine every round, and the
+    // bench times the iterative path (its checkpoints + O(log d) shuffle
+    // rounds) at the round's pair volume instead of leaving the 100 TB
+    // branch untimed.
+    "q_pipe_dup_groups_dist" -> Q(
+      (s, dir) => Dedup.dupGroups(
+          Dedup.minhashDupPairs(docs(s, dir), "text", "doc_id",
+              k = 3, threshold = 0.8)
+            .filter(col("is_dup"))
+            .select(col("id1"), col("id2")),
+          driverEdgeLimit = 0L)
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE ${dupPairsCte(3, 0.8).stripPrefix("WITH ")},
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id)
+              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // 30-bit SimHash fingerprint + 15-bit halves for banded lookup.
     "q_pipe_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashFingerprints(docs(s, dir), "text", "doc_id")

@@ -53,6 +53,23 @@ class DedupSpec extends SparkTestBase {
         .mkString(","))
   }
 
+  test("dupGroups converges in O(log diameter) rounds on a 10^4 chain") {
+    // worst-case topology for label propagation: one path of 10^4 vertices
+    // (diameter 10^4 - 1). Plain relaxation needs ~10^4 rounds; the
+    // relax+pointer-jump loop must stay logarithmic — this pins the bound
+    // mechanically instead of trusting the scaladoc.
+    val n = 10000
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id1", "id2")
+    val (groups, rounds) =
+      Dedup.dupGroupsWithStats(pairs, maxIter = 40, driverEdgeLimit = 0)
+    val rows = groups.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.getLong(1) === 1L))
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt // 2·log2(n) = 28
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
   test("dupGroups driver union-find and distributed propagation agree") {
     // mixed topology: chain, star, pair, self-contained triangle
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Pmod}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -42,13 +43,26 @@ class PlanGuardSpec extends SparkTestBase {
       case f: Filter => reduced(f.child)
       case _ => false
     }
+    // A window "partitioned" by an expression that is constant for every
+    // row (pmod(x, 1) ≡ 0, or an expression referencing no columns) is a
+    // global window in disguise — it funnels the table through ONE reducer
+    // while evading the partitionSpec.isEmpty check above. Flag those too;
+    // the same reduced-child exemption applies (the one legitimate use,
+    // Positional's bounded ≤ n+1-row offsets aggregate, passes through it).
+    def constantValued(e: Expression): Boolean = e match {
+      case Pmod(_, Literal(v, _), _) if v != null && v.toString == "1" => true
+      case _ => e.references.isEmpty
+    }
     for ((name, df) <- plans) {
       val bad = df.queryExecution.optimizedPlan.collect {
-        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        case w: Window if w.orderSpec.nonEmpty &&
+          (w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(constantValued)) &&
           !reduced(w.child) => w
       }
       assert(bad.isEmpty,
-        s"$name funnels the table through one partition via a global Window")
+        s"$name funnels the table through one partition via a global (or " +
+          s"constant-partitioned) Window")
     }
   }
 

@@ -64,6 +64,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  private def seedCents(n: Int): Seq[Similarity.Cent] =
+    Similarity.prepared(emb, "embedding", "vec_id")
+      .filter($"id" < n).collect()
+      .map(r => Similarity.Cent(r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2))).toSeq
+
+  test("assignCells broadcast-join fallback equals the literal fold") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+    val cents = seedCents(4)
+    def cells(limit: Long) =
+      Similarity.assignCells(corpus, cents, literalLimit = limit)
+        .select($"id", $"cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cells(Long.MaxValue) === cells(0L))
+  }
+
+  test("knnIvfFrom broadcast-join fallback equals the literal path") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+    val cents = seedCents(4)
+    def run(limit: Long) =
+      Similarity.knnIvfFrom(corpus, cents, queryIds, k = 5, nProbe = 2,
+          literalLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
+  test("withBuckets broadcast-join fallback equals the literal fold") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+    val ps = Similarity.planes(numPlanes = 6, dim = 64)
+    def buckets(limit: Long) =
+      Similarity.withBuckets(corpus, ps, literalLimit = limit)
+        .select($"id", $"bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(buckets(Long.MaxValue) === buckets(0L))
+  }
+
   test("nProbe recall ladder: monotone, and nProbe=|cells| == brute force") {
     val k = 5
     val nc = 4

@@ -229,10 +229,15 @@ object StringKernelProps extends Properties("StringKernels") {
     }
 
   property("textStrip default set strips exactly the Unicode-space set") =
+    // same rich non-member alphabet as the custom-set cases: 2-byte é, the
+    // invisible-but-not-space soft hyphen, 3-byte 中, 4-byte astral 𝄞/😀 —
+    // the default StringTrim path must survive the exact multi-byte edges
+    // the custom-set properties were added for
     forAll(Gen.listOf(Gen.frequency(
         3 -> Gen.oneOf(graft.functions.GraftFunctions.FletcherStripChars
           .map(_.toString)),
-        2 -> Gen.oneOf(Seq("b", "é", "中", "1")))).map(_.mkString)) { s =>
+        2 -> Gen.oneOf(Seq("b", "é", "中", "1", "­", "𝄞", "😀", "ß", "丮"))))
+      .map(_.mkString)) { s =>
       val set = graft.functions.GraftFunctions.FletcherStripChars
       evalStr(StringTrim(Literal(s), Literal(set))) ==
         bruteStrip(s, set, left = true, right = true)
