@@ -76,4 +76,57 @@ object Quality {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** The composed corpus-cleaning pass a training-data pipeline actually
+    * runs: one auditable DECISION RECORD per document —
+    *
+    *   - `is_keeper`   exact-dedup survivor (doc_id == min id of its
+    *                   md5(text) group);
+    *   - `lang_pred`   n-gram-heuristic language id ([[TextOps.langPredict]]);
+    *   - `keep_quality` token-count bounds + stopword-ratio floor (the
+    *                   q_pipe_text_quality filter);
+    *   - `n_overlap`   distinct k-gram collisions with the eval set
+    *                   ([[Dedup.ngramContamination]], 0 when clean);
+    *   - `keep`        the conjunction: non-eval ∧ keeper ∧ quality ∧
+    *                   lang == keepLang ∧ n_overlap ≤ maxOverlap.
+    *
+    * Emitting the full record (not just survivors) is deliberate: at 100 TB
+    * you audit WHY documents dropped (and rates per reason) before
+    * committing to a filter config; the survivor set is `.filter(col("keep"))`.
+    *
+    * Scale: quality + lang are narrow projections; the dedup-keeper join
+    * shuffles only (md5 digest, id); contamination broadcasts the DISTINCT
+    * eval gram set so the train side never shuffles; the final assembly is
+    * one digest-keyed join plus one left join on id. Text never travels
+    * through any shuffle.
+    */
+  def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
+      isEval: Column, k: Int = 3, minTokens: Int = 10, maxTokens: Int = 1000,
+      minStopRatio: Double = 0.01, keepLang: String = "en",
+      maxOverlap: Long = 0L): DataFrame = {
+    val toks = tokens(col("__text"))
+    val nTok = size(toks)
+    val stopR = stopHits(toks, StopEn).cast("double") / nTok.cast("double")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        isEval.as("is_eval"))
+      .withColumn("__h", md5(col("__text")))
+    val keepers = base.groupBy(col("__h")).agg(min(col("doc_id")).as("__keeper"))
+    val contam = Dedup.ngramContamination(docs, textCol, idCol, isEval, k)
+      .select(col("id").as("doc_id"), col("n_overlap"))
+    base
+      .withColumn("lang_pred", langPredict(toks))
+      .withColumn("keep_quality",
+        nTok >= minTokens && nTok <= maxTokens && stopR >= minStopRatio)
+      .join(keepers, "__h")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_eval"),
+        (col("doc_id") === col("__keeper")).as("is_keeper"),
+        col("lang_pred"), col("keep_quality"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("keep",
+        !col("is_eval") && col("is_keeper") && col("keep_quality") &&
+          col("lang_pred") === lit(keepLang) &&
+          col("n_overlap") <= lit(maxOverlap))
+  }
 }

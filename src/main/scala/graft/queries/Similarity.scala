@@ -208,6 +208,44 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    // Embedding near-dup DECISIONS: the LSH-bucketed pair set resolved to
+    // connected components (min-id keeper per component) — the embedding
+    // analog of q_pipe_dup_groups, composing Similarity's candidate
+    // generation with Dedup's component resolution end-to-end. The oracle
+    // replays components with a recursive CTE over the same pair SQL.
+    "q_sim_neardup_groups" -> Q(
+      (s, dir) => {
+        val corpus = Sim.withBuckets(
+          Sim.prepared(tbl(s, dir, "embeddings"), "embedding", "vec_id"),
+          Sim.planes(NumPlanes, Dim))
+        val pairs = corpus.as("a").join(corpus.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .filter(Sim.cosine(col("a.v"), col("a.nrm"), col("b.v"),
+            col("b.nrm")) >= 0.3)
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        graft.operators.Dedup.dupGroups(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE p AS (
+              |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
+              |bk AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+              |pairs AS (
+              |  SELECT x.id AS id1, y.id AS id2
+              |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
+              |  WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.3),
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id)
+              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // Embedding near-dup pairs, LSH-bucketed: pairs sharing a bucket with
     // cosine ≥ τ. The bucket equi-join keeps the pair space ~n²/2^planes —
     // the scale path; raw all-pairs stays an explicitly-opt-in API.

@@ -481,6 +481,50 @@ object TextPipeline {
               |FROM t JOIN e USING (hh)
               |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // The COMPOSED corpus-cleaning pass: per-document decision record
+    // (exact-dedup keeper, predicted lang, quality bounds, eval k-gram
+    // contamination, final keep verdict). One gate proving the composition
+    // of four independently-gated stages stays correct end-to-end — the
+    // config a real cleaning run would audit before filtering 100 TB.
+    "q_pipe_clean_corpus" -> Q(
+      (s, dir) => graft.operators.Quality
+        .cleanCorpus(docs(s, dir), "text", "doc_id",
+          col("doc_id") % 20 === 0, k = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""${shingleCte(3)},
+              |e AS (SELECT DISTINCT unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 = 0),
+              |t AS (SELECT doc_id, unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 <> 0),
+              |c AS (SELECT doc_id, count(*) AS n_overlap FROM t
+              |      JOIN e USING (hh) GROUP BY 1),
+              |d AS (
+              |  SELECT doc_id, md5(text) AS h, string_split(text, ' ') AS w
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, h, w, ${LangOrder.map { case (l, set) =>
+                   s"${DuckFrag.stopHitsSql(set)} AS s_$l" }.mkString(", ")}
+              |  FROM d),
+              |q AS (
+              |  SELECT doc_id, h, ${DuckFrag.langPredictSql} AS lang_pred,
+              |         len(w) AS n_tokens,
+              |         CAST(${DuckFrag.stopHitsSql(StopEn)} AS DOUBLE) /
+              |           CAST(len(w) AS DOUBLE) AS stop_ratio
+              |  FROM scored),
+              |kp AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+              |       FROM documents GROUP BY 1),
+              |rec AS (
+              |  SELECT q.doc_id, (q.doc_id % 20 = 0) AS is_eval,
+              |         (q.doc_id = kp.keeper) AS is_keeper, q.lang_pred,
+              |         (q.n_tokens >= 10 AND q.n_tokens <= 1000
+              |          AND q.stop_ratio >= 0.01) AS keep_quality,
+              |         COALESCE(c.n_overlap, 0) AS n_overlap
+              |  FROM q JOIN kp ON q.h = kp.h
+              |  LEFT JOIN c ON c.doc_id = q.doc_id)
+              |SELECT *, (NOT is_eval AND is_keeper AND keep_quality
+              |           AND lang_pred = 'en' AND n_overlap <= 0) AS keep
+              |FROM rec ORDER BY doc_id""".stripMargin)),
+
     // PII detection + redaction (operators.Quality): the testdata carries
     // no PII, so the gate deterministically injects synthetic emails /
     // phones / IPs from doc_id before counting and redacting — the regex

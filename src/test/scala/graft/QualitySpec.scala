@@ -79,6 +79,38 @@ class QualitySpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("cleanCorpus: each drop reason fires independently, keeper survives") {
+    // one doc per drop reason, so a regression in any stage flips exactly
+    // one row's verdict:
+    //   1   clean English doc            -> keep
+    //   2   exact duplicate of 1         -> dropped (not keeper)
+    //   3   3 tokens                     -> dropped (quality: too short)
+    //   4   shares "the lazy dog today"  -> dropped (contaminated, 2 grams)
+    //   5   German, but has "in"         -> dropped (lang only; quality ok)
+    //   100 the eval doc itself          -> dropped (is_eval)
+    val good = "the cat and the dog is in a house of wonders"
+    val df = Seq(
+        (1L, good),
+        (2L, good),
+        (3L, "tiny text here"),
+        (4L, "we saw the lazy dog today in a field of dreams and it is great"),
+        (5L, "der hund und die katze ist ein tier in der haus und das feld"),
+        (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val got = Quality.cleanCorpus(df, "text", "doc_id",
+        isEval = col("doc_id") === 100L, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getString(3), r.getBoolean(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    //                 (is_eval, is_keeper, lang, quality, n_overlap, keep)
+    assert(got(1L) === ((false, true, "en", true, 0L, true)))
+    assert(got(2L) === ((false, false, "en", true, 0L, false)))
+    assert(got(3L)._4 === false && got(3L)._6 === false)
+    assert(got(4L) === ((false, true, "en", true, 2L, false)))
+    assert(got(5L)._3 === "de" && got(5L)._4 === true && got(5L)._6 === false)
+    assert(got(100L)._1 === true && got(100L)._6 === false)
+  }
+
   test("ngram contamination shuffle-join path matches broadcast path") {
     val df = (0L until 60L).map(i =>
         (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${i % 5}"))
