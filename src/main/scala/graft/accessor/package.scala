@@ -136,6 +136,12 @@ package object accessor {
           k: Int, broadcastEval: Boolean = true): org.apache.spark.sql.DataFrame =
         graft.operators.Dedup.ngramContamination(df, textCol, idCol, isEval,
           k, broadcastEval)
+      def cleanCorpus(textCol: String, idCol: String, isEval: Column,
+          k: Int = 3, minTokens: Int = 10, maxTokens: Int = 1000,
+          minStopRatio: Double = 0.01, keepLang: String = "en",
+          maxOverlap: Long = 0L): org.apache.spark.sql.DataFrame =
+        graft.operators.Quality.cleanCorpus(df, textCol, idCol, isEval, k,
+          minTokens, maxTokens, minStopRatio, keepLang, maxOverlap)
     }
   }
 }

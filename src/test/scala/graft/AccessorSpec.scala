@@ -71,5 +71,12 @@ class AccessorSpec extends SparkTestBase {
     val docs = Seq((1L, "aaa", "en")).toDF("id", "text", "lang")
     assert(docs.stratifiedSample($"text", $"lang", Map("en" -> 1.0), 0.0)
       .count() === 1)
+    val corpus = Seq(
+        (1L, "the cat and the dog is in a house of wonders"),
+        (2L, "unrelated eval text entirely different here now today ok fine"))
+      .toDF("doc_id", "text")
+    val rec = corpus.cleanCorpus("text", "doc_id", isEval = $"doc_id" === 2L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(rec === Map(1L -> true, 2L -> false))
   }
 }

@@ -19,6 +19,13 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Gates whose oracle reads a Spark-written side-table (static SQL can only
+# name ONE path, so it names the scale the driver's gate runs at). Checking
+# them at any other scale would compare fresh Spark output against the
+# other scale's stale side-table — a guaranteed spurious diff — so they are
+# reported as SKIP outside their pinned scale.
+PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01"}
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
@@ -77,6 +84,10 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        pinned = PINNED_SCALE.get(name)
+        if pinned and pinned not in sfdir:
+            results[name] = f"SKIP   side-table gate pinned to {pinned}"
+            continue
         spark_path = Path(outdir) / name
         if not spark_path.exists():
             results[name] = "MISSING spark output"
@@ -98,10 +109,13 @@ def main():
         except Exception as e:
             results[name] = f"CMPERR {type(e).__name__}: {e}"
     ok = sum(1 for v in results.values() if v == "OK")
+    skip = sum(1 for v in results.values() if v.startswith("SKIP"))
     for name, v in sorted(results.items()):
-        print(f"{'PASS' if v == 'OK' else 'FAIL':4s}  {name:28s} {'' if v == 'OK' else v}")
-    print(f"\n{ok}/{len(results)} queries match")
-    sys.exit(0 if ok == len(results) else 1)
+        tag = "PASS" if v == "OK" else ("SKIP" if v.startswith("SKIP") else "FAIL")
+        print(f"{tag:4s}  {name:28s} {'' if v == 'OK' else v}")
+    print(f"\n{ok}/{len(results)} queries match"
+          + (f" ({skip} skipped: pinned to another scale)" if skip else ""))
+    sys.exit(0 if ok + skip == len(results) else 1)
 
 
 if __name__ == "__main__":
