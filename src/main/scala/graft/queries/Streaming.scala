@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.TextOps._
 import graft.streaming.Streams
 
 /** Stream/batch parity gates (SURVEY.md §2.10, beyond-parity — the
@@ -18,21 +19,62 @@ import graft.streaming.Streams
 object Streaming {
 
   /** The parquet file source streams a DIRECTORY of arriving files; the
-    * testdata ships one flat events.parquet per sf. Stage it into a
-    * scratch directory (idempotent, keyed by sf dir) — exactly the
+    * testdata ships one flat <table>.parquet per sf. Stage it into a
+    * scratch directory (idempotent, keyed by sf dir + table) — exactly the
     * production layout, where each arriving file is one micro-batch. */
-  private def stageEventsDir(dir: String): String = {
+  private def stageDir(dir: String, file: String): String = {
     val stage = java.nio.file.Paths.get(
-      "/tmp/graft_stream_stage", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "/tmp/graft_stream_stage",
+      (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_"))
     java.nio.file.Files.createDirectories(stage)
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, file),
+      stage.resolve(file),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     stage.toString
   }
+  private def stageEventsDir(dir: String): String =
+    stageDir(dir, "events.parquet")
 
   val defs: Map[String, Q] = Map(
+    // Streaming corpus QUALITY filtering: the stateless quality/lang
+    // projection (tokens, stopword ratio, language argmax, keep verdict)
+    // applied to documents as they land, drained AvailableNow and
+    // hash-compared to the oracle computing the same flags in batch —
+    // proving the text-analysis expression surface runs unchanged under
+    // micro-batch execution (no state, so parity must be exact).
+    "q_stream_quality_parity" -> Q(
+      (s, dir) => {
+        val stream = Streams.documentStream(s,
+          stageDir(dir, "documents.parquet"))
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val stopR = stopHits(toks, StopEn).cast("double") /
+          nTok.cast("double")
+        val flags = stream.select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          stopR.as("stop_ratio"),
+          langPredict(toks).as("lang_pred"),
+          (nTok >= 10 && nTok <= 1000 && stopR >= 0.01).as("keep"))
+        Streams.runToTableAppend(flags, "stream_quality_parity")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |scored AS (
+              |  SELECT doc_id, w, ${LangOrder.map { case (l, set) =>
+                   s"${DuckFrag.stopHitsSql(set)} AS s_$l" }.mkString(", ")}
+              |  FROM toks)
+              |SELECT doc_id, len(w) AS n_tokens,
+              |       CAST(${DuckFrag.stopHitsSql(StopEn)} AS DOUBLE) /
+              |         CAST(len(w) AS DOUBLE) AS stop_ratio,
+              |       ${DuckFrag.langPredictSql} AS lang_pred,
+              |       (len(w) >= 10 AND len(w) <= 1000 AND
+              |        CAST(${DuckFrag.stopHitsSql(StopEn)} AS DOUBLE) /
+              |          CAST(len(w) AS DOUBLE) >= 0.01) AS keep
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
     "q_stream_window_parity" -> Q(
       (s, dir) => {
         val stream = Streams.eventStream(s, stageEventsDir(dir))

@@ -36,6 +36,16 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** File-source ingest of a documents directory as an unbounded stream —
+    * the corpus-as-it-lands entry point: each arriving parquet of scraped
+    * documents is one micro-batch, and the stateless quality/lang
+    * projections ([[graft.operators.TextOps]]) apply unchanged. */
+  def documentStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+      "n_chars BIGINT"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
   /** Sliding event-time windowed aggregation with a watermark: counts and
     * value sums per (window, event_type). Watermark bounds state: windows
     * older than maxDelay are finalized and evicted. */
