@@ -111,6 +111,25 @@ class QualitySpec extends SparkTestBase {
     assert(got(100L)._1 === true && got(100L)._6 === false)
   }
 
+  test("cleanCorpus thresholds are wired: maxOverlap and keepLang flip verdicts") {
+    val df = Seq(
+        (4L, "we saw the lazy dog today in a field of dreams and it is great"),
+        (5L, "der hund und die katze ist ein tier in der haus und das feld"),
+        (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    def keeps(k: Long, lang: String) =
+      Quality.cleanCorpus(df, "text", "doc_id",
+          isEval = col("doc_id") === 100L, k = 3,
+          maxOverlap = k, keepLang = lang)
+        .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    // doc 4 shares 2 eval grams: dropped at the default 0, kept at 2
+    assert(keeps(0L, "en")(4L) === false)
+    assert(keeps(2L, "en")(4L) === true)
+    // doc 5 is German: dropped under keepLang=en, kept under keepLang=de
+    assert(keeps(0L, "en")(5L) === false)
+    assert(keeps(0L, "de")(5L) === true)
+  }
+
   test("ngram contamination shuffle-join path matches broadcast path") {
     val df = (0L until 60L).map(i =>
         (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${i % 5}"))
