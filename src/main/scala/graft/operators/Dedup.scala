@@ -36,9 +36,21 @@ object Dedup {
 
   /** LSH candidate pairs with exact-Jaccard verification.
     * Output: (id1, id2, jacc, is_dup) — id1 < id2, band-deduplicated.
+    *
+    * `maxBucket` is the skew guard for real corpora: boilerplate/template
+    * text collapses thousands of documents into ONE band bucket, and the
+    * bucket self-join then materializes |bucket|² candidate pairs inside a
+    * single task — the classic LSH skew failure, invisible at test scale
+    * and fatal at 100 TB. Buckets larger than the cap are dropped BEFORE
+    * the self-join (one extra (band,key)-count aggregation over longs).
+    * The recall loss is confined to exactly the documents a cheaper pass
+    * already handles: members of an over-full bucket agree on a whole band
+    * of minhashes, i.e. they are near-identical — run [[exactGroups]]
+    * (digest-exact) alongside, as every real pipeline does. Default keeps
+    * every bucket (the oracle-gated lossless behavior).
     */
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
     // The signature subtree feeds BOTH the band-bucket branch and the
     // exact-verify self-join; without materialization Spark recomputes the
     // (expensive) shingle hashing for each branch. Signatures are small —
@@ -47,8 +59,20 @@ object Dedup {
     val sig = minhashSignatures(docs, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band buckets: only (band, key) and id travel through this shuffle
-    val buckets = sig.select(col("id"),
+    val bucketsAll = sig.select(col("id"),
       posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
+    val buckets =
+      if (maxBucket == Int.MaxValue) bucketsAll
+      else {
+        // map-side partial count collapses each bucket to one row before
+        // the shuffle; the surviving (band, key) set joins back as the
+        // candidate filter
+        val small = bucketsAll.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucket)
+          .select(col("band"), col("key"))
+        bucketsAll.join(small, Seq("band", "key"))
+      }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))

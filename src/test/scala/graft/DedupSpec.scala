@@ -30,6 +30,30 @@ class DedupSpec extends SparkTestBase {
       dup.get.getAs[Boolean]("is_dup"))
   }
 
+  test("maxBucket skew guard drops template buckets; exactGroups covers them") {
+    // 20 identical template docs (one massive band bucket — the LSH skew
+    // case) plus one genuine near-dup pair with unique text
+    val template = "terms of service apply to all users of this site"
+    val docs = ((1L to 20L).map(i => (i, template)) ++ Seq(
+        (50L, "the quick brown fox jumps over the lazy dog"),
+        (51L, "the quick brown fox jumps over the lazy cat")))
+      .toDF("doc_id", "text")
+    val unlimited = Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5,
+        maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unlimited finds the 190 template pairs AND the near-dup pair
+    assert(unlimited.contains((50L, 51L)) && unlimited.size > 190)
+    // the cap removes the over-full template bucket's pairs, keeps the rest
+    assert(capped === Set((50L, 51L)))
+    // the dropped documents are exactly the digest-exact class: the cheap
+    // exact pass still groups all 20 under one keeper
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g(1L) === 20L)
+  }
+
   test("dupGroups resolves chains and keeps the min id per component") {
     // components: {1,2,3,4} via chain, {10,11} isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
