@@ -214,9 +214,22 @@ object Dedup {
     * IDENTICAL to the all-pairs spelling (prefix filtering is lossless), so
     * the DuckDB oracle keeps the simple quadratic SQL at gate scale while
     * this side scales: shuffle volume is O(Σ prefix-len), and no block ever
-    * materializes |block|² pairs. */
+    * materializes |block|² pairs.
+    *
+    * The losslessness theorem holds for ANY fixed total order of the token
+    * universe. `frequencyOrdered = false` (default) orders by hash — a
+    * narrow per-row array_sort, no extra passes. `frequencyOrdered = true`
+    * is the canonical Bayardo ordering: tokens ranked by ASCENDING global
+    * document frequency (ties by hash), so every prefix carries the
+    * document's RAREST tokens and candidates form only around genuinely
+    * discriminative tokens. On a skewed vocabulary (a near-universal
+    * boilerplate token landing in hash-order prefixes) this collapses the
+    * candidate count at the price of two extra token-level shuffles (the
+    * frequency count and the per-doc rank) — the right trade at corpus
+    * scale, measurable before committing via the candidate-pair count. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      frequencyOrdered: Boolean = false): DataFrame = {
     // persisted: the prefix branch and both verify joins would otherwise
     // re-hash the corpus (same pattern as minhashDupPairs)
     val withSets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
@@ -224,12 +237,28 @@ object Dedup {
         graft.expressions.TextExpressions.polyHash(t))).as("h"))
       .withColumn("sz", size(col("h")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length p = |h| − ⌈τ·|h|⌉ + 1 under the ascending-hash order;
+    // prefix length p = |h| − ⌈τ·|h|⌉ + 1 under the chosen total order;
     // the 1e-9 guard only ever LENGTHENS the prefix (safe direction for FP).
     val prefixLen = (col("sz") -
       ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
-    val pre = withSets.select(col("id"), col("block"), col("sz"),
-      explode(slice(array_sort(col("h")), lit(1), prefixLen)).as("tok"))
+    val pre =
+      if (!frequencyOrdered)
+        withSets.select(col("id"), col("block"), col("sz"),
+          explode(slice(array_sort(col("h")), lit(1), prefixLen)).as("tok"))
+      else {
+        // global df per token, joined back onto the exploded tokens; the
+        // per-doc (cnt asc, tok asc) rank replaces the array_sort slice —
+        // only (id, block, sz, tok, cnt) longs travel through the shuffles
+        val toks = withSets.select(col("id"), col("block"), col("sz"),
+          explode(col("h")).as("tok"))
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("__cnt"), col("tok"))
+        toks.join(freq, "tok")
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= prefixLen)
+          .select(col("id"), col("block"), col("sz"), col("tok"))
+      }
     val cand = pre.as("a").join(pre.as("b"),
         col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
           col("a.id") < col("b.id") &&

@@ -135,6 +135,24 @@ class DedupSpec extends SparkTestBase {
     assert(!fast.exists(p => p._1 == 4L && p._2 == 5L)) // cross-block excluded
   }
 
+  test("frequency-ordered prefixes exclude a universal boilerplate token") {
+    // every doc shares the token "copyright": under hash order it can land
+    // in many prefixes (candidate blowup); under frequency order it ranks
+    // LAST, so prefixes carry only the rare discriminative tokens. Output
+    // must be identical either way; the frequency path's candidate join
+    // must not key on the universal token for these prefix lengths.
+    val docs = (1 to 12).map(i =>
+        (i.toLong, "x", s"copyright w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "source", "text")
+    val hashOrd = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+        0.6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freqOrd = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+        0.6, frequencyOrdered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // disjoint rare vocab → no pair reaches tau under either order
+    assert(hashOrd === freqOrd && freqOrd.isEmpty)
+  }
+
   test("prefix filtering prunes the candidate space below all-pairs") {
     // 30 mutually-dissimilar docs in ONE block: all-pairs would be 435
     // candidate pairs; disjoint vocabularies share no prefix token, so the

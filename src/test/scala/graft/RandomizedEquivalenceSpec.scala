@@ -30,6 +30,13 @@ class RandomizedEquivalenceSpec extends SparkTestBase {
       val fast = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.5)
         .select($"id1", $"id2", $"jacc").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the Bayardo frequency order must yield the identical pair set —
+      // losslessness is order-independent
+      val freq = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+          0.5, frequencyOrdered = true)
+        .select($"id1", $"id2", $"jacc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(freq === fast, s"seed $seed: frequency order changed the output")
       val sets = docs.select($"doc_id".as("id"), $"source".as("block"),
         array_distinct(transform(split($"text", " "),
           t => graft.expressions.TextExpressions.polyHash(t))).as("h"))
