@@ -136,6 +136,9 @@ package object accessor {
           k: Int, broadcastEval: Boolean = true): org.apache.spark.sql.DataFrame =
         graft.operators.Dedup.ngramContamination(df, textCol, idCol, isEval,
           k, broadcastEval)
+      def capPerKey(keyCol: String, idCol: String,
+          n: Int): org.apache.spark.sql.DataFrame =
+        graft.operators.TextOps.capPerKey(df, keyCol, idCol, n)
       def cleanCorpus(textCol: String, idCol: String, isEval: Column,
           k: Int = 3, minTokens: Int = 10, maxTokens: Int = 1000,
           minStopRatio: Double = 0.01, keepLang: String = "en",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.TextExpressions.polyHash
 
@@ -148,5 +148,29 @@ object TextOps {
       when(stratum === k, lit(sampleThreshold(r))).otherwise(acc)
     }
     polyHash(content) % SampleMod < thresh
+  }
+
+  /** Deterministic per-key cap (domain balancing): keep at most `n` rows
+    * per `key`, chosen by a Knuth-multiplicative hash of the id (ties by
+    * id) — a uniform pseudo-random pick that is a pure function of the
+    * row, so it is stable across runs, engines, and partitionings. The
+    * hard-cap complement of [[stratifiedKeep]]'s rate-based sampling:
+    * rates rebalance proportions, caps bound the absolute contribution of
+    * any one source/domain (the standard guard against a single crawl
+    * domain dominating a training mix).
+    *
+    * Scale: one hash-partitioned window per key — state is a row counter,
+    * no buffering; a pathologically hot key costs one task scanning that
+    * key's rows once (the order key is computed narrowly before the
+    * shuffle). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "cap must be >= 1")
+    val ord = (col(idCol) * lit(2654435761L)) % lit(2147483647L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord, col(idCol))
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= n)
+      .drop("__cap_rk")
   }
 }

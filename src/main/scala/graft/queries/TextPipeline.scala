@@ -481,6 +481,22 @@ object TextPipeline {
               |FROM t JOIN e USING (hh)
               |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic per-source cap (domain balancing): at most n docs per
+    // source, picked by a Knuth-multiplicative id hash mirrored exactly in
+    // the oracle — the hard-cap complement of rate-based q_pipe_sample.
+    "q_pipe_source_cap" -> Q(
+      (s, dir) => TextOps.capPerKey(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", n = 10)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+             |           AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
     // The COMPOSED corpus-cleaning pass: per-document decision record
     // (exact-dedup keeper, predicted lang, quality bounds, eval k-gram
     // contamination, final keep verdict). One gate proving the composition
