@@ -139,6 +139,10 @@ package object accessor {
       def capPerKey(keyCol: String, idCol: String,
           n: Int): org.apache.spark.sql.DataFrame =
         graft.operators.TextOps.capPerKey(df, keyCol, idCol, n)
+      def chunkDocuments(textCol: String, idCol: String, size: Int,
+          stride: Int): org.apache.spark.sql.DataFrame =
+        graft.operators.TextOps.chunkDocuments(df, textCol, idCol, size,
+          stride)
       def cleanCorpus(textCol: String, idCol: String, isEval: Column,
           k: Int = 3, minTokens: Int = 10, maxTokens: Int = 1000,
           minStopRatio: Double = 0.01, keepLang: String = "en",

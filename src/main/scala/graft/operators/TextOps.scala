@@ -173,4 +173,35 @@ object TextOps {
       .filter(col("__cap_rk") <= n)
       .drop("__cap_rk")
   }
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * sequence-packing step that turns a cleaned corpus into model-ready
+    * training chunks. Windows start every `stride` tokens (stride < size
+    * ⇒ size − stride tokens of overlap, the standard long-document
+    * recipe); the tail window is shorter rather than dropped, so every
+    * token appears in ≥ 1 chunk. Output: (id, chunk_idx, chunk_text,
+    * n_tokens), chunk_idx dense from 0 in document order.
+    *
+    * Scale: pure narrow explode — starts are a per-row `sequence` literal
+    * over the token count, the window itself a per-row array slice; no
+    * shuffle, no state, whole-stage codegen'd. Output row count is
+    * Σ ⌈n_tokens/stride⌉ — the explode multiplies rows but text bytes only
+    * by the overlap factor size/stride. */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size (stride > size would drop tokens)")
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("id"), toks.as("__w"))
+      .withColumn("__starts",
+        sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("__w")) - 1, lit(0)),
+          lit(stride)))
+      .select(col("id"), col("__w"),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "__start")))
+      .withColumn("__chunk", slice(col("__w"), col("__start") + 1, lit(size)))
+      .select(col("id"), col("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("__chunk")).as("n_tokens"))
+  }
 }

@@ -481,6 +481,31 @@ object TextPipeline {
               |FROM t JOIN e USING (hh)
               |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Sequence chunking: each doc split into 8-token windows every 6
+    // tokens (2-token overlap), short tail kept — the packing step that
+    // turns cleaned text into model-ready chunks. Oracle mirrors the
+    // window arithmetic with range()/list_slice (both engines clamp array
+    // slices at the document end).
+    "q_pipe_chunk" -> Q(
+      (s, dir) => TextOps.chunkDocuments(docs(s, dir), "text", "doc_id",
+          size = 8, stride = 6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (
+             |  SELECT doc_id, w,
+             |         unnest(range(0, greatest(len(w), 1), 6)) AS start
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id, start // 6 AS chunk_idx,
+             |         list_slice(w, start + 1, start + 8) AS chunk
+             |  FROM st)
+             |SELECT doc_id, chunk_idx,
+             |       array_to_string(chunk, ' ') AS chunk_text,
+             |       len(chunk) AS n_tokens
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Deterministic per-source cap (domain balancing): at most n docs per
     // source, picked by a Knuth-multiplicative id hash mirrored exactly in
     // the oracle — the hard-cap complement of rate-based q_pipe_sample.

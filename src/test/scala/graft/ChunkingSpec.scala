@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Window arithmetic of the sequence-chunking operator: overlap, short
+  * tail, single-chunk and degenerate-length documents, hand-computed.
+  */
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkDocuments: overlap windows and short tail, hand-computed") {
+    // 13 tokens, size 5, stride 4 → starts 0,4,8,12 → chunks of 5,5,5,1
+    val text = (1 to 13).map(i => s"t$i").mkString(" ")
+    val got = TextOps.chunkDocuments(Seq((7L, text)).toDF("doc_id", "text"),
+        "text", "doc_id", size = 5, stride = 4)
+      .orderBy($"chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got === Array(
+      (0, "t1 t2 t3 t4 t5", 5),
+      (1, "t5 t6 t7 t8 t9", 5),
+      (2, "t9 t10 t11 t12 t13", 5),
+      (3, "t13", 1)))
+    // every token appears in at least one chunk; overlap = size - stride
+    assert(got.flatMap(_._2.split(" ")).toSet === (1 to 13).map(i => s"t$i").toSet)
+  }
+
+  test("chunkDocuments: doc shorter than one window is a single chunk") {
+    val got = TextOps.chunkDocuments(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "text", "doc_id", size = 8, stride = 6).collect()
+    assert(got.length === 1 && got.head.getString(2) === "a b c" &&
+      got.head.getInt(3) === 3)
+  }
+
+  test("chunkDocuments rejects stride > size (would drop tokens)") {
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocuments(Seq((1L, "a")).toDF("doc_id", "text"),
+        "text", "doc_id", size = 4, stride = 5))
+  }
+}
