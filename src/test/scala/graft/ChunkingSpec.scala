@@ -31,6 +31,33 @@ class ChunkingSpec extends SparkTestBase {
       got.head.getInt(3) === 3)
   }
 
+  test("chunk invariants hold on 50 random docs (coverage, bounds, rebuild)") {
+    val rnd = new scala.util.Random(11)
+    val size = 7; val stride = 5
+    val docs = (1L to 50L).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i, (0 until n).map(j => s"d${i}_$j").mkString(" "))
+    }
+    val chunks = TextOps.chunkDocuments(docs.toDF("doc_id", "text"),
+        "text", "doc_id", size, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split(" ")
+      val cs = chunks(id)
+      // chunk_idx dense from 0; every chunk within size; n_tokens honest
+      assert(cs.map(_._2).toSeq === cs.indices.toSeq)
+      assert(cs.forall(c => c._4 >= 1 && c._4 <= size &&
+        c._3.split(" ").length == c._4))
+      // rebuild: first `stride` tokens of each chunk plus the final
+      // chunk's tail reconstruct the document exactly
+      val rebuilt = cs.flatMap(c => c._3.split(" ").take(stride)) ++
+        cs.last._3.split(" ").drop(stride)
+      assert(rebuilt.toSeq === toks.toSeq, s"doc $id rebuild mismatch")
+    }
+  }
+
   test("chunkDocuments rejects stride > size (would drop tokens)") {
     intercept[IllegalArgumentException](
       TextOps.chunkDocuments(Seq((1L, "a")).toDF("doc_id", "text"),
