@@ -55,10 +55,21 @@ object Bench {
     // reads as environment, mechanically. Round 9 then showed six sub-second
     // queries swinging 1.4-4.4x round-over-round with gc=0, cpu ∝ wall and
     // ZERO code change — min-of-3 was not enough samples to filter machine
-    // noise at the sub-second scale. Hence: 5 samples per query plus an
-    // explicit System.gc() settle before each query so the previous query's
-    // garbage is not charged to this one's timed runs. Rule for artifact
-    // consumers, in order:
+    // noise at the sub-second scale. Round 10's final capture then showed the
+    // remaining hole: ALL samples of one invocation share one time window, so
+    // a noisy window inflates even a min-of-5 (q_sql_text/q_rollup/
+    // q_stream_window_parity read ~2x in the captured artifact while three
+    // adjudication runs in other windows all agreed at the prior-round
+    // level). Hence the suite now runs in PASSES: the whole query set is
+    // iterated `passes` times end-to-end and the per-query min is taken
+    // across every sample of every pass — the passes are separated by the
+    // full suite's runtime (minutes), so a single noisy window can no longer
+    // own all of a query's samples. Each pass settles with System.gc()
+    // before each query so the previous query's garbage is not charged to
+    // this one's timed runs. Rule for artifact consumers, in order
+    // (final-capture noise: compare to other-window minima before
+    // investigating — two artifacts agreeing within ~1.3x supersede an
+    // outlier):
     //   0. no plan/code change for the query since the prior round
     //                                -> environment; confirm by one re-run
     //                                   (two consecutive artifacts agreeing
@@ -86,18 +97,29 @@ object Bench {
     def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def peakMb(): Double =
       heapPools.map(p => math.max(0L, p.getPeakUsage.getUsed)).sum / 1e6
+    // 3 samples x 2 passes = 6 observations per query, spread across two
+    // windows separated by the full suite runtime (see the r10 note above).
     val samplesPerQuery = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
-      .map(_.toInt).getOrElse(5)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => filter.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      name -> (try {
+      .map(_.toInt).getOrElse(3)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2)
+    val benched = SparkEntry.queries
+      .filter { case (name, _) => filter.forall(_.contains(name)) }.toSeq
+    val collected = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]]()
+    val failedSet = scala.collection.mutable.LinkedHashSet[String]()
+    for (pass <- 1 to passes; (name, fn) <- benched if !failedSet(name)) {
+      try {
         // settle: collect the previous query's garbage OUTSIDE this query's
         // timed window, so cross-query heap pollution doesn't masquerade as
         // this query's gc/wall cost
         System.gc()
-        run(fn) // untimed warmup (plan compile + codegen cache)
-        val samples = (1 to samplesPerQuery).map { _ =>
+        // untimed warmup (plan compile + codegen cache) — first pass only;
+        // later passes reuse the warmed caches
+        if (pass == 1) run(fn)
+        val buf = collected.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty)
+        (1 to samplesPerQuery).foreach { _ =>
           resetPeaks()
           val c0 = osBean.getProcessCpuTime
           val g0 = gcMillis()
@@ -106,17 +128,23 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (osBean.getProcessCpuTime - c0) / 1e9
           val gc = (gcMillis() - g0) / 1e3
-          (wall, cpu, gc, peakMb())
+          buf += ((wall, cpu, gc, peakMb()))
         }
-        val byWall = samples.sortBy(_._1)
-        val med = byWall(samples.length / 2)._1
-        val m = byWall.head
-        Some((m._1, med, m._2, m._3, m._4))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        None
-      })
+        failedSet += name
+      }
     }
+    val results: Seq[(String, Option[(Double, Double, Double, Double, Double)])] =
+      benched.map { case (name, _) =>
+        name -> (if (failedSet(name)) None else {
+          val samples = collected(name)
+          val byWall = samples.sortBy(_._1)
+          val med = byWall(samples.length / 2)._1
+          val m = byWall.head
+          Some((m._1, med, m._2, m._3, m._4))
+        })
+      }
     def jmap(f: ((Double, Double, Double, Double, Double)) => Double,
         round: Boolean = false): String =
       results.map { case (k, v) =>
@@ -136,9 +164,9 @@ object Bench {
     // ANY query failed, "value" is null so a broken query can never read as
     // a speedup to a consumer that only looks at the total.
     val total =
-      if (results.values.exists(_.isEmpty)) "null"
-      else results.values.flatten.map(_._1).sum.toString
-    val stat = s"min_of_$samplesPerQuery"
+      if (results.exists(_._2.isEmpty)) "null"
+      else results.flatMap(_._2).map(_._1).sum.toString
+    val stat = s"min_of_${samplesPerQuery}x$passes"
     // Full-fidelity artifact: every stat map, unrounded. The driver's stdout
     // capture has truncated long lines in past rounds (BENCH_r06 lost 16 of
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
@@ -149,12 +177,19 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // Compact driver-facing line: per-query min wall only, rounded to 0.1ms
-    // (~2.5 KB for 85 queries vs ~13 KB with all five maps — fits the tail
-    // capture), printed LAST so nothing after it can push it out of a tail
-    // grab. "detail" names the full artifact.
+    // Compact line: per-query min wall only, rounded to 0.1ms (~2.5 KB for
+    // 92 queries vs ~13 KB with all five maps). "detail" names the full
+    // artifact.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":${jmap(_._1, round = true)},"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
     println(compact)
+    // FINAL line is tiny (~150 bytes): the driver's stdout capture is a
+    // bounded TAIL, and r9/r10 proved even the compact per-query line can
+    // overflow it (BENCH "parsed": null, head of the line clipped). Totals +
+    // failed + detail pointer always survive a tail grab whole; per-query
+    // data lives one line up and, authoritatively, in the "detail" file.
+    val tiny =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
+    println(tiny)
   }
 }

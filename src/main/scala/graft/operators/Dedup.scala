@@ -43,14 +43,33 @@ object Dedup {
     * single task — the classic LSH skew failure, invisible at test scale
     * and fatal at 100 TB. Buckets larger than the cap are dropped BEFORE
     * the self-join (one extra (band,key)-count aggregation over longs).
-    * The recall loss is confined to exactly the documents a cheaper pass
-    * already handles: members of an over-full bucket agree on a whole band
-    * of minhashes, i.e. they are near-identical — run [[exactGroups]]
-    * (digest-exact) alongside, as every real pipeline does. Default keeps
-    * every bucket (the oracle-gated lossless behavior).
+    * The recall loss is PROBABILISTIC, not free: members of an over-full
+    * bucket agree on one band of minhashes, which makes them highly
+    * SIMILAR with high probability — not byte-identical — so a digest-exact
+    * [[exactGroups]] pass run alongside recovers the identical copies but
+    * NOT near-identical template variants (one token differs) whose pairs
+    * lived only in a dropped bucket. Quantify what a cap discarded with
+    * [[minhashDupPairsWithStats]] before trusting a capped run. Default
+    * keeps every bucket (the oracle-gated lossless behavior).
     */
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+      k: Int, threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashDupPairsWithStats(docs, textCol, idCol, k, threshold, maxBucket)._1
+
+  /** Dropped-bucket observability for the `maxBucket` skew guard. */
+  final case class BucketCapStats(droppedBuckets: Long, droppedRows: Long)
+
+  /** [[minhashDupPairs]] plus how much the `maxBucket` cap discarded:
+    * the number of over-full (band, key) buckets dropped before the
+    * self-join and the number of (doc, band) memberships inside them —
+    * the run-level audit that turns the cap's probabilistic recall loss
+    * from a leap of faith into a measured quantity. Stats are computed
+    * eagerly (one count over the small bucket-size aggregate — no text,
+    * no pair materialization); `(df, BucketCapStats(0, 0))` when the cap
+    * is off. */
+  def minhashDupPairsWithStats(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue): (DataFrame, BucketCapStats) = {
     // The signature subtree feeds BOTH the band-bucket branch and the
     // exact-verify self-join; without materialization Spark recomputes the
     // (expensive) shingle hashing for each branch. Signatures are small —
@@ -61,17 +80,23 @@ object Dedup {
     // band buckets: only (band, key) and id travel through this shuffle
     val bucketsAll = sig.select(col("id"),
       posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
-    val buckets =
-      if (maxBucket == Int.MaxValue) bucketsAll
+    val (buckets, stats) =
+      if (maxBucket == Int.MaxValue) (bucketsAll, BucketCapStats(0L, 0L))
       else {
         // map-side partial count collapses each bucket to one row before
         // the shuffle; the surviving (band, key) set joins back as the
-        // candidate filter
-        val small = bucketsAll.groupBy(col("band"), col("key"))
+        // candidate filter. The dropped-side aggregate is the audit trail
+        // (collapses to one row before reaching the driver).
+        val sizes = bucketsAll.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucket)
+        val droppedRow = sizes.filter(col("__bsz") > maxBucket)
+          .agg(count(lit(1)).as("nb"),
+            coalesce(sum(col("__bsz")), lit(0L)).as("nr"))
+          .head()
+        val small = sizes.filter(col("__bsz") <= maxBucket)
           .select(col("band"), col("key"))
-        bucketsAll.join(small, Seq("band", "key"))
+        (bucketsAll.join(small, Seq("band", "key")),
+          BucketCapStats(droppedRow.getLong(0), droppedRow.getLong(1)))
       }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -80,12 +105,13 @@ object Dedup {
       .distinct()
     // join the shingle sets back by id for the exact verify
     val h = sig.select(col("id"), col("h"))
-    cand
+    val out = cand
       .join(h.withColumnRenamed("id", "id1").withColumnRenamed("h", "h1"), "id1")
       .join(h.withColumnRenamed("id", "id2").withColumnRenamed("h", "h2"), "id2")
       .select(col("id1"), col("id2"),
         jaccard(col("h1"), col("h2")).as("jacc"))
       .withColumn("is_dup", col("jacc") >= threshold)
+    (out, stats)
   }
 
   /** 30-bit SimHash fingerprint per document (over distinct token hashes),
@@ -226,10 +252,45 @@ object Dedup {
     * boilerplate token landing in hash-order prefixes) this collapses the
     * candidate count at the price of two extra token-level shuffles (the
     * frequency count and the per-doc rank) — the right trade at corpus
-    * scale, measurable before committing via the candidate-pair count. */
+    * scale, measurable before committing via
+    * [[ngramJaccardPairsWithStats]]'s candidate-pair count. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double,
-      frequencyOrdered: Boolean = false): DataFrame = {
+      frequencyOrdered: Boolean = false): DataFrame =
+    jaccardPlan(docs, textCol, idCol, blockCol, threshold, frequencyOrdered,
+      persistCand = false)._2
+
+  /** Prefix-filter effectiveness audit: how many candidate pairs the
+    * (block, prefix-token) join emitted vs how many survived the exact
+    * Jaccard verify. */
+  final case class JaccardJoinStats(candidates: Long, verified: Long)
+
+  /** [[ngramJaccardPairs]] plus eager candidate/verified pair counts — the
+    * measurement that decides whether `frequencyOrdered` pays for its two
+    * extra token shuffles on a given corpus: a skewed vocabulary shows up
+    * as a candidate count far above the verified count under hash order,
+    * and the frequency order collapses the candidates (never the output:
+    * both orders are lossless, so `verified` is identical). The returned
+    * DataFrame is persisted (the counts already materialized it); callers
+    * may unpersist after consuming. */
+  def ngramJaccardPairsWithStats(docs: DataFrame, textCol: String,
+      idCol: String, blockCol: String, threshold: Double,
+      frequencyOrdered: Boolean = false): (DataFrame, JaccardJoinStats) = {
+    val (cand, out) = jaccardPlan(docs, textCol, idCol, blockCol, threshold,
+      frequencyOrdered, persistCand = true)
+    val nCand = cand.count()
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerified = res.count()
+    cand.unpersist()
+    (res, JaccardJoinStats(nCand, nVerified))
+  }
+
+  /** Shared prefix-filter join plan, returning (candidate-pair set,
+    * verified output). `persistCand` caches the candidate set so an eager
+    * count and the downstream verify share one computation. */
+  private def jaccardPlan(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, threshold: Double, frequencyOrdered: Boolean,
+      persistCand: Boolean): (DataFrame, DataFrame) = {
     // persisted: the prefix branch and both verify joins would otherwise
     // re-hash the corpus (same pattern as minhashDupPairs)
     val withSets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
@@ -259,7 +320,7 @@ object Dedup {
           .filter(col("__rk") <= prefixLen)
           .select(col("id"), col("block"), col("sz"), col("tok"))
       }
-    val cand = pre.as("a").join(pre.as("b"),
+    val cand0 = pre.as("a").join(pre.as("b"),
         col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
           col("a.id") < col("b.id") &&
           // size filter: J ≥ τ ⇒ τ·|a| ≤ |b| ≤ |a|/τ (ε-guards widen only)
@@ -267,14 +328,19 @@ object Dedup {
           col("b.sz") <= col("a.sz") / lit(threshold) + lit(1e-9))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    val cand =
+      if (persistCand)
+        cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand0
     val h = withSets.select(col("id"), col("block"), col("h"))
-    cand
+    val out = cand
       .join(h.select(col("id").as("id1"), col("block"),
         col("h").as("h1")), "id1")
       .join(h.select(col("id").as("id2"), col("h").as("h2")), "id2")
       .select(col("id1"), col("id2"), col("block"),
         jaccard(col("h1"), col("h2")).as("jacc"))
       .filter(col("jacc") >= threshold)
+    (cand, out)
   }
 
   /** Benchmark decontamination: flag training documents sharing any word

@@ -166,7 +166,15 @@ object TextOps {
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "cap must be >= 1")
-    val ord = (col(idCol) * lit(2654435761L)) % lit(2147483647L)
+    // pmod BEFORE the multiply bounds the product by (2^31-2)·2654435761 <
+    // 2^63, so the hash never overflows Long — a bare id·2654435761 throws
+    // under ANSI mode (Spark 4 default) once ids exceed ~3.47e9, and
+    // engines that wrap instead (Java semantics) would order negative
+    // products differently from the oracle. pmod AFTER keeps the key
+    // non-negative for negative ids. For ids in [0, 2^31-1) the key equals
+    // the historical (id·2654435761) % (2^31-1) exactly.
+    val m = lit(2147483647L)
+    val ord = pmod(pmod(col(idCol), m) * lit(2654435761L), m)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(ord, col(idCol))
     df.withColumn("__cap_rk", row_number().over(w))
@@ -179,8 +187,14 @@ object TextOps {
     * training chunks. Windows start every `stride` tokens (stride < size
     * ⇒ size − stride tokens of overlap, the standard long-document
     * recipe); the tail window is shorter rather than dropped, so every
-    * token appears in ≥ 1 chunk. Output: (id, chunk_idx, chunk_text,
-    * n_tokens), chunk_idx dense from 0 in document order.
+    * token appears in ≥ 1 chunk. A tail start that adds NO new token (s > 0
+    * with s − stride + size ≥ n_tokens: the previous window already reaches
+    * the document end) is skipped — emitting it would duplicate training
+    * text beyond the size/stride overlap factor (e.g. 13 tokens, size 5,
+    * stride 4 would yield a 4th chunk whose single token is already the
+    * tail of chunk 3). Output: (id, chunk_idx, chunk_text, n_tokens),
+    * chunk_idx dense from 0 in document order (skips only ever occur at
+    * the tail, so density is preserved).
     *
     * Scale: pure narrow explode — starts are a per-row `sequence` literal
     * over the token count, the window itself a per-row array slice; no
@@ -195,8 +209,12 @@ object TextOps {
     docs
       .select(col(idCol).as("id"), toks.as("__w"))
       .withColumn("__starts",
-        sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("__w")) - 1, lit(0)),
-          lit(stride)))
+        filter(
+          sequence(lit(0),
+            greatest(org.apache.spark.sql.functions.size(col("__w")) - 1, lit(0)),
+            lit(stride)),
+          s => s === 0 || s + lit(size - stride) <
+            org.apache.spark.sql.functions.size(col("__w"))))
       .select(col("id"), col("__w"),
         posexplode(col("__starts")).as(Seq("chunk_idx", "__start")))
       .withColumn("__chunk", slice(col("__w"), col("__start") + 1, lit(size)))

@@ -36,6 +36,28 @@ object Similarity {
   private def centroidDump(dir: String): String =
     CentroidDumpBase + new java.io.File(dir).getName
 
+  /** Replace the parquet table at `path` via temp-dir + rename swap. Every
+    * invocation of the query (verify, bench samples, DumpPlans) rewrites
+    * the dump; a plain mode-overwrite deletes the directory before writing,
+    * so a concurrent oracle read at the SAME scale could observe a missing/
+    * partial table for the whole write. The swap shrinks the exposed window
+    * to two directory renames. */
+  private def writeTableAtomically(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val old = Paths.get(path + ".old")
+    rmTree(tmp); rmTree(old)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(tmp, target)
+    rmTree(old)
+  }
+
   /** DuckDB prelude: corpus as DOUBLE[] vectors with precomputed norms —
     * mirrors Sim.prepared. */
   private val preparedCte =
@@ -177,8 +199,9 @@ object Similarity {
           try Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 3)
           finally corpus.unpersist()
         import s.implicits._
-        cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm")
-          .coalesce(1).write.mode("overwrite").parquet(centroidDump(dir))
+        writeTableAtomically(
+          cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+          centroidDump(dir))
         Sim.knnIvfFrom(corpus, cents, QueryIds, K, nProbe = 2)
           .orderBy(col("query_id"), col("neighbor_id"))
       },

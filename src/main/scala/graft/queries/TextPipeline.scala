@@ -497,10 +497,15 @@ object TextPipeline {
              |  SELECT doc_id, w,
              |         unnest(range(0, greatest(len(w), 1), 6)) AS start
              |  FROM toks),
+             |stk AS (
+             |  -- mirror of chunkDocuments' redundant-tail skip: a start > 0
+             |  -- whose previous window already reaches the document end
+             |  -- (start + size - stride >= len) adds no new tokens
+             |  SELECT * FROM st WHERE start = 0 OR start + 2 < len(w)),
              |ch AS (
              |  SELECT doc_id, start // 6 AS chunk_idx,
              |         list_slice(w, start + 1, start + 8) AS chunk
-             |  FROM st)
+             |  FROM stk)
              |SELECT doc_id, chunk_idx,
              |       array_to_string(chunk, ' ') AS chunk_text,
              |       len(chunk) AS n_tokens
@@ -517,7 +522,9 @@ object TextPipeline {
       Some("""SELECT doc_id, source FROM (
              |  SELECT doc_id, source,
              |         row_number() OVER (PARTITION BY source
-             |           ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+             |           ORDER BY (((doc_id % 2147483647 + 2147483647)
+             |                      % 2147483647) * 2654435761)
+             |                    % 2147483647, doc_id)
              |           AS rk
              |  FROM documents)
              |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),

@@ -9,7 +9,10 @@ class ChunkingSpec extends SparkTestBase {
   import spark.implicits._
 
   test("chunkDocuments: overlap windows and short tail, hand-computed") {
-    // 13 tokens, size 5, stride 4 → starts 0,4,8,12 → chunks of 5,5,5,1
+    // 13 tokens, size 5, stride 4 → raw starts 0,4,8,12 — but start 12 is a
+    // redundant tail (12 − 4 + 5 ≥ 13: chunk 2 already reaches the document
+    // end, so a 4th chunk "t13" would only duplicate covered tokens) and is
+    // skipped
     val text = (1 to 13).map(i => s"t$i").mkString(" ")
     val got = TextOps.chunkDocuments(Seq((7L, text)).toDF("doc_id", "text"),
         "text", "doc_id", size = 5, stride = 4)
@@ -18,10 +21,16 @@ class ChunkingSpec extends SparkTestBase {
     assert(got === Array(
       (0, "t1 t2 t3 t4 t5", 5),
       (1, "t5 t6 t7 t8 t9", 5),
-      (2, "t9 t10 t11 t12 t13", 5),
-      (3, "t13", 1)))
+      (2, "t9 t10 t11 t12 t13", 5)))
     // every token appears in at least one chunk; overlap = size - stride
     assert(got.flatMap(_._2.split(" ")).toSet === (1 to 13).map(i => s"t$i").toSet)
+    // a genuinely new tail token IS kept: 14 tokens → start 12 adds t14
+    val text14 = (1 to 14).map(i => s"t$i").mkString(" ")
+    val tail = TextOps.chunkDocuments(Seq((8L, text14)).toDF("doc_id", "text"),
+        "text", "doc_id", size = 5, stride = 4)
+      .orderBy($"chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(tail.last === ((3, "t13 t14", 2)))
   }
 
   test("chunkDocuments: doc shorter than one window is a single chunk") {

@@ -168,6 +168,61 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("tok"), plan)  // candidate join keyed by prefix token
   }
 
+  test("withStats: frequency order never emits more candidates than hash " +
+      "order, and collapses them on a skewed vocabulary") {
+    // every doc shares one near-universal boilerplate token; rare vocab is
+    // disjoint and chosen so every rare token's polyHash EXCEEDS the
+    // boilerplate token's — under hash order the universal token therefore
+    // sits at prefix position 1 of every doc (the worst case: all C(12,2)
+    // pairs become candidates), while frequency order ranks it LAST (df=12
+    // vs 1) and prefixes carry only rare tokens. Both orders are lossless,
+    // so the verified output must be identical.
+    val pool = (1 to 400).map(i => f"tok$i%03d")
+    val hashOf = pool.toDF("t")
+      .select($"t", graft.expressions.TextExpressions.polyHash($"t").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bp = pool.minBy(hashOf) // the "boilerplate" token: smallest hash
+    val rare = pool.filter(_ != bp).sortBy(hashOf).takeRight(60)
+    assert(rare.forall(t => hashOf(t) > hashOf(bp)))
+    val docs = (0 until 12).map(i =>
+        ((i + 1).toLong, "x",
+          (bp +: rare.slice(i * 5, i * 5 + 5)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val (hashDf, hashStats) = Dedup.ngramJaccardPairsWithStats(
+      docs, "text", "doc_id", "source", 0.6)
+    val (freqDf, freqStats) = Dedup.ngramJaccardPairsWithStats(
+      docs, "text", "doc_id", "source", 0.6, frequencyOrdered = true)
+    assert(freqStats.verified === hashStats.verified)
+    assert(freqStats.candidates <= hashStats.candidates,
+      s"freq=${freqStats.candidates} hash=${hashStats.candidates}")
+    // the skew case is why the ordering exists: hash order keys every
+    // C(12,2) pair on the universal token, frequency order none
+    assert(hashStats.candidates === 66L && freqStats.candidates === 0L,
+      s"freq=${freqStats.candidates} hash=${hashStats.candidates}")
+    hashDf.unpersist(); freqDf.unpersist()
+  }
+
+  test("minhashDupPairsWithStats quantifies what the maxBucket cap dropped") {
+    val template = "terms of service apply to all users of this site"
+    val docs = ((1L to 20L).map(i => (i, template)) ++ Seq(
+        (50L, "the quick brown fox jumps over the lazy dog"),
+        (51L, "the quick brown fox jumps over the lazy cat")))
+      .toDF("doc_id", "text")
+    val (unlimitedDf, noCap) = Dedup.minhashDupPairsWithStats(
+      docs, "text", "doc_id", 3, 0.5)
+    assert(noCap === Dedup.BucketCapStats(0L, 0L))
+    assert(unlimitedDf.count() > 190)
+    // cap 10: every band bucket of the 20 identical templates (20 members
+    // each) is dropped; the near-dup pair's buckets (≤ 2 members) survive
+    val (cappedDf, stats) = Dedup.minhashDupPairsWithStats(
+      docs, "text", "doc_id", 3, 0.5, maxBucket = 10)
+    assert(stats.droppedBuckets > 0)
+    assert(stats.droppedRows === 20L * stats.droppedBuckets,
+      s"$stats: dropped rows should be the 20 template docs per bucket")
+    assert(cappedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((50L, 51L)))
+  }
+
   test("dupGroups uses reliable checkpoint when a checkpoint dir is set") {
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -85,7 +85,9 @@ def main():
         if only and name not in only:
             continue
         pinned = PINNED_SCALE.get(name)
-        if pinned and pinned not in sfdir:
+        # exact basename compare: a substring test would let e.g. sf0.012
+        # pass an sf0.01 pin and compare against the wrong side-table
+        if pinned and Path(sfdir).name != pinned:
             results[name] = f"SKIP   side-table gate pinned to {pinned}"
             continue
         spark_path = Path(outdir) / name
