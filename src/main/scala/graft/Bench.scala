@@ -153,6 +153,22 @@ object Bench {
           if (round) (math.rint(x * 10000) / 10000).toString else x.toString
         }.getOrElse("null")
       }.mkString("{", ",", "}")
+    // ANN recall@k vs knnBrute on the bench corpus (full runs only; a
+    // subset filter is a fast-iteration mode and skips it). Reading rule:
+    // recall is a deterministic per-dataset constant — ANY change without a
+    // code change is a bug, and a recall drop at unchanged wall time is the
+    // silent-regression class the timing stats cannot see.
+    val recall: Map[String, Double] =
+      if (filter.isDefined) Map.empty
+      else try queries.Similarity.recallVsBrute(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
+        Map.empty
+      }
+    val recallJson = recall.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"\"" + k + "\":" + (math.rint(v * 10000) / 10000) }
+      .mkString("{", ",", "}")
     val qs = jmap(_._1)        // min-of-N wall: the load-robust stat
     val qsMedian = jmap(_._2)  // median wall: the r6/r7 historical stat
     val qsCpu = jmap(_._3)     // process CPU seconds of the min-wall run
@@ -172,7 +188,7 @@ object Bench {
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
     // and stdout carries a compact line that fits a tail grab.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -181,7 +197,7 @@ object Bench {
     // 92 queries vs ~13 KB with all five maps). "detail" names the full
     // artifact.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":${jmap(_._1, round = true)},"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":${jmap(_._1, round = true)},"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
     println(compact)
     // FINAL line is tiny (~150 bytes): the driver's stdout capture is a
     // bounded TAIL, and r9/r10 proved even the compact per-query line can

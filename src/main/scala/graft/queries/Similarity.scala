@@ -82,6 +82,31 @@ object Similarity {
 
   private val queryIdList = QueryIds.mkString("(", ", ", ")")
 
+  /** Recall@k of each ANN gate against the exact brute-force baseline on
+    * the same corpus: mean over query ids of |ANN top-k ∩ brute top-k| /
+    * |brute top-k|. The bench emits this per round (`queries_recall`):
+    * wall/cpu/gc/peak-mem catch time and memory regressions, recall@k
+    * catches the failure mode those hide — an ANN change that silently
+    * stops finding the true neighbors at unchanged speed. Driver-side cost
+    * is five ≤ |QueryIds|·K row collects. All inputs are deterministic
+    * (hash planes, seed/k-means centroids), so the values are exact
+    * per-dataset constants, not statistics. */
+  def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
+      annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned")): Map[String, Double] = {
+    def sets(name: String): Map[Long, Set[Long]] =
+      defs(name).fn(s, dir).select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    val brute = sets("q_sim_knn_brute")
+    annNames.map { n =>
+      val ann = sets(n)
+      val perQuery = brute.toSeq.map { case (q, b) =>
+        ann.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size }
+      n -> perQuery.sum / perQuery.size
+    }.toMap
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact top-k cosine neighbors for a fixed query set — the brute-force

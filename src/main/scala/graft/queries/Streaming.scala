@@ -20,21 +20,111 @@ object Streaming {
 
   /** The parquet file source streams a DIRECTORY of arriving files; the
     * testdata ships one flat <table>.parquet per sf. Stage it into a
-    * scratch directory (idempotent, keyed by sf dir + table) — exactly the
-    * production layout, where each arriving file is one micro-batch. */
-  private def stageDir(dir: String, file: String): String = {
-    val stage = java.nio.file.Paths.get(
-      "/tmp/graft_stream_stage",
-      (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_"))
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, file),
-      stage.resolve(file),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    * scratch directory — exactly the production layout, where each arriving
+    * file is one micro-batch.
+    *
+    * The stage key embeds a fingerprint of the SOURCE file (size + mtime —
+    * metadata only, so the idempotent re-invocation does zero data I/O):
+    * an unchanged source finds its `.staged` marker and skips the copy
+    * entirely; a regenerated source gets a fresh directory instead of
+    * silently reusing a stale one. */
+  private val StageRoot = java.nio.file.Paths.get("/tmp/graft_stream_stage")
+
+  private def stageKey(dir: String, file: String, variant: String): String = {
+    val src = java.nio.file.Paths.get(dir, file)
+    val sanitized = (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    s"$sanitized${variant}_$fp"
+  }
+
+  private def staged(key: String)(fill: java.nio.file.Path => Unit): String = {
+    val stage = StageRoot.resolve(key)
+    val marker = stage.resolve(".staged")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(stage)
+      fill(stage)
+      java.nio.file.Files.writeString(marker, "ok\n")
+    }
     stage.toString
   }
-  private def stageEventsDir(dir: String): String =
-    stageDir(dir, "events.parquet")
+
+  private def stageDir(dir: String, file: String): String =
+    staged(stageKey(dir, file, "")) { stage =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, file),
+        stage.resolve(file),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Bumped whenever the multi-file split rule changes, so stale staged
+    * layouts from an older rule can never satisfy the marker check. */
+  private val SplitRuleVersion = 2
+  private val TwoHoursNs = 7200000000000L
+
+  /** Multi-file staging of the events table: split deterministically into
+    * THREE parquet files with ascending modification times, so the file
+    * source under `maxFilesPerTrigger=1` + AvailableNow replays them as
+    * three ordered micro-batches. Split rule (ts = BIGINT nanos under
+    * `nanosAsLong`; span = t1 − t0; arithmetic mirrored by the
+    * q_stream_late_drop oracle):
+    *
+    *   cut1 = t0 + span·6/10,  cut2 = t0 + span·85/100
+    *   straggler ⇔ event_id % 50 = 0 AND ts ≤ cut1 − 2h
+    *   batch1 = {ts ≤ cut1} minus stragglers
+    *   batch2 = {cut1 < ts ≤ cut2}
+    *   batch3 = {ts > cut2} ∪ stragglers
+    *
+    * Consequences the multi-batch gates rely on: a session whose events
+    * straddle cut1 exists in the gate corpora (sf0.01: 1 user, sf0.1: 3),
+    * so session state MUST merge across micro-batches. The stragglers ride
+    * in the LAST batch because Spark filters late events against the
+    * watermark from TWO batches back (the two-watermark model of
+    * SPARK-24634: batch N's late-event filter uses the watermark committed
+    * after batch N−2, its state eviction the one after batch N−1 —
+    * StreamsSpec pins this lag). In batch 3 the operative late-filter
+    * watermark is the one the batch-1 maximum established (~1h under
+    * cut1), a full hour above every straggler's event time (≥ 2h under
+    * cut1), so a watermark-enforcing sink provably drops exactly them —
+    * and batch membership is a pure function of the data, so the oracle
+    * reproduces the drop set in SQL. Complete-mode aggregations are
+    * unaffected (Spark drops late rows only in Append/Update mode —
+    * StreamsSpec pins this too), so the window/session parity oracles stay
+    * the plain whole-table SQL. */
+  private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    staged(stageKey(dir, "events.parquet", s"_multi$SplitRuleVersion")) {
+        stage =>
+      val df = s.read.parquet(s"$dir/events.parquet")
+      val mm = df.agg(min(col("ts")), max(col("ts"))).head()
+      val t0 = mm.getLong(0)
+      val span = mm.getLong(1) - t0
+      val cut1 = t0 + span * 6L / 10L
+      val cut2 = t0 + span * 85L / 100L
+      val straggler =
+        col("event_id") % 50 === 0 && col("ts") <= cut1 - TwoHoursNs
+      val batches = Seq(
+        col("ts") <= cut1 && !straggler,
+        col("ts") > cut1 && col("ts") <= cut2,
+        col("ts") > cut2 || straggler)
+      batches.zipWithIndex.foreach { case (pred, i) =>
+        val tmp = stage.resolve(s"b${i + 1}.tmpdir")
+        df.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val target = stage.resolve(s"b${i + 1}.parquet")
+        java.nio.file.Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // fixed ascending mtimes pin the file-source replay order (the
+        // source sorts oldest-first); constants keep re-stages stable
+        target.toFile.setLastModified(1700000000000L + i * 60000L)
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
 
   val defs: Map[String, Q] = Map(
     // Streaming corpus QUALITY filtering: the stateless quality/lang
@@ -77,7 +167,8 @@ object Streaming {
 
     "q_stream_window_parity" -> Q(
       (s, dir) => {
-        val stream = Streams.eventStream(s, stageEventsDir(dir))
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+            maxFilesPerTrigger = Some(1))
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.windowedCounts(stream,
           width = "1 hour", slide = "1 hour", maxDelay = "1 hour")
@@ -94,18 +185,28 @@ object Streaming {
              |GROUP BY 1, 2, 3
              |ORDER BY w_start, event_type""".stripMargin)),
 
-    // Streaming SESSION windows vs the oracle's gap-session SQL. Boundary
+    // Streaming SESSION windows vs the oracle's gap-session SQL, replayed
+    // across three micro-batches — at sf0.01/sf0.1 at least one user's
+    // events straddle the batch-1/batch-2 cut inside the gap, so session
+    // state MUST merge across batches for the hash to match. Boundary
     // semantics pinned exactly: Spark's session window is [start, last+gap)
     // — end-EXCLUSIVE — so an event arriving at exactly `gap` after the
     // previous one starts a NEW session (windows [t1,t1+g) and [t2,t2+g)
     // merge iff t2 < t1+g). The oracle therefore flags `diff >= gap`, NOT
     // the `diff > gap` of the batch Sessionize operator's oracle.
+    // maxDelay exceeds the ~30-day replay span because SESSION aggregation
+    // drops late input rows even in Complete mode (unlike plain windows —
+    // StreamsSpec pins the asymmetry); the batch-3 stragglers must be
+    // deduped/merged by STATE, not silently vanish, for the whole-table
+    // oracle to stay truthful. Late-drop semantics are q_stream_late_drop's
+    // business.
     "q_stream_session_parity" -> Q(
       (s, dir) => {
-        val stream = Streams.eventStream(s, stageEventsDir(dir))
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+            maxFilesPerTrigger = Some(1))
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",
-          maxDelay = "1 hour")
+          maxDelay = "60 days")
         Streams.runToTable(agg, "stream_session_parity")
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
@@ -134,18 +235,65 @@ object Streaming {
     // DISTINCT: the emitted KEY SET must match exactly. Only the key
     // columns are compared — which duplicate arrives first is an
     // arrival-order artifact no cross-engine compare can pin, but the set
-    // of distinct keys is deterministic.
+    // of distinct keys is deterministic. Multi-file staging: cross-batch
+    // re-deliveries are dropped by carried STATE, so the watermark horizon
+    // must exceed the replay's ~30-day event-time span — otherwise the
+    // batch-2 stragglers would be dropped as LATE rather than deduped, and
+    // the DISTINCT oracle would no longer describe the output (late-drop
+    // semantics are q_stream_late_drop's business).
     "q_stream_dedup_parity" -> Q(
       (s, dir) => {
-        val stream = Streams.eventStream(s, stageEventsDir(dir))
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+          maxFilesPerTrigger = Some(1))
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("user_id"), col("event_type")),
-          maxDelay = "1 hour", keys = Seq("user_id", "event_type"))
+          maxDelay = "60 days", keys = Seq("user_id", "event_type"))
         Streams.runToTableAppend(dd, "stream_dedup_parity")
           .select(col("user_id"), col("event_type"))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Watermark LATE-DROP, oracle-gated across real micro-batches: the
+    // staged batch-3 stragglers (see stageEventsMulti) carry event times
+    // below the operative late-filter watermark — which, under the
+    // two-watermark lag, is the one the batch-1 maximum established — so
+    // the watermark-enforcing dedup sink must drop exactly them. The oracle
+    // replays the split rule and the engine's watermark arithmetic in SQL:
+    // event time compared at MICROsecond precision against a watermark
+    // computed from the batch-1 max truncated to MILLIseconds minus the 1h
+    // delay (drop ⇔ ts_us <= wm_us — StreamsSpec pins the boundary with an
+    // at-watermark and a 1µs-past event). event_id is unique in the events
+    // table, so dedup state never removes anything — the output is exactly
+    // the NOT-dropped set.
+    "q_stream_late_drop" -> Q(
+      (s, dir) => {
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+          maxFilesPerTrigger = Some(1))
+        val dd = Streams.dedupStream(
+          stream.select(col("ts"), col("event_id")),
+          maxDelay = "1 hour", keys = Seq("event_id"))
+        Streams.runToTableAppend(dd, "stream_late_drop")
+          .select(col("event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1
+              |  FROM events),
+              |c AS (SELECT t0 + (t1 - t0) * 6 // 10 AS cut1 FROM b),
+              |lab AS (
+              |  SELECT event_id, epoch_ns(ts) AS tn,
+              |         (event_id % 50 = 0 AND
+              |          epoch_ns(ts) <= (SELECT cut1 FROM c) - $TwoHoursNs)
+              |           AS straggler
+              |  FROM events),
+              |wm AS (
+              |  SELECT ((max(tn // 1000) // 1000) - 3600000) * 1000 AS w1
+              |  FROM lab
+              |  WHERE NOT straggler AND tn <= (SELECT cut1 FROM c))
+              |SELECT event_id FROM lab, wm
+              |WHERE NOT (straggler AND tn // 1000 <= w1)
+              |ORDER BY event_id""".stripMargin))
   )
 }

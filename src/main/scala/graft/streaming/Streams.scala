@@ -26,11 +26,20 @@ object Streams {
   /** File-source ingest of an events directory as an unbounded stream —
     * the production entry point (each arriving parquet = one micro-batch).
     * `ts` arrives as TIMESTAMP(NANOS) parquet → bigint nanos under
-    * `nanosAsLong`; normalized here to a true timestamp column. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    * `nanosAsLong`; normalized here to a true timestamp column.
+    *
+    * `maxFilesPerTrigger = Some(1)` makes each staged file its own
+    * micro-batch under an AvailableNow drain (the file source orders files
+    * by modification time, oldest first) — the replay mode the multi-batch
+    * parity gates use to exercise cross-batch state merge and watermark
+    * late-drops against a finite corpus. */
+  def eventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       // integer div keeps exactness: nanos/1e9 in double drops sub-µs
       // precision for 2024-era epochs (2^53 < nanos)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -80,6 +89,20 @@ object Streams {
 
   private val runSeq = new AtomicLong(0)
 
+  private val _lastRunBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Number of micro-batches WITH input rows the most recent
+    * [[runToTable]]/[[runToTableAppend]] drain executed — the observability
+    * hook that lets specs prove a staged replay really spanned multiple
+    * micro-batches (state merged across batches) instead of collapsing into
+    * one. Capped at the engine's recentProgress retention (100), far above
+    * any staged replay. */
+  def lastRunBatches: Int = _lastRunBatches.get()
+
+  private def recordBatches(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    _lastRunBatches.set(q.recentProgress.count(_.numInputRows > 0))
+
   /** Drain a FINITE stream to completion and return the result as a batch
     * DataFrame: AvailableNow trigger (process everything currently in the
     * source, then stop) into a Complete-mode memory sink. This is the
@@ -95,7 +118,7 @@ object Streams {
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally { recordBatches(q); q.stop() }
     spark.table(unique)
   }
 
@@ -108,7 +131,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally { recordBatches(q); q.stop() }
     spark.table(unique)
   }
 

@@ -121,4 +121,29 @@ class SimilaritySpec extends SparkTestBase {
     assert((p1 & brute).size <= (p2 & brute).size)
     assert((p2 & brute).size <= (pAll & brute).size)
   }
+
+  test("recallVsBrute (the bench queries_recall source) is sane at the " +
+      "oracle gate scale") {
+    // Every input is deterministic (hash planes, seed/k-means centroids,
+    // fixed query ids), so these are exact per-dataset constants. What is
+    // safe to pin across testdata regenerations:
+    //   * the helper itself: brute-vs-brute recall is exactly 1;
+    //   * multi-probe LSH never sits below single-bucket LSH (its probe
+    //     set is a superset, so its candidate set is a superset);
+    //   * both IVF variants find a nontrivial fraction of the true top-k
+    //     (measured 0.35-0.65 across sf0.001-0.1).
+    // LSH recall is legitimately near zero on this corpus — the synthetic
+    // embeddings are near-uniform, so true top-5 neighbors rarely share an
+    // 8-plane bucket (1/256 collision baseline). The gate value is the
+    // TREND the bench records each round, not an absolute bar.
+    val rec = graft.queries.Similarity.recallVsBrute(spark,
+      "/root/testdata/sf0.01",
+      annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned"))
+    assert(rec("q_sim_knn_brute") === 1.0)
+    assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"))
+    assert(rec("q_sim_knn_ivf") >= 0.3, rec.toString)
+    assert(rec("q_sim_knn_ivf_learned") >= 0.3, rec.toString)
+  }
 }

@@ -152,4 +152,112 @@ class StreamsSpec extends SparkTestBase {
   private def timestampFromNanos =
     org.apache.spark.sql.functions.timestamp_seconds(
       org.apache.spark.sql.functions.col("ts") / 1e9)
+
+  // ---- multi-file replay semantics the multi-batch parity gates rely on --
+
+  /** Write one events parquet file (nanos-long ts, the testdata layout)
+    * with a pinned mtime — the file source replays files oldest-first, one
+    * micro-batch each under maxFilesPerTrigger=1. */
+  private def writeEventsFile(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+    val tmp = dir.resolve(name + ".tmpdir")
+    rows.map { case (id, t, uid) => (id, t, uid, "click", 1.0, "") }
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(CAST(tss AS TIMESTAMP)) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve(name))
+    dir.resolve(name).toFile.setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("late-event filter uses the watermark from two batches back, " +
+      "boundary ts <= wm (the contract q_stream_late_drop's oracle mirrors)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lag")
+    // batch 1 fixes the watermark the batch-3 late filter will use:
+    // 02:00 − 1h = 01:00
+    writeEventsFile(dir, "b1.parquet",
+      Seq((1L, "2024-01-01 02:00:00", 1L)), 1700000000000L)
+    // batch 2's late filter is still the PRE-batch-1 watermark (epoch), so
+    // even a very old event survives here — the two-watermark lag
+    writeEventsFile(dir, "b2.parquet",
+      Seq((2L, "2024-01-01 00:45:00", 1L)), 1700000060000L)
+    // batch 3's late filter is batch 1's watermark (01:00): at-watermark
+    // drops (<=), one microsecond past survives
+    writeEventsFile(dir, "b3.parquet", Seq(
+      (90L, "2024-01-01 00:30:00", 1L),        // below wm → dropped
+      (91L, "2024-01-01 01:00:00", 1L),        // AT wm → dropped
+      (92L, "2024-01-01 01:00:00.000001", 1L), // 1µs past → kept
+      (93L, "2024-01-01 01:30:00", 1L)),       // fresh → kept
+      1700000120000L)
+    val stream = Streams.eventStream(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+    val out = Streams.runToTableAppend(
+      Streams.dedupStream(stream.select($"ts", $"event_id"),
+        maxDelay = "1 hour", keys = Seq("event_id")),
+      "lag_boundary")
+    assert(Streams.lastRunBatches === 3)
+    assert(out.select($"event_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 92L, 93L))
+  }
+
+  test("session state merges across file-source micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    writeEventsFile(dir, "b1.parquet", Seq(
+      (1L, "2024-01-01 01:00:00", 7L),
+      (2L, "2024-01-01 01:10:00", 7L)), 1700000000000L)
+    writeEventsFile(dir, "b2.parquet", Seq(
+      (3L, "2024-01-01 01:20:00", 7L),   // within the 30-min gap of event 2
+      (4L, "2024-01-01 05:00:00", 8L)), 1700000060000L)
+    val stream = Streams.eventStream(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+    val out = Streams.runToTable(
+      Streams.sessionize(stream, gap = "30 minutes", maxDelay = "30 days"),
+      "merge_sessions")
+    assert(Streams.lastRunBatches === 2)
+    val u7 = out.filter($"user_id" === 7).collect()
+    // one MERGED session [01:00, 01:50) of 3 events — two sessions here
+    // would mean batch-2 state failed to merge into batch-1's window
+    assert(u7.length === 1)
+    assert(u7.head.getAs[Long]("n_events") === 3L)
+    assert(u7.head.getAs[Timestamp]("s_end").toString === "2024-01-01 01:50:00.0")
+  }
+
+  test("the staged parity gates really replay three micro-batches") {
+    for (gate <- Seq("q_stream_session_parity", "q_stream_late_drop")) {
+      SparkEntry.queries(gate)(spark, sf0001).collect()
+      assert(Streams.lastRunBatches === 3,
+        s"$gate drained ${Streams.lastRunBatches} batches, want 3")
+    }
+  }
+
+  test("Complete mode: plain windows keep late rows, session windows drop " +
+      "them (the asymmetry behind the parity gates' watermark choices)") {
+    def lateScenario(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String): Long = {
+      val in = MemoryStream[Event](spark)
+      val q = mk(in.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Complete()).start()
+      try {
+        in.addData(Event(1, t(0), 1, "click", 1.0)) // 00:00, advances wm
+        q.processAllAvailable()
+        in.addData(Event(2, t(5), 1, "click", 1.0)) // 00:05
+        q.processAllAvailable()   // wm flushed past the lag by these batches
+        in.addData(Event(3, Timestamp.valueOf("2023-12-31 20:00:00"), 1,
+          "click", 1.0))          // hours late by now
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).count()
+    }
+    val winRows = lateScenario(
+      df => Streams.windowedCounts(df, "5 minutes", "5 minutes", "1 minute"),
+      "late_win")
+    val sessRows = lateScenario(
+      df => Streams.sessionize(df, "2 minutes", "1 minute"), "late_sess")
+    assert(winRows === 3)  // 00:00, 00:05, and the LATE 20:00 window all kept
+    assert(sessRows === 2) // late event's session vanished: dropped on input
+  }
 }
