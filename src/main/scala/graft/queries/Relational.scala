@@ -297,6 +297,43 @@ object Relational {
              |  AND c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // §2.3 co-located bucketed join, oracle-gated end to end: both sides
+    // are written as bucketed catalog tables on the join key (the
+    // pay-the-shuffle-once layout for fact tables joined query after
+    // query at 100 TB) and joined back from the catalog — the zero-
+    // Exchange SortMergeJoin plan shape is pinned by BucketingSpec; this
+    // gate pins that the bucketed PATH (write → catalog read → co-located
+    // join) produces hash-identical results to the oracle joining the
+    // original parquet. Values go through decimal (association-
+    // independent) like every cross-engine sum.
+    "q_join_bucketed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.Bucketing.writeBucketed(
+          tbl(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          "graft_gate_b_orders", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        graft.sources.Bucketing.writeBucketed(
+          tbl(s, dir, "lineitem").select($"l_orderkey", $"l_quantity",
+            $"l_extendedprice"),
+          "graft_gate_b_lineitem", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+        val o = graft.sources.Bucketing.readBucketed(s, "graft_gate_b_orders")
+        val li = graft.sources.Bucketing
+          .readBucketed(s, "graft_gate_b_lineitem")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_items"),
+            detSum($"l_quantity").as("sum_qty"),
+            detSum($"l_extendedprice").as("sum_price"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // §2.3 semi/anti joins (EXISTS / NOT EXISTS).
     "q_join_semi_anti" -> Q(
       (s, dir) => {

@@ -294,6 +294,31 @@ object Streaming {
               |  WHERE NOT straggler AND tn <= (SELECT cut1 FROM c))
               |SELECT event_id FROM lab, wm
               |WHERE NOT (straggler AND tn // 1000 <= w1)
-              |ORDER BY event_id""".stripMargin))
+              |ORDER BY event_id""".stripMargin)),
+
+    // Custom keyed state (flatMapGroupsWithState) oracle-gated across
+    // micro-batches: userRunningStats emits each user's running event
+    // count on every batch the user appears in, so the MAX emitted count
+    // per user equals the batch COUNT(*) iff state survived across
+    // batches — nearly every user's events span the 60/25/15 split, so
+    // per-batch state loss would leave max(n_events) at a fraction of the
+    // total and hash-mismatch. Counts only: the running double total is a
+    // fold in intra-batch arrival order, which no cross-engine oracle can
+    // pin (see the Determinism note above).
+    "q_stream_running_counts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+          maxFilesPerTrigger = Some(1))
+        val ds = stream.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Streams.Event]
+        Streams.runToTableAppend(Streams.userRunningStats(ds).toDF(),
+            "stream_running_counts")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events FROM events
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

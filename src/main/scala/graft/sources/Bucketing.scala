@@ -13,9 +13,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and bucket-sorted) managed table. */
+  /** Write `df` as a bucketed (and bucket-sorted) managed table.
+    *
+    * Overwrite only replaces tables the CURRENT catalog knows about; with
+    * the default in-memory catalog, a managed table's directory can
+    * survive a previous JVM whose catalog entry died with it, and
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop the entry
+    * and clear any leftover location first (Hadoop FS API, so the same
+    * code holds on HDFS/object stores). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =

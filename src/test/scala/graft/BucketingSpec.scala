@@ -35,4 +35,29 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q_join_bucketed gate: the catalog-read join itself plans no " +
+      "exchange below the SortMergeJoin") {
+    // run the gate once so the bucketed tables exist, then audit the plan
+    // of the same catalog-read join the gate executes: the only Exchange
+    // allowed is the one ABOVE the join for the groupBy — the join inputs
+    // must come straight from the bucketed scans
+    SparkEntry.queries("q_join_bucketed")(spark, sf0001).collect()
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketing.readBucketed(spark, "graft_gate_b_lineitem")
+        .join(Bucketing.readBucketed(spark, "graft_gate_b_orders"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"gate's bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan does not report bucketing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

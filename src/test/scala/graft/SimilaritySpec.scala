@@ -122,6 +122,34 @@ class SimilaritySpec extends SparkTestBase {
     assert((p2 & brute).size <= (pAll & brute).size)
   }
 
+  test("IVF cell assignment never collapses into a mega-cell") {
+    // The IVF scale property that matters at corpus scale: a centroid set
+    // whose assignment funnels most vectors into one cell recreates the
+    // skew failure IVF exists to avoid (one task scans ~everything, and a
+    // probe of that cell is brute force in disguise). Pin cell-count and
+    // bounded imbalance for BOTH centroid sources on the gate corpus; the
+    // values are deterministic per dataset. This is also why learned-IVF
+    // recall can sit BELOW seed-IVF here without indicating a bug: on this
+    // near-uniform corpus both partitions are balanced (max/min < 2), so
+    // per-cell candidate sets are ~n/8 either way and recall@5 over 4
+    // fixed queries is a 0.05-granularity constant, not a quality ladder.
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val seed = corpus.filter($"id" < 8).collect()
+        .map(r => Similarity.Cent(r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2))).toSeq
+      val learned = Similarity.kmeansCentroidsSeq(corpus, k = 8,
+        lloydIters = 3)
+      for ((nm, cents) <- Seq("seed" -> seed, "learned" -> learned)) {
+        val sizes = Similarity.assignCells(corpus, cents)
+          .groupBy($"cell").count().collect().map(_.getLong(1)).sorted
+        assert(sizes.length === 8, s"$nm: empty cells: ${sizes.toSeq}")
+        assert(sizes.last <= 2 * sizes.head,
+          s"$nm cells skewed: ${sizes.toSeq}")
+      }
+    } finally corpus.unpersist()
+  }
+
   test("recallVsBrute (the bench queries_recall source) is sane at the " +
       "oracle gate scale") {
     // Every input is deterministic (hash planes, seed/k-means centroids,
