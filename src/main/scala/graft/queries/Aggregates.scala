@@ -171,6 +171,36 @@ object Aggregates {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // Beyond-parity PIVOT (long→wide reshape, the inverse of q_unpivot):
+    // one output column per pivot value, deterministic decimal sums. The
+    // pivot values are passed EXPLICITLY — without them Spark runs an extra
+    // distinct-scan job over the fact table to discover the domain, which
+    // at 100 TB is a full pass you didn't ask for (and caps at
+    // spark.sql.pivotMaxValues anyway). With values given, the plan is one
+    // ordinary hash aggregate over conditional sums — exactly the SQL the
+    // oracle spells out.
+    "q_pivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(detSum($"o_totalprice"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE)
+             |    AS "F",
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE)
+             |    AS "O",
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE)
+             |    AS "P"
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // Sketch aggregates (beyond-parity, 100 TB profiling): HyperLogLog
     // distinct estimate + quantile sketch. Sketch internals differ across
     // engines by design, so the gate emits the EXACT values plus booleans

@@ -639,6 +639,32 @@ object Relational {
              |  date_trunc('month', o_orderdate) AS month_start
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // §2.2/§2.8.4 UNPIVOT (wide→long reshape, pandas melt analog): three
+    // measure columns become (measure, val) rows. A pure narrow Expand —
+    // each input row emits its unpivoted rows in place, no shuffle until
+    // the gate's own ORDER BY — so it scales as a map-side transform.
+    // Spark's unpivot KEEPS null measure values (unlike SQL UNPIVOT's
+    // default); the oracle mirrors with INCLUDE NULLS so the contract is
+    // pinned even though the gate columns happen to be dense.
+    "q_unpivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_discount", $"l_tax")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_discount", $"l_tax"),
+            "measure", "val")
+          .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"val")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+             |        l_tax FROM lineitem)
+             |UNPIVOT INCLUDE NULLS (val FOR measure IN
+             |  (l_quantity, l_discount, l_tax))
+             |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin)),
+
     // §2.2 step-slice (reference base.py:1045-1067 step≠1 path): every k-th
     // row under a total order — global positions via operators.Positional
     // (parallel), then pos % k. The oracle may use a window (DuckDB is the

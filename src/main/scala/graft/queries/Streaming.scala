@@ -319,6 +319,32 @@ object Streaming {
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id, count(*) AS n_events FROM events
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Stream-static enrichment join across real micro-batches: every event
+    // in the three-file replay is joined to the static customer dimension
+    // (broadcast; stateless Append mode — no watermark needed), and the
+    // per-event enriched output hash-compares against the oracle's batch
+    // join. Per-EVENT output (not an aggregate) so the gate pins the join
+    // cardinality: a batch that skipped the dim or dropped rows cannot
+    // hash-match. acctbal passes through the join untouched — exact across
+    // engines, no decimal detour needed.
+    "q_stream_static_join" -> Q(
+      (s, dir) => {
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+          maxFilesPerTrigger = Some(1))
+        val dim = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val joined = Streams.enrichStream(stream, dim,
+            col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("c_mktsegment").as("segment"),
+            col("c_acctbal").as("acctbal"))
+        Streams.runToTableAppend(joined, "stream_static_join")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, c.c_mktsegment AS segment,
+             |  c.c_acctbal AS acctbal
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

@@ -78,6 +78,18 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the unbounded
+    * stream joins against a STATIC batch dimension. Stateless — the join
+    * carries no streaming state and needs no watermark — and the dimension
+    * is broadcast, so the 100 TB shape is: the fact stream never shuffles,
+    * each executor probes its local dim copy, and a dim that changes on
+    * disk is re-resolved at the next trigger (Spark re-plans the static
+    * side per micro-batch). For dimensions too large to broadcast, drop
+    * the hint and pre-bucket both sides on the key instead. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
   /** Streaming exact dedup on `keys` with watermark-bounded state — the
     * streaming face of Dedup.exactGroups. State holds one entry per
     * distinct key seen inside the watermark horizon and is evicted as the

@@ -234,6 +234,33 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("enrichStream joins every micro-batch against the static dim via " +
+      "BroadcastHashJoin, carrying no state") {
+    val dim = Seq((1L, "gold"), (2L, "iron")).toDF("uid", "tier")
+    val in = MemoryStream[Event](spark)
+    val joined = Streams.enrichStream(in.toDF(), dim, $"user_id" === $"uid")
+      .select($"event_id", $"tier")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, t(0), 1, "click", 1.0),
+        Event(2, t(1), 2, "view", 1.0))
+      q.processAllAvailable()                     // batch 1
+      in.addData(Event(3, t(2), 1, "view", 1.0),
+        Event(4, t(3), 9, "view", 1.0))           // uid 9: no dim row
+      q.processAllAvailable()                     // batch 2
+      // the dim side must be planned as a broadcast join inside the
+      // micro-batch execution (stream side never shuffles)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(q.explain())
+      assert(out.toString.contains("BroadcastHashJoin"), out.toString)
+      assert(!out.toString.contains("StateStore"), out.toString)
+    } finally q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "gold"), (2L, "iron"), (3L, "gold")))
+  }
+
   test("Complete mode: plain windows keep late rows, session windows drop " +
       "them (the asymmetry behind the parity gates' watermark choices)") {
     def lateScenario(mk: org.apache.spark.sql.DataFrame =>
