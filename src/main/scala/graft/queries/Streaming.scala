@@ -345,6 +345,42 @@ object Streaming {
       Some("""SELECT e.event_id, c.c_mktsegment AS segment,
              |  c.c_acctbal AS acctbal
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Stream-STREAM event-time interval join across the three-batch
+    // replay: each click pairs with the same user's follow-up events
+    // within 30 minutes — both sides unbounded, matches emitted as both
+    // rows arrive (some pairs straddle micro-batches, so one side must be
+    // BUFFERED in join state until its partner lands; single-batch
+    // execution could not produce them without state). The oracle is the
+    // plain batch interval self-join. Watermarks exceed the ~30-day replay
+    // span so the batch-3 stragglers join instead of being late-dropped
+    // (late-drop semantics are q_stream_late_drop's business); at
+    // production scale the delay would be the real lateness bound, which
+    // with the range condition is exactly what lets Spark evict state.
+    "q_stream_stream_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def side(prefix: String) = Streams.eventStream(
+          s, stageEventsMulti(s, dir), maxFilesPerTrigger = Some(1))
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_uid"),
+            col("ts").as(s"${prefix}_ts"),
+            col("event_type").as(s"${prefix}_type"))
+        val clicks = side("c").filter($"c_type" === "click")
+        val follows = side("n")
+        val joined = Streams.intervalJoin(
+            clicks, "c_ts", "60 days", follows, "n_ts", "60 days",
+            $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
+              $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+          .select($"c_id".as("click_id"), $"n_id".as("next_id"))
+        Streams.runToTableAppend(joined, "stream_stream_join")
+          .orderBy($"click_id", $"next_id")
+      },
+      Some("""SELECT a.event_id AS click_id, b.event_id AS next_id
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             | AND a.event_type = 'click'
+             | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |ORDER BY click_id, next_id""".stripMargin))
   )
 }

@@ -90,6 +90,27 @@ object Streams {
       joinExpr: org.apache.spark.sql.Column): DataFrame =
     stream.join(broadcast(dim), joinExpr)
 
+  /** Stream-stream event-time interval join (inner): rows from two
+    * unbounded streams match on an equality key plus a time-range bound on
+    * their event times. Inner matches emit as soon as BOTH rows have
+    * arrived — the watermark is not an output gate, it bounds STATE: with
+    * watermarks on both sides and a range condition relating the two event
+    * times, Spark derives how far back each side's buffered rows can still
+    * find a partner and evicts everything older, so an infinite stream
+    * joins in bounded memory. The equality key routes both sides to the
+    * same state-store partition (hash shuffle on the key — the stream
+    * analog of a co-partitioned join); without a range condition the
+    * buffers only shrink if one side's watermark alone clears them.
+    *
+    * Late rows (below the operative late-filter watermark, the
+    * two-batches-back one) are dropped from the join INPUT like any
+    * stateful op — pick `maxDelay` beyond the worst expected lateness. */
+  def intervalJoin(left: DataFrame, leftTs: String, leftDelay: String,
+      right: DataFrame, rightTs: String, rightDelay: String,
+      joinExpr: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTs, leftDelay)
+      .join(right.withWatermark(rightTs, rightDelay), joinExpr)
+
   /** Streaming exact dedup on `keys` with watermark-bounded state — the
     * streaming face of Dedup.exactGroups. State holds one entry per
     * distinct key seen inside the watermark horizon and is evicted as the

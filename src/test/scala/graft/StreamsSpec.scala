@@ -227,7 +227,8 @@ class StreamsSpec extends SparkTestBase {
   }
 
   test("the staged parity gates really replay three micro-batches") {
-    for (gate <- Seq("q_stream_session_parity", "q_stream_late_drop")) {
+    for (gate <- Seq("q_stream_session_parity", "q_stream_late_drop",
+        "q_stream_stream_join")) {
       SparkEntry.queries(gate)(spark, sf0001).collect()
       assert(Streams.lastRunBatches === 3,
         s"$gate drained ${Streams.lastRunBatches} batches, want 3")
@@ -259,6 +260,47 @@ class StreamsSpec extends SparkTestBase {
     val got = spark.table("enriched").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "gold"), (2L, "iron"), (3L, "gold")))
+  }
+
+  test("intervalJoin buffers one side across micro-batches and evicts " +
+      "state once the watermark clears it") {
+    val clicks = MemoryStream[Event](spark)
+    val follows = MemoryStream[Event](spark)
+    val joined = Streams.intervalJoin(
+      clicks.toDF().selectExpr("event_id AS c_id", "user_id AS c_uid",
+        "ts AS c_ts"),
+      "c_ts", "1 minute",
+      follows.toDF().selectExpr("event_id AS n_id", "user_id AS n_uid",
+        "ts AS n_ts"),
+      "n_ts", "1 minute",
+      expr("c_uid = n_uid AND n_ts > c_ts AND " +
+        "n_ts <= c_ts + INTERVAL 10 MINUTES"))
+      .select($"c_id", $"n_id")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, t(0), 1, "click", 1.0))
+      q.processAllAvailable()                   // batch 1: no partner yet
+      assert(spark.table("sj").count() === 0)
+      follows.addData(Event(2, t(5), 1, "view", 1.0))
+      q.processAllAvailable()                   // batch 2: buffered click
+      assert(spark.table("sj").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+      // advance BOTH watermarks hours past the click; its state row (and
+      // the follow's) must be evicted — numRowsRemoved shows up in the
+      // state operator progress of a subsequent batch
+      clicks.addData(Event(3, Timestamp.valueOf("2024-01-01 06:00:00"), 2,
+        "click", 1.0))
+      follows.addData(Event(4, Timestamp.valueOf("2024-01-01 06:00:00"), 3,
+        "view", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(5, Timestamp.valueOf("2024-01-01 06:00:01"), 2,
+        "click", 1.0))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed > 0, "watermark never evicted join state")
+    } finally q.stop()
   }
 
   test("Complete mode: plain windows keep late rows, session windows drop " +
