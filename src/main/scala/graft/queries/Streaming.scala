@@ -361,14 +361,19 @@ object Streaming {
     "q_stream_stream_join" -> Q(
       (s, dir) => {
         import s.implicits._
-        def side(prefix: String) = Streams.eventStream(
-          s, stageEventsMulti(s, dir), maxFilesPerTrigger = Some(1))
-          .select(col("event_id").as(s"${prefix}_id"),
-            col("user_id").as(s"${prefix}_uid"),
-            col("ts").as(s"${prefix}_ts"),
-            col("event_type").as(s"${prefix}_type"))
-        val clicks = side("c").filter($"c_type" === "click")
-        val follows = side("n")
+        // keep state rows minimal: every column selected here is BUFFERED
+        // in the join state store until the watermark clears it — the
+        // click side needs event_type only to filter (dropped after), the
+        // follow side never needs it
+        def side(prefix: String, extra: Seq[org.apache.spark.sql.Column]) =
+          Streams.eventStream(s, stageEventsMulti(s, dir),
+              maxFilesPerTrigger = Some(1))
+            .select(Seq(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_uid"),
+              col("ts").as(s"${prefix}_ts")) ++ extra: _*)
+        val clicks = side("c", Seq(col("event_type")))
+          .filter($"event_type" === "click").drop("event_type")
+        val follows = side("n", Nil)
         val joined = Streams.intervalJoin(
             clicks, "c_ts", "60 days", follows, "n_ts", "60 days",
             $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&

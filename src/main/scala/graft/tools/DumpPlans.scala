@@ -76,7 +76,20 @@ object DumpPlans {
         "(doc_id, source)"),
       "q_pipe_chunk" -> ("sequence chunking: pure narrow explode (per-row " +
         "start sequence + array slice), zero exchanges before the final " +
-        "order; scan prunes to (doc_id, text)"))
+        "order; scan prunes to (doc_id, text)"),
+      "q_join_bucketed" -> ("co-located catalog join off bucketed scans " +
+        "(Bucketed: true, SelectedBucketsCount 8/8). At this scale " +
+        "Catalyst rightly broadcasts the small orders side; when neither " +
+        "side fits a broadcast (the 100 TB case, rehearsed by " +
+        "BucketingSpec with the threshold off) the same layout gives a " +
+        "SortMergeJoin with ZERO Exchange below it — the " +
+        "pay-the-shuffle-once contract"),
+      "q_pivot" -> ("pivot with explicit values: ONE pruned scan (no " +
+        "domain-discovery job), partial HashAggregate below every " +
+        "Exchange — the PivotFirst phase shuffles only already-reduced " +
+        "rows"),
+      "q_unpivot" -> ("wide→long melt: narrow Expand over a 5-column " +
+        "pruned scan, zero exchanges before the final order"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
