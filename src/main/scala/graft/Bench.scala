@@ -22,10 +22,13 @@ object Bench {
     // kernels as empty scans. xxhash64 over the row struct evaluates every
     // expression; bit_xor folds to one long WITHOUT overflow (sum of random
     // longs throws under ANSI mode — Spark 4's default).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
       val df = fn(spark, sfDir)
-      df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
-        .collect()
+      val out = df.agg(
+        bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
+      out.collect()
+      out
     }
     // Global warmup: the first query in a fresh JVM pays ~5s of
     // classloading/JIT/codegen that would be misattributed to whichever
@@ -108,6 +111,16 @@ object Bench {
     val collected = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]]()
     val failedSet = scala.collection.mutable.LinkedHashSet[String]()
+    // Exchange volume (shuffle bytes/records written, broadcast bytes) read
+    // from the warmup run's executed plan via SQLMetrics. Unlike every
+    // timing stat these are PLAN-DETERMINED and deterministic for a fixed
+    // dataset — zero noise floor. Reading rule: a cross-round jump in
+    // shuffle_mb/shuffle_rec at flat wall time is a plan regression (lost
+    // broadcast, lost partial aggregate, new exchange) — the class that
+    // costs milliseconds at sf0.1 and kills the job at 100 TB; wall time
+    // cannot see it, these columns can.
+    val volumes = scala.collection.mutable.LinkedHashMap[String,
+      graft.tools.PlanMetrics.ExchangeVolume]()
     for (pass <- 1 to passes; (name, fn) <- benched if !failedSet(name)) {
       try {
         // settle: collect the previous query's garbage OUTSIDE this query's
@@ -116,7 +129,8 @@ object Bench {
         System.gc()
         // untimed warmup (plan compile + codegen cache) — first pass only;
         // later passes reuse the warmed caches
-        if (pass == 1) run(fn)
+        if (pass == 1)
+          volumes(name) = graft.tools.PlanMetrics.exchangeVolume(run(fn))
         val buf = collected.getOrElseUpdate(name,
           scala.collection.mutable.ArrayBuffer.empty)
         (1 to samplesPerQuery).foreach { _ =>
@@ -169,6 +183,15 @@ object Bench {
       .map { case (k, v) =>
         s"\"" + k + "\":" + (math.rint(v * 10000) / 10000) }
       .mkString("{", ",", "}")
+    def vmap(f: graft.tools.PlanMetrics.ExchangeVolume => Double): String =
+      results.map { case (k, _) =>
+        s"\"" + k + "\":" + volumes.get(k)
+          .map(v => (math.rint(f(v) * 1000) / 1000).toString)
+          .getOrElse("null")
+      }.mkString("{", ",", "}")
+    val qsShuffle = vmap(_.shuffleWritten / 1e6)  // MB written through shuffles
+    val qsShufRec = vmap(_.shuffleRecords.toDouble) // rows crossing exchanges
+    val qsBcast = vmap(_.broadcastBytes / 1e6)    // MB resident per executor
     val qs = jmap(_._1)        // min-of-N wall: the load-robust stat
     val qsMedian = jmap(_._2)  // median wall: the r6/r7 historical stat
     val qsCpu = jmap(_._3)     // process CPU seconds of the min-wall run
@@ -188,7 +211,7 @@ object Bench {
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
     // and stdout carries a compact line that fits a tail grab.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
