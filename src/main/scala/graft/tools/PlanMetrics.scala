@@ -38,7 +38,20 @@ object PlanMetrics {
     *                        crossing exchanges; catches a lost partial agg
     *                        even when the byte delta is small
     * @param broadcastBytes  sum of `dataSize` over [[BroadcastExchangeExec]]
-    *                        nodes — what every executor must hold resident
+    *                        nodes — what every executor must hold resident.
+    *                        CAVEAT: this is the built HashedRelation's
+    *                        ALLOCATED memory, which is page-quantized — a
+    *                        200-row relation with a non-long key reads as
+    *                        one BytesToBytesMap page (~32 MB under local
+    *                        big-memory task managers; measured identical at
+    *                        sf0.001 and sf0.01), and long-keyed relations
+    *                        read as the LongToUnsafeRowMap's ~1 MB initial
+    *                        buffer. Valid to compare across rounds at a
+    *                        fixed scale/config (the quantization is
+    *                        deterministic); NOT valid to read small-relation
+    *                        values as wire bytes or to extrapolate across
+    *                        scales until the relation outgrows its first
+    *                        page.
     */
   final case class ExchangeVolume(
       shuffleWritten: Long, shuffleRecords: Long, broadcastBytes: Long) {
