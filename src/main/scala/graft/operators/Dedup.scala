@@ -374,4 +374,62 @@ object Dedup {
       .join(evalSide, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Cross-document duplicated-span coverage: for every document, how many
+    * of its tokens sit inside a word k-gram that also occurs in at least
+    * `minDocs − 1` OTHER documents. The token-level signal behind
+    * substring-level corpus dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array ExactSubstr,
+    * approximated here at k-gram granularity so it distributes): document-
+    * level dedup misses boilerplate (headers, license blocks, navigation)
+    * pasted into otherwise-unique pages, which this surfaces as a
+    * per-document `dup_frac` a cleaning pass can threshold on.
+    *
+    * Output: (doc_id, n_tokens, dup_grams, dup_tokens, dup_frac) — one row
+    * per input document; `dup_grams` counts flagged k-gram positions,
+    * `dup_tokens` counts distinct token positions covered by a flagged gram
+    * (overlapping grams merged), `dup_frac = dup_tokens / n_tokens`.
+    *
+    * Scale design: positional gram hashes come from [[TextOps
+    * .shingleHashesAll]] (pure codegen long arithmetic, O(n + k·n) per doc);
+    * every shuffle — the distinct-doc frequency aggregate, the flagged-gram
+    * join, the per-doc coverage window — carries only (long, int) tuples,
+    * never text. Coverage is computed by an interval-merge window (each
+    * flagged position contributes `min(k, gap-to-previous)`) instead of
+    * exploding the k covered positions per gram, so the widest intermediate
+    * is ONE row per flagged gram, not k. The frequency side is unbounded at
+    * corpus scale, so it is a plain shuffle join on the gram hash — AQE
+    * broadcasts it when it turns out small.
+    */
+  def dupSpanCoverage(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("n_tokens"))
+    val grams = docs
+      .filter(size(tokens(col(textCol))) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingleHashesAll(col(textCol), k)).as(Seq("p", "gh")))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("gh"))
+    val flagged = grams.join(dupGrams, "gh").select(col("doc_id"), col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val cov = flagged
+      .withColumn("__prev", lag(col("p"), 1).over(w))
+      // first flagged gram covers k tokens; each later one only the tokens
+      // past the previous gram's span (overlap-merged interval coverage)
+      .withColumn("__c", when(col("__prev").isNull, lit(k))
+        .otherwise(least(lit(k), col("p") - col("__prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_grams"),
+        sum(col("__c")).cast("long").as("dup_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+  }
 }

@@ -419,6 +419,44 @@ object TextPipeline {
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of
     // documents but not of content).
+    // Cross-document duplicated-span coverage (ExactSubstr signal at k-gram
+    // granularity): fraction of each doc's tokens inside a 5-gram shared
+    // with another doc — catches pasted boilerplate document-level dedup
+    // misses. Oracle rebuilds the same positional gram hashes (DuckFrag
+    // shares the constants) and the same interval-merge coverage window.
+    "q_pipe_dup_spans" -> Q(
+      (s, dir) => Dedup.dupSpanCoverage(docs(s, dir), "text", "doc_id", k = 5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |h AS (
+              |  SELECT doc_id, ${DuckFrag.shingleHashesAllSql(5)} AS l
+              |  FROM toks WHERE len(w) >= 5),
+              |g AS (
+              |  SELECT doc_id, unnest(range(0, len(l))) AS p,
+              |         unnest(l) AS gh
+              |  FROM h),
+              |dup AS (
+              |  SELECT gh FROM (
+              |    SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+              |  WHERE df >= 2),
+              |f AS (
+              |  SELECT g.doc_id, g.p,
+              |         lag(g.p) OVER (PARTITION BY g.doc_id ORDER BY g.p)
+              |           AS prev
+              |  FROM g JOIN dup USING (gh)),
+              |cov AS (
+              |  SELECT doc_id, count(*) AS dup_grams,
+              |         sum(CASE WHEN prev IS NULL THEN 5
+              |             ELSE least(5, p - prev) END)::BIGINT AS dup_tokens
+              |  FROM f GROUP BY doc_id)
+              |SELECT t.doc_id, len(t.w) AS n_tokens,
+              |       coalesce(c.dup_grams, 0) AS dup_grams,
+              |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+              |       coalesce(c.dup_tokens, 0)::DOUBLE / len(t.w) AS dup_frac
+              |FROM toks t LEFT JOIN cov c USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
+
     "q_pipe_fingerprint" -> Q(
       (s, dir) => docs(s, dir).select(
           col("doc_id"),

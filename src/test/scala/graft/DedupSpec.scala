@@ -250,4 +250,63 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(g === Map(2L -> 2L, 9L -> 1L))
   }
+
+  private def spanMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("dupSpanCoverage merges overlapping shared grams into one span") {
+    // docs 1 and 2 share the 8-token run "a b c d e f g h": doc 1 has four
+    // flagged 5-gram positions (0..3) whose covered tokens MERGE to 8, not
+    // 4*5; doc 3 shares nothing.
+    val df = Seq(
+        (1L, "a b c d e f g h"),
+        (2L, "x y a b c d e f g h z w"),
+        (3L, "p q r s t u v w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val m = spanMap(Dedup.dupSpanCoverage(df, "text", "doc_id", k = 5))
+    assert(m(1L) === ((8, 4L, 8L, 1.0)))
+    assert(m(2L) === ((12, 4L, 8L, 8.0 / 12)))
+    assert(m(3L) === ((10, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpanCoverage ignores grams repeated only WITHIN one document") {
+    // doc 1 repeats its own 5-gram three times; no other doc has it, so
+    // minDocs=2 must not flag anything.
+    val df = Seq(
+        (1L, "a b c d e a b c d e a b c d e"),
+        (2L, "q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val m = spanMap(Dedup.dupSpanCoverage(df, "text", "doc_id", k = 5))
+    assert(m(1L)._3 === 0L && m(2L)._3 === 0L)
+  }
+
+  test("dupSpanCoverage keeps sub-k and gap-split documents correct") {
+    // doc 2's two shared runs are separated by unique tokens: two disjoint
+    // spans of 5, not one run of 10. doc 4 is shorter than k and must still
+    // appear with zero coverage.
+    val df = Seq(
+        (1L, "a b c d e m n o p q"),
+        (2L, "a b c d e u1 u2 u3 m n o p q"),
+        (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val m = spanMap(Dedup.dupSpanCoverage(df, "text", "doc_id", k = 5))
+    assert(m(2L) === ((13, 2L, 10L, 10.0 / 13)))
+    assert(m(4L) === ((2, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpanCoverage is partitioning-invariant") {
+    val docs = (1L to 40L).map { i =>
+      val shared = "common boiler plate text here"
+      val tail = s"unique$i t${i}a t${i}b t${i}c t${i}d"
+      (i, if (i % 3 == 0) s"$shared $tail" else s"$tail $tail")
+    }.toDF("doc_id", "text")
+    val one = spanMap(Dedup.dupSpanCoverage(
+      docs.coalesce(1), "text", "doc_id", k = 5))
+    val many = spanMap(Dedup.dupSpanCoverage(
+      docs.repartition(7), "text", "doc_id", k = 5))
+    assert(one === many)
+    // the i%3==0 docs all share the 5-token boilerplate prefix
+    assert(one(3L)._3 === 5L)
+  }
 }
