@@ -89,7 +89,14 @@ object DumpPlans {
         "Exchange — the PivotFirst phase shuffles only already-reduced " +
         "rows"),
       "q_unpivot" -> ("wide→long melt: narrow Expand over a 5-column " +
-        "pruned scan, zero exchanges before the final order"))
+        "pruned scan, zero exchanges before the final order"),
+      "q_pipe_dup_spans" -> ("cross-doc duplicated-span coverage: text dies " +
+        "in the map-side hash projection — the doc-frequency agg (partial " +
+        "below the exchange), the flagged-gram join, and the per-doc " +
+        "coverage window all shuffle (long, int) tuples only; interval-" +
+        "merge window means one row per flagged gram, never k exploded " +
+        "positions (guard: PlanGuardSpec 'dup-span coverage shuffles " +
+        "fixed-width tuples only')"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
@@ -102,7 +109,9 @@ object DumpPlans {
       out ++= df.queryExecution.executedPlan.toString.take(3000)
       out ++= "\n```\n"
     }
-    val w = new PrintWriter("/root/repo/PLANS.md")
+    // explicit UTF-8: the default-charset constructor mangled the notes'
+    // arrows/dashes to '?' under the JVM's POSIX locale
+    val w = new PrintWriter("/root/repo/PLANS.md", "UTF-8")
     try w.write(out.toString) finally w.close()
     println("wrote PLANS.md")
     spark.stop()

@@ -149,6 +149,22 @@ class PlanGuardSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dup-span coverage shuffles fixed-width tuples only, never text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_pipe_dup_spans")(spark, sf0001)
+        .queryExecution.executedPlan
+      // gram doc-frequency agg, flagged-gram join, coverage window, final
+      // doc join: every exchange carries (long, int) tuples — the text
+      // column dies in a map-side projection right after hashing
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      for (e <- shuffles; attr <- e.child.output)
+        assert(!attr.dataType.typeName.contains("string"),
+          s"text-typed column ${attr.name} travels through a shuffle:\n$e")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("PII redaction is one codegen span over the scan — no shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
