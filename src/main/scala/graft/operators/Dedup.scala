@@ -375,6 +375,31 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Quality-preferring keeper selection over dup groups: [[dupGroups]]
+    * labels each component by its MIN id — an arbitrary survivor. Real
+    * cleaning passes keep the BEST copy (near-dups differ: one has the
+    * full text, another a truncated scrape). Given `groups` = (id, keeper)
+    * from [[dupGroups]] and a per-doc `score` table, re-keys every group
+    * member to the component's highest-`scoreCol` doc (ties broken by min
+    * id, so selection is total and layout-independent).
+    *
+    * Output: (id, group, best) — `group` the original min-id component
+    * label, `best` the doc to keep. Scale: one row_number window per
+    * component + a component-keyed join; scores travel, text does not.
+    */
+  def keepBestPerGroup(groups: DataFrame, score: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val g = groups.join(
+      score.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("keeper")).orderBy(col("__s").desc, col("id"))
+    val best = g.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("keeper"), col("id").as("best"))
+    groups.join(best, "keeper")
+      .select(col("id"), col("keeper").as("group"), col("best"))
+  }
+
   /** Cross-document duplicated-span coverage: for every document, how many
     * of its tokens sit inside a word k-gram that also occurs in at least
     * `minDocs − 1` OTHER documents. The token-level signal behind

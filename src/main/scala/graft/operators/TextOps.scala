@@ -222,4 +222,33 @@ object TextOps {
         array_join(col("__chunk"), " ").as("chunk_text"),
         org.apache.spark.sql.functions.size(col("__chunk")).as("n_tokens"))
   }
+
+  /** Deterministic per-key selection to a TOKEN budget — the data-mix
+    * builder's unit of account. [[capPerKey]] bounds documents per key;
+    * real mixture specs bound TOKENS per source ("at most 10 B tokens of
+    * domain X"), which document caps only approximate when length varies.
+    * Docs are taken per key in the same Knuth-multiplicative hash order as
+    * [[capPerKey]] (an unbiased deterministic sample of the key's docs)
+    * while the running `weightCol` total stays ≤ `budget`. Weights are
+    * positive, so the running total is strictly increasing and the kept
+    * set is a clean prefix of the hash order: selection is stable under
+    * budget growth (a bigger budget only ADDS documents — mixes stay
+    * reproducible across budget sweeps).
+    *
+    * Scale: identical shape to [[capPerKey]] — one hash-partitioned window
+    * per key whose state is one running sum; the order key is computed
+    * narrowly before the shuffle, and only (key, id, weight) travels.
+    */
+  def selectToTokenBudget(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val m = lit(2147483647L)
+    val ord = pmod(pmod(col(idCol), m) * lit(2654435761L), m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

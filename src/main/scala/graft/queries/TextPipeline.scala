@@ -137,6 +137,40 @@ object TextPipeline {
               |SELECT id, min(r) AS keeper FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // Quality-preferring keeper selection: same dup components as
+    // q_pipe_dup_groups, but every member re-keyed to the group's
+    // LONGEST doc (n_chars desc, id asc) instead of the arbitrary min id —
+    // keep the full text, drop the truncated scrapes.
+    "q_pipe_dedup_keep_best" -> Q(
+      (s, dir) => Dedup.keepBestPerGroup(
+          Dedup.dupGroups(
+            Dedup.minhashDupPairs(docs(s, dir), "text", "doc_id",
+                k = 3, threshold = 0.8)
+              .filter(col("is_dup"))
+              .select(col("id1"), col("id2"))),
+          docs(s, dir), "doc_id", "n_chars")
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE ${dupPairsCte(3, 0.8).stripPrefix("WITH ")},
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id),
+              |grp AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+              |best AS (
+              |  SELECT grp, id AS best FROM (
+              |    SELECT g.grp, g.id,
+              |           row_number() OVER (PARTITION BY g.grp
+              |             ORDER BY d.n_chars DESC, g.id) AS rk
+              |    FROM grp g JOIN documents d ON d.doc_id = g.id)
+              |  WHERE rk = 1)
+              |SELECT g.id, g.grp AS "group", b.best
+              |FROM grp g JOIN best b USING (grp)
+              |ORDER BY g.id""".stripMargin)),
+
     // 30-bit SimHash fingerprint + 15-bit halves for banded lookup.
     "q_pipe_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashFingerprints(docs(s, dir), "text", "doc_id")
@@ -566,6 +600,29 @@ object TextPipeline {
              |           AS rk
              |  FROM documents)
              |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // Per-source TOKEN-budget selection (the mixture builder's unit of
+    // account): docs taken in the capPerKey hash order while the running
+    // token total stays <= 2000 — prefix property means a budget sweep only
+    // ever ADDS docs. Weight = whitespace token count, shared with the
+    // oracle.
+    "q_pipe_token_budget" -> Q(
+      (s, dir) => TextOps.selectToTokenBudget(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).as("n_tok")),
+          "source", "doc_id", "n_tok", budget = 2000L)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_tok, cum_tokens FROM (
+             |  SELECT doc_id, source, n_tok,
+             |         CAST(sum(n_tok) OVER (PARTITION BY source
+             |           ORDER BY (((doc_id % 2147483647 + 2147483647)
+             |                      % 2147483647) * 2654435761)
+             |                    % 2147483647, doc_id
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM (SELECT doc_id, source,
+             |          len(string_split(text, ' ')) AS n_tok
+             |        FROM documents))
+             |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin)),
 
     // The COMPOSED corpus-cleaning pass: per-document decision record
     // (exact-dedup keeper, predicted lang, quality bounds, eval k-gram
