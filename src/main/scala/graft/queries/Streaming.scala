@@ -386,6 +386,82 @@ object Streaming {
              |FROM events a JOIN events b ON a.user_id = b.user_id
              | AND a.event_type = 'click'
              | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-             |ORDER BY click_id, next_id""".stripMargin))
+             |ORDER BY click_id, next_id""".stripMargin)),
+
+    // Stream-stream LEFT OUTER interval join: clicks that found no
+    // follow-up within 30 minutes must STILL emit (next_id −1) — and an
+    // outer result can only emit once the global watermark proves no
+    // partner can arrive, i.e. after state EVICTION, which AvailableNow
+    // never grants rows in the final batch. The gate therefore bounds the
+    // left side to clicks at or below cut1 (batch 1) while the watermark
+    // nodes sit ABOVE the click filter (see intervalJoin's filter-after-
+    // watermark contract): the left watermark keeps advancing with the
+    // full three-batch replay, so by the final batch the eviction
+    // watermark (≈ cut2 − 1h, and cut2 − cut1 spans days) is far past
+    // every left window's end (≤ cut1 + 30min) and EVERY unmatched click
+    // has emitted its null row — making the plain batch LEFT JOIN a
+    // truthful oracle. Stragglers are excluded from BOTH sides by pure
+    // µs arithmetic (event_id % 50, ts ≤ cut1 − 2h — mirrored exactly in
+    // SQL) so no late-drop watermark arithmetic enters the oracle: every
+    // surviving row rides a batch where it is never late. Matched pairs
+    // straddle the cut (a batch-1 click's follow-up lands in batch 2), so
+    // a hash match proves matches, eviction-driven null emission, AND
+    // cross-batch buffering simultaneously. next_id −1 (not NULL) keeps
+    // the ORDER BY engine-independent (Spark sorts nulls first, DuckDB
+    // last).
+    "q_stream_outer_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val mm = s.read.parquet(s"$dir/events.parquet")
+          .agg(min(col("ts")), max(col("ts"))).head()
+        val t0 = mm.getLong(0)
+        val cut1 = t0 + (mm.getLong(1) - t0) * 6L / 10L
+        val cut1Us = cut1 / 1000L
+        val stragUs = (cut1 - TwoHoursNs) / 1000L
+        def side(prefix: String, extra: Seq[org.apache.spark.sql.Column]) =
+          Streams.eventStream(s, stageEventsMulti(s, dir),
+              maxFilesPerTrigger = Some(1))
+            .select(Seq(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_uid"),
+              col("ts").as(s"${prefix}_ts")) ++ extra: _*)
+        def strag(id: String, ts: String) =
+          col(id) % 50 === 0 && unix_micros(col(ts)) <= stragUs
+        val joined = Streams.intervalJoin(
+            side("c", Seq(col("event_type"))), "c_ts", "1 hour",
+            side("n", Nil), "n_ts", "1 hour",
+            $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
+              $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"),
+            joinType = "left_outer",
+            leftFilter = Some($"event_type" === "click" &&
+              unix_micros($"c_ts") <= cut1Us && !strag("c_id", "c_ts")),
+            rightFilter = Some(!strag("n_id", "n_ts")))
+          .select($"c_id".as("click_id"),
+            coalesce($"n_id", lit(-1L)).as("next_id"))
+        Streams.runToTableAppend(joined, "stream_outer_join")
+          .orderBy($"click_id", $"next_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1
+              |  FROM events),
+              |c AS (SELECT t0 + (t1 - t0) * 6 // 10 AS cut1 FROM b),
+              |lab AS (
+              |  SELECT event_id, user_id, event_type,
+              |         epoch_ns(ts) // 1000 AS tu,
+              |         (event_id % 50 = 0 AND epoch_ns(ts) // 1000 <=
+              |          ((SELECT cut1 FROM c) - $TwoHoursNs) // 1000)
+              |           AS strag
+              |  FROM events),
+              |lefts AS (
+              |  SELECT event_id, user_id, tu FROM lab
+              |  WHERE event_type = 'click' AND NOT strag
+              |    AND tu <= (SELECT cut1 FROM c) // 1000),
+              |rights AS (SELECT event_id, user_id, tu FROM lab
+              |           WHERE NOT strag)
+              |SELECT l.event_id AS click_id,
+              |       COALESCE(r.event_id, -1) AS next_id
+              |FROM lefts l LEFT JOIN rights r
+              |  ON l.user_id = r.user_id AND r.tu > l.tu
+              |  AND r.tu <= l.tu + 1800000000
+              |ORDER BY click_id, next_id""".stripMargin))
   )
 }

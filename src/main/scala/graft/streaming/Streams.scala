@@ -104,12 +104,44 @@ object Streams {
     *
     * Late rows (below the operative late-filter watermark, the
     * two-batches-back one) are dropped from the join INPUT like any
-    * stateful op — pick `maxDelay` beyond the worst expected lateness. */
+    * stateful op — pick `maxDelay` beyond the worst expected lateness.
+    *
+    * `joinType = "left_outer"` additionally emits each unmatched left row
+    * (right columns null) — but only when the GLOBAL watermark (min across
+    * both sides) passes the row's join window, because until then a partner
+    * could still arrive. That is why the optional side filters are applied
+    * AFTER `withWatermark`, not by the caller before: the watermark node
+    * accumulates max-event-time from the rows flowing through IT, so a
+    * caller-side filter (e.g. keep only clicks up to some cutoff) would
+    * freeze that side's watermark at the last kept row and the final rows'
+    * outer results would never emit. Filtering after the watermark keeps
+    * the watermark advancing with the FULL stream while the join state only
+    * holds the filtered rows.
+    *
+    * Syntactic placement is not enough: Catalyst pushes deterministic
+    * predicates THROUGH EventTimeWatermark unless they reference the
+    * watermark column (PushPredicateThroughNonJoin) — and conjuncts are
+    * SPLIT and pushed independently, so `pred AND ts IS NOT NULL` loses
+    * `pred` below the watermark anyway. Each filter is therefore wrapped in
+    * [[graft.expressions.AboveWatermarkPredicate]]: a single unsplittable
+    * predicate referencing the event-time column, pinned above the
+    * watermark node (null predicate result counts as false — a row with a
+    * null event time is meaningless to an event-time join either way). */
   def intervalJoin(left: DataFrame, leftTs: String, leftDelay: String,
       right: DataFrame, rightTs: String, rightDelay: String,
-      joinExpr: org.apache.spark.sql.Column): DataFrame =
-    left.withWatermark(leftTs, leftDelay)
-      .join(right.withWatermark(rightTs, rightDelay), joinExpr)
+      joinExpr: org.apache.spark.sql.Column,
+      joinType: String = "inner",
+      leftFilter: Option[org.apache.spark.sql.Column] = None,
+      rightFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    def side(df: DataFrame, ts: String, delay: String,
+        f: Option[org.apache.spark.sql.Column]) = {
+      val w = df.withWatermark(ts, delay)
+      f.map(c => w.filter(graft.expressions.AboveWatermarkPredicate
+        .pinAboveWatermark(c, col(ts)))).getOrElse(w)
+    }
+    side(left, leftTs, leftDelay, leftFilter)
+      .join(side(right, rightTs, rightDelay, rightFilter), joinExpr, joinType)
+  }
 
   /** Streaming exact dedup on `keys` with watermark-bounded state — the
     * streaming face of Dedup.exactGroups. State holds one entry per

@@ -228,11 +228,69 @@ class StreamsSpec extends SparkTestBase {
 
   test("the staged parity gates really replay three micro-batches") {
     for (gate <- Seq("q_stream_session_parity", "q_stream_late_drop",
-        "q_stream_stream_join")) {
+        "q_stream_stream_join", "q_stream_outer_join")) {
       SparkEntry.queries(gate)(spark, sf0001).collect()
       assert(Streams.lastRunBatches === 3,
         s"$gate drained ${Streams.lastRunBatches} batches, want 3")
     }
+  }
+
+  test("q_stream_outer_join emits both matched pairs and eviction-driven " +
+      "unmatched rows") {
+    val rows = SparkEntry.queries("q_stream_outer_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.exists(_._2 == -1L), "no unmatched click emitted a null row")
+    assert(rows.exists(_._2 != -1L), "no click matched a follow-up")
+  }
+
+  test("left-outer intervalJoin: a filtered-out row still advances the " +
+      "watermark, so the unmatched left row's null emits on eviction") {
+    val left = MemoryStream[Event](spark)
+    val right = MemoryStream[Event](spark)
+    val joined = Streams.intervalJoin(
+      left.toDF().selectExpr("event_id AS c_id", "user_id AS c_uid",
+        "ts AS c_ts", "event_type"),
+      "c_ts", "1 minute",
+      right.toDF().selectExpr("event_id AS n_id", "user_id AS n_uid",
+        "ts AS n_ts"),
+      "n_ts", "1 minute",
+      expr("c_uid = n_uid AND n_ts > c_ts AND " +
+        "n_ts <= c_ts + INTERVAL 10 MINUTES"),
+      joinType = "left_outer",
+      // only clicks enter join state — but the watermark node upstream of
+      // this filter still sees every left-side row
+      leftFilter = Some($"event_type" === "click"))
+      .select($"c_id", $"n_id")
+    val q = joined.writeStream.format("memory").queryName("soj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      left.addData(Event(1, t(0), 1, "click", 1.0))
+      q.processAllAvailable()                   // batch 1: buffered, no match
+      assert(spark.table("soj").count() === 0)
+      // batch 2: NON-click left rows + a far right row advance BOTH
+      // watermarks hours past the click's window; the non-click never
+      // enters join state, yet the left watermark must advance through it
+      val far = Timestamp.valueOf("2024-01-01 06:00:00")
+      left.addData(Event(2, far, 7, "view", 1.0))
+      right.addData(Event(3, far, 8, "view", 1.0))
+      q.processAllAvailable()
+      // eviction runs with the watermark committed after the PREVIOUS
+      // batch (two-watermark lag), and MemoryStream batch boundaries per
+      // addData are not 1:1 with processAllAvailable calls — drive two
+      // more batches so the committed watermark provably reaches eviction
+      left.addData(Event(4, Timestamp.valueOf("2024-01-01 06:00:01"), 7,
+        "view", 1.0))
+      q.processAllAvailable()
+      left.addData(Event(5, Timestamp.valueOf("2024-01-01 06:00:02"), 7,
+        "view", 1.0))
+      right.addData(Event(6, Timestamp.valueOf("2024-01-01 06:00:02"), 8,
+        "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("soj").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.toSet === Set((1L, -1L)),
+        s"want the unmatched click's null row, got ${rows.mkString(",")}")
+    } finally q.stop()
   }
 
   test("enrichStream joins every micro-batch against the static dim via " +
