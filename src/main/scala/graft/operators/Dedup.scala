@@ -114,6 +114,58 @@ object Dedup {
     (out, stats)
   }
 
+  /** MinHash band index of an already-deduplicated corpus: (band, key, id)
+    * — one row per (document, band). This is the PERSISTED artifact of
+    * incremental dedup: build it once per corpus snapshot, write it
+    * partitioned/bucketed by (band, key), and every subsequent ingest
+    * probes it with [[dedupAgainstIndex]] instead of re-running the
+    * corpus×corpus self-join. Rows are (long, string, long) — no text, no
+    * signatures — so a 100 TB corpus's index is a few TB of longs. */
+  def bandIndex(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    minhashSignatures(docs, textCol, idCol, k)
+      .select(col("id"), posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
+
+  /** Incremental dedup: probe a NEW batch of documents against a persisted
+    * [[bandIndex]] of the existing corpus. Output: (new_id, old_id, jacc,
+    * is_dup) — every (new doc, corpus doc) pair that collides in at least
+    * one LSH band, with the exact-Jaccard verdict at `threshold`. Banding
+    * is a pure function of the text, so probing an index equals the full
+    * corpus∪batch self-join restricted to cross pairs (spec-pinned) — at a
+    * fraction of the cost.
+    *
+    * Scale: the daily/weekly ingest is orders of magnitude smaller than
+    * the corpus, so the probe side (new bands) is the small side of the
+    * (band, key) join — AQE broadcasts it and the INDEX NEVER SHUFFLES
+    * (with the index bucketed by (band, key) the join is also
+    * exchange-free by layout). Corpus text is re-read only for candidate
+    * old ids (left-semi prune before shingling), so verify cost scales
+    * with candidates, not corpus size. */
+  def dedupAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double, index: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    // persisted: feeds both the probe branch and the verify join
+    val sigNew = minhashSignatures(newDocs, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = sigNew.select(col("id").as("new_id"),
+      posexplode(bandKeys(col("m"))).as(Seq("band", "key")))
+    val cand = probe.join(
+        index.select(col("band"), col("key"), col("id").as("old_id")),
+        Seq("band", "key"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val oldSub = corpus.join(
+      cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val oldH = minhashSignatures(oldSub, textCol, idCol, k)
+      .select(col("id").as("old_id"), col("h").as("h2"))
+    cand
+      .join(sigNew.select(col("id").as("new_id"), col("h").as("h1")),
+        "new_id")
+      .join(oldH, "old_id")
+      .select(col("new_id"), col("old_id"),
+        jaccard(col("h1"), col("h2")).as("jacc"))
+      .withColumn("is_dup", col("jacc") >= threshold)
+  }
+
   /** 30-bit SimHash fingerprint per document (over distinct token hashes),
     * plus the two 15-bit halves used for banded near-dup lookup. */
   def simhashFingerprints(docs: DataFrame, textCol: String,

@@ -171,6 +171,43 @@ object TextPipeline {
               |FROM grp g JOIN best b USING (grp)
               |ORDER BY g.id""".stripMargin)),
 
+    // INCREMENTAL dedup: the new batch (doc_id % 5 = 0) probes a band
+    // index built from the existing corpus (the rest) — the snapshot-over-
+    // snapshot pattern that avoids re-self-joining 100 TB per ingest. The
+    // oracle restricts the full banded self-join to cross pairs, which the
+    // probe must equal exactly (banding is a pure function of the text).
+    "q_pipe_dedup_incr" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        Dedup.dedupAgainstIndex(
+            d.filter(isNew), "text", "doc_id", k = 3, threshold = 0.8,
+            index = Dedup.bandIndex(d.filter(!isNew), "text", "doc_id", k = 3),
+            corpus = d.filter(!isNew))
+          .orderBy(col("new_id"), col("old_id"))
+      },
+      Some(s"""${shingleCte(3)},
+              |sig AS (
+              |  SELECT doc_id, h, ${DuckFrag.minHashSigSql} AS m
+              |  FROM sh WHERE len(h) > 0),
+              |bands AS (
+              |  SELECT doc_id, b AS band,
+              |         array_to_string(list_slice(m, b*${RowsPerBand}+1,
+              |           b*${RowsPerBand}+${RowsPerBand}), ',') AS key
+              |  FROM sig, (SELECT unnest(range($NumBands)) AS b)),
+              |cand AS (
+              |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              |  FROM bands n JOIN bands o
+              |    ON n.band = o.band AND n.key = o.key
+              |   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+              |SELECT c.new_id, c.old_id,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} AS jacc,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} >= 0.8 AS is_dup
+              |FROM cand c
+              |JOIN sig a ON a.doc_id = c.new_id
+              |JOIN sig b ON b.doc_id = c.old_id
+              |ORDER BY c.new_id, c.old_id""".stripMargin)),
+
     // 30-bit SimHash fingerprint + 15-bit halves for banded lookup.
     "q_pipe_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashFingerprints(docs(s, dir), "text", "doc_id")

@@ -96,7 +96,20 @@ object DumpPlans {
         "coverage window all shuffle (long, int) tuples only; interval-" +
         "merge window means one row per flagged gram, never k exploded " +
         "positions (guard: PlanGuardSpec 'dup-span coverage shuffles " +
-        "fixed-width tuples only')"))
+        "fixed-width tuples only')"),
+      "q_pipe_dedup_incr" -> ("incremental dedup: new-batch bands probe the " +
+        "corpus band index on (band, key) — at production scale the probe " +
+        "side is the daily ingest (AQE broadcasts it; bucketing the " +
+        "persisted index by (band, key) removes the exchange entirely) — " +
+        "and corpus text is re-shingled only behind the left-semi " +
+        "candidate prune, so verify cost follows candidates, not corpus"),
+      "q_pipe_token_budget" -> ("per-source token budget: ONE hash-" +
+        "partitioned window per source carrying a running-sum frame; the " +
+        "hash order key is computed narrowly before the shuffle; scan " +
+        "prunes to (doc_id, source, text)"),
+      "q_pipe_dedup_keep_best" -> ("quality-preferring keeper: component-" +
+        "keyed row_number window + group join — (id, keeper, score) " +
+        "tuples shuffle, text never does"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

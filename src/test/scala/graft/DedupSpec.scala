@@ -30,6 +30,29 @@ class DedupSpec extends SparkTestBase {
       dup.get.getAs[Boolean]("is_dup"))
   }
 
+  test("probing a band index equals the full self-join restricted to " +
+      "cross pairs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val isNew = col("doc_id") % 5 === 0
+    val incr = Dedup.dedupAgainstIndex(
+        d.filter(isNew), "text", "doc_id", k = 3, threshold = 0.8,
+        index = Dedup.bandIndex(d.filter(!isNew), "text", "doc_id", k = 3),
+        corpus = d.filter(!isNew))
+      .select($"new_id", $"old_id", $"jacc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full corpus∪batch self-join, reoriented to (new, old) cross pairs
+    val full = Dedup.minhashDupPairs(d, "text", "doc_id", 3, 0.8)
+      .filter((col("id1") % 5 === 0) =!= (col("id2") % 5 === 0))
+      .select(
+        when(col("id1") % 5 === 0, col("id1")).otherwise(col("id2"))
+          .as("new_id"),
+        when(col("id1") % 5 === 0, col("id2")).otherwise(col("id1"))
+          .as("old_id"),
+        col("jacc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr.nonEmpty && incr === full)
+  }
+
   test("maxBucket skew guard drops template buckets; exactGroups covers them") {
     // 20 identical template docs (one massive band bucket — the LSH skew
     // case) plus one genuine near-dup pair with unique text
