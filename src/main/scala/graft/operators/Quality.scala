@@ -53,6 +53,134 @@ object Quality {
     }.reduce(_.join(_, Seq("doc_id")))
   }
 
+  /** Gopher-style STRUCTURAL quality signals (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 document filters) — the rules
+    * that look at document SHAPE rather than token statistics:
+    *
+    *   - `mean_word_len` with bounds [3, 10];
+    *   - `symbol_word_ratio` — '#', '…' and '...' occurrences per word
+    *     (cap 0.1);
+    *   - `bullet_line_frac` — lines starting with a bullet (cap 0.9);
+    *   - `ellipsis_line_frac` — lines ending in an ellipsis (cap 0.3);
+    *   - `alpha_word_frac` — words containing at least one alphabetic
+    *     character (floor 0.8);
+    *   - `dup_line_frac` / `dup_line_char_frac` — fraction of line
+    *     occurrences (resp. their characters) whose line appears more than
+    *     once in the document (caps 0.3 / 0.2; same more-than-once
+    *     convention as [[repetitionSignals]]'s dup-gram fractions);
+    *   - `keep` — the conjunction of all seven bounds.
+    *
+    * Lines are `lineSep`-separated; words are the non-empty
+    * space-separated tokens of the lines. Empty documents (no words or no
+    * lines) yield null fractions and `keep = false`.
+    *
+    * Scale: every per-word/per-line metric is a narrow codegen'd
+    * higher-order-function projection — no shuffle, no UDF. The duplicate-
+    * line metrics are the one aggregation, and they shuffle (doc_id,
+    * line-HASH, line-len) longs only — the line TEXT never leaves the
+    * map side (same design as [[repetitionSignals]]). All fractions are
+    * single divisions of exact integer counts, so cross-engine results
+    * are bit-identical. */
+  def structuralSignals(docs: DataFrame, textCol: String, idCol: String,
+      lineSep: String = "\n",
+      meanWordLenMin: Double = 3.0, meanWordLenMax: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2)
+      : DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(lineSep)
+    val lines = split(col(textCol), sepLit)
+    val words = filter(flatten(transform(lines, l => split(l, " "))),
+      w => length(w) > 0)
+    def dbl(c: Column): Column = c.cast("double")
+    def occurrences(pat: String, width: Int): Column =
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), pat, ""))) / lit(width))
+        .cast("long")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val narrow = docs.select(col(idCol).as("doc_id"),
+        nLines.as("n_lines"), nWords.as("n_words"),
+        when(nWords > 0, dbl(aggregate(words, lit(0L),
+            (acc, w) => acc + length(w).cast("long"))) / dbl(nWords))
+          .as("mean_word_len"),
+        when(nWords > 0, dbl(occurrences("#", 1) + occurrences("…", 1) +
+            occurrences("\\.\\.\\.", 3)) / dbl(nWords))
+          .as("symbol_word_ratio"),
+        when(nLines > 0,
+            dbl(size(filter(lines, l => l.rlike("^[-*•]")))) / dbl(nLines))
+          .as("bullet_line_frac"),
+        when(nLines > 0,
+            dbl(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))) /
+              dbl(nLines))
+          .as("ellipsis_line_frac"),
+        when(nWords > 0,
+            dbl(size(filter(words, w => w.rlike("[A-Za-z]")))) / dbl(nWords))
+          .as("alpha_word_frac"))
+    // duplicate-line metrics: only (doc_id, line-hash, line-len) longs
+    // shuffle; the text dies in the map-side projection
+    val lineRows = docs.select(col(idCol).as("doc_id"),
+        explode(transform(lines, l => struct(
+          graft.expressions.TextExpressions.polyHash(l).as("lh"),
+          length(l).cast("long").as("lc")))).as("x"))
+      .select(col("doc_id"), col("x.lh").as("lh"), col("x.lc").as("lc"))
+    val dup = lineRows.groupBy(col("doc_id"), col("lh"))
+      .agg(count(lit(1)).as("n"), max(col("lc")).as("lc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("tot"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup"),
+        sum(col("n") * col("lc")).as("totc"),
+        sum(when(col("n") > 1, col("n") * col("lc")).otherwise(0L))
+          .as("dupc"))
+      .select(col("doc_id"),
+        (dbl(col("dup")) / dbl(col("tot"))).as("dup_line_frac"),
+        when(col("totc") > 0, dbl(col("dupc")) / dbl(col("totc")))
+          .as("dup_line_char_frac"))
+    narrow.join(dup, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("mean_word_len") >= meanWordLenMin &&
+          col("mean_word_len") <= meanWordLenMax &&
+          col("symbol_word_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac &&
+          col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac, lit(false)))
+  }
+
+  /** Corpus-adaptive out-of-vocabulary rate: the fraction of each
+    * document's tokens that fall outside the corpus's own top-`vocabSize`
+    * vocabulary (by global count; ties broken by token ASC, so the
+    * boundary is a deterministic total order on every engine). High OOV
+    * against the corpus's own vocabulary flags gibberish, encoding
+    * damage, and wrong-domain text WITHOUT an external wordlist — the
+    * corpus-relative cousin of the stopword-ratio filter.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate) — documents with no
+    * tokens have no rows (nothing to rate).
+    *
+    * Scale: pass 1 is the canonical word count (map-side partial agg, so
+    * the shuffle carries one row per distinct token per partition) +
+    * TakeOrdered(vocabSize); pass 2 probes the BROADCAST vocabulary — the
+    * corpus-sized token stream never shuffles for the membership test,
+    * and the final per-doc aggregate reduces map-side to one row per doc.
+    */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(true).as("__in"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   // ---- PII patterns (shared with the DuckDB oracle via DuckFrag; kept to
   // the RE2-safe common subset of Java and RE2 regex: no backrefs, no
   // lookaround) ----

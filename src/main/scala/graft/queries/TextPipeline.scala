@@ -296,6 +296,103 @@ object TextPipeline {
               |          AND stop_ratio >= 0.01 AS keep
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Gopher STRUCTURAL rules over deterministically re-lined documents
+    // (7 tokens per line, '\n'-joined — the corpus text is flat, so the
+    // line structure the rules inspect is derived identically on both
+    // sides; crafted line/symbol/bullet shapes are QualitySpec's job).
+    // Duplicate-line fractions have real variance here: the synthetic docs
+    // repeat 7-gram spans. Line identity is the polyHash on BOTH sides, so
+    // the engine's hash-grouped aggregation is mirrored exactly.
+    "q_pipe_gopher_struct" -> Q(
+      (s, dir) => {
+        val w = tokens(col("text"))
+        val lined = docs(s, dir).select(col("doc_id"),
+          array_join(transform(
+              sequence(lit(0), ceil(size(w) / lit(7.0)).cast("int") - 1),
+              i => array_join(slice(w, i * lit(7) + lit(1), lit(7)), " ")),
+            "\n").as("text"))
+        graft.operators.Quality.structuralSignals(lined, "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |lined AS (
+              |  SELECT doc_id, w,
+              |         list_transform(range(CAST(ceil(len(w)/7.0) AS BIGINT)),
+              |           i -> array_to_string(
+              |                  list_slice(w, i*7+1, i*7+7), ' ')) AS lines
+              |  FROM toks),
+              |m AS (
+              |  SELECT doc_id, lines,
+              |         array_to_string(lines, chr(10)) AS t2,
+              |         len(lines) AS n_lines,
+              |         list_filter(w, x -> length(x) > 0) AS fw
+              |  FROM lined),
+              |n AS (
+              |  SELECT doc_id, n_lines, len(fw) AS n_words,
+              |         CAST(list_sum(list_transform(fw, x -> length(x)))
+              |           AS DOUBLE) / len(fw) AS mean_word_len,
+              |         CAST(length(t2) - length(replace(t2, '#', ''))
+              |            + length(t2) - length(replace(t2, '…', ''))
+              |            + (length(t2) - length(replace(t2, '...', ''))) // 3
+              |           AS DOUBLE) / len(fw) AS symbol_word_ratio,
+              |         CAST(len(list_filter(lines,
+              |             l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) /
+              |           len(lines) AS bullet_line_frac,
+              |         CAST(len(list_filter(lines,
+              |             l -> regexp_matches(l, '(\\.\\.\\.|…)$$')))
+              |           AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+              |         CAST(len(list_filter(fw,
+              |             l -> regexp_matches(l, '[A-Za-z]'))) AS DOUBLE) /
+              |           len(fw) AS alpha_word_frac
+              |  FROM m),
+              |lm AS (
+              |  SELECT doc_id, ${DuckFrag.polyHashSql("line")} AS lh,
+              |         count(*) AS cnt, max(length(line)) AS lc
+              |  FROM (SELECT doc_id, unnest(lines) AS line FROM lined)
+              |  GROUP BY doc_id, lh),
+              |dl AS (
+              |  SELECT doc_id,
+              |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+              |           AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+              |           AS dup_line_frac,
+              |         CASE WHEN SUM(cnt*lc) > 0 THEN
+              |           CAST(SUM(CASE WHEN cnt > 1 THEN cnt*lc ELSE 0 END)
+              |             AS DOUBLE) / CAST(SUM(cnt*lc) AS DOUBLE)
+              |         END AS dup_line_char_frac
+              |  FROM lm GROUP BY doc_id)
+              |SELECT n.*, dl.dup_line_frac, dl.dup_line_char_frac,
+              |       COALESCE(n.mean_word_len >= 3.0
+              |         AND n.mean_word_len <= 10.0
+              |         AND n.symbol_word_ratio <= 0.1
+              |         AND n.bullet_line_frac <= 0.9
+              |         AND n.ellipsis_line_frac <= 0.3
+              |         AND n.alpha_word_frac >= 0.8
+              |         AND dl.dup_line_frac <= 0.3
+              |         AND dl.dup_line_char_frac <= 0.2, false) AS keep
+              |FROM n JOIN dl USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-adaptive OOV rate at V=16 (the corpus has 31 distinct
+    // tokens, so the top-16 boundary is live and tie-broken by token ASC
+    // on both engines).
+    "q_pipe_oov" -> Q(
+      (s, dir) => graft.operators.Quality.oovRate(
+          docs(s, dir), "text", "doc_id", vocabSize = 16)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+             |vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 16)
+             |SELECT tok.doc_id, count(*) AS n_tokens,
+             |       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_oov,
+             |       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+             |         AS DOUBLE) / count(*) AS oov_rate
+             |FROM tok LEFT JOIN vocab v ON tok.t = v.t
+             |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)),
+
     // TF-IDF top terms per document — the classic corpus-statistics op
     // (keyword extraction / quality signals). Shape at scale: explode →
     // two partial/final count aggregates → a token-keyed join (DF side is

@@ -34,6 +34,70 @@ class QualitySpec extends SparkTestBase {
     assert(r2.getAs[Double]("dup2_frac") === 0.0)
   }
 
+  test("structuralSignals: hand-computed Gopher shape metrics on crafted " +
+      "documents") {
+    val docs = Seq(
+      // 4 lines: 2 bullets, 1 ellipsis-ended; words "x#y" has '#';
+      // "123" has no alpha; duplicate line "- aa bb" appears twice
+      (1L, "- aa bb\n- aa bb\nx#y 123 dd ...\ncc dd"),
+      // pathological: one word of length 20, no alpha issue
+      (2L, "aaaaaaaaaaaaaaaaaaaa"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Quality.structuralSignals(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getAs[Int]("n_lines") === 4)
+    // words: (- aa bb) ×2 = 6, (x#y 123 dd ...) = 4, (cc dd) = 2 → 12
+    assert(d1.getAs[Int]("n_words") === 12)
+    assert(d1.getAs[Double]("bullet_line_frac") === 0.5)
+    assert(d1.getAs[Double]("ellipsis_line_frac") === 0.25)
+    // symbols: one '#', one '...' → 2/12
+    assert(d1.getAs[Double]("symbol_word_ratio") === 2.0 / 12)
+    // non-alpha words: "-", "-", "123", "..." → alpha = 8/12
+    assert(d1.getAs[Double]("alpha_word_frac") === 8.0 / 12)
+    // line "- aa bb" (7 chars) duplicated: 2 of 4 line occurrences,
+    // 14 of 7+7+14+5 = 33 chars
+    assert(d1.getAs[Double]("dup_line_frac") === 0.5)
+    assert(d1.getAs[Double]("dup_line_char_frac") === 14.0 / 33)
+    assert(!d1.getAs[Boolean]("keep")) // dup_line_frac 0.5 > 0.3
+
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("mean_word_len") === 20.0)
+    assert(d2.getAs[Double]("dup_line_frac") === 0.0)
+    assert(!d2.getAs[Boolean]("keep")) // mean word len 20 > 10
+
+    // empty doc: null fractions, keep = false, no crash
+    val d3 = out(3L)
+    assert(d3.isNullAt(d3.fieldIndex("mean_word_len")))
+    assert(!d3.getAs[Boolean]("keep"))
+  }
+
+  test("structuralSignals keeps a normal prose-shaped document") {
+    val docs = Seq((1L,
+      "the quick brown fox jumps over the lazy dog\n" +
+      "pack my box with five dozen liquor jugs\n" +
+      "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    val r = Quality.structuralSignals(docs, "text", "doc_id").head()
+    assert(r.getAs[Boolean]("keep"),
+      s"prose doc should pass all Gopher structural bounds: $r")
+  }
+
+  test("oovRate: vocab boundary is (count desc, token asc) and rates are " +
+      "exact") {
+    // counts: aa=4, bb=3, cc=3, dd=1 — with V=2 the boundary tie (bb vs
+    // cc at count 3) resolves to bb by token ASC... both have count 3, so
+    // vocab = {aa, bb}; cc and dd are OOV
+    val docs = Seq(
+      (1L, "aa bb cc aa"), // 1 OOV of 4
+      (2L, "aa bb cc bb aa cc dd aa")) // 3 OOV of 8
+      .toDF("doc_id", "text")
+    val out = Quality.oovRate(docs, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(1L -> ((4L, 1L, 0.25)), 2L -> ((8L, 3L, 0.375))))
+  }
+
   test("PII redaction replaces all three classes and counts match") {
     val df = Seq(
         (1L, "mail a.b-c_d@ex-ample.org and 10.0.0.1 then 555-0199 end"),
