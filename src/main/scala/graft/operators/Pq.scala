@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split the embedding into `m` subspaces, learn
+  * `k` centroids per subspace, and store each vector as its `m` nearest-
+  * centroid ids — the memory-compression path of similarity search. A
+  * 64-dim double vector (512 B) becomes m=4 small ints; at 100 TB of
+  * embeddings that is the difference between "the candidate set fits in
+  * executor memory" and "it does not".
+  *
+  * Scoring is ADC (asymmetric distance computation): each QUERY precomputes
+  * its m×k table of squared L2 distances to every subspace centroid ONCE
+  * (on the tiny broadcast query side), and a corpus row's approximate
+  * distance is then m table lookups + adds — O(m) per pair instead of
+  * O(dim), over codes instead of vectors. The corpus never shuffles and
+  * the full vectors never travel: only (id, codes) meets the broadcast
+  * queries. `rerank > 0` re-scores the top-`rerank` ADC candidates per
+  * query with exact cosine — the standard recall repair, touching only
+  * rerank·|queries| full vectors by id-join.
+  *
+  * Everything is deterministic (hash-seeded sampling, quantized Lloyd
+  * means, strict-< argmin folds with ascending-id tie-breaks), so results
+  * are reproducible across engines, runs, and partitionings.
+  */
+object Pq {
+
+  /** Sequential-fold squared L2 distance (mirrors DuckFrag.l2sqSql). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Codebooks as one literal: array[m][k][subDim] of double. Guarded by
+    * the same plan-side budget as the IVF centroid literal. */
+  private def cbLit(cbs: Seq[Seq[Array[Double]]]): Column = {
+    val doubles = cbs.iterator.flatMap(_.iterator.map(_.length.toLong)).sum
+    require(doubles <= Similarity.LiteralDoubleLimit,
+      s"PQ codebooks too large for literal inlining ($doubles doubles > " +
+        "2^22) — PQ codebooks are m·k·(dim/m) = k·dim doubles by design; " +
+        "shrink k or train per-partition codebooks")
+    typedLit(cbs.map(_.map(_.toSeq)))
+      .cast("array<array<array<double>>>")
+  }
+
+  /** PQ codes for `v`: for each subspace s, the 0-based id of the nearest
+    * (squared-L2) centroid — strict `<` over ascending cid keeps the
+    * smallest id on ties. One narrow fold, no shuffle, no join. */
+  def codesFor(v: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
+    val m = cbs.size
+    val subDim = cbs.head.head.length
+    val lit3 = cbLit(cbs)
+    val accType = "struct<best:double,cid:int>"
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(v, s * subDim + 1, lit(subDim))
+      aggregate(sequence(lit(0), lit(cbs.head.size - 1)),
+        struct(lit(Double.PositiveInfinity).as("best"), lit(-1).as("cid"))
+          .cast(accType),
+        (acc, ci) => {
+          val d = l2sq(sub, element_at(element_at(lit3, s + 1), ci + 1))
+          when(d < acc.getField("best"),
+            struct(d.as("best"), ci.as("cid")).cast(accType))
+            .otherwise(acc)
+        }).getField("cid")
+    })
+  }
+
+  /** Per-query ADC table: array[m][k] of squared L2 distances from the
+    * query's subvectors to every subspace centroid. Computed once per
+    * query row (the broadcast side). */
+  private def qtabFor(qv: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
+    val subDim = cbs.head.head.length
+    val lit3 = cbLit(cbs)
+    transform(sequence(lit(0), lit(cbs.size - 1)), s =>
+      transform(element_at(lit3, s + 1), c =>
+        l2sq(slice(qv, s * subDim + 1, lit(subDim)), c)))
+  }
+
+  /** Deterministic per-subspace L2 k-means codebooks (same recipe as
+    * [[Similarity.kmeansCentroidsSeq]], L2 edition, one loop per
+    * subspace sharing a single oversample collect):
+    *   1. oversample 2k corpus rows by smallest xxhash64(id);
+    *   2. greedy farthest-point (k-center, L2) per subspace on the driver;
+    *   3. `lloydIters` distributed Lloyd rounds: narrow literal-fold code
+    *      assignment, per-(sub, cell, dim) mean via two posexplodes —
+    *      shuffle rows are (int, int, int, double), never vectors — means
+    *      quantized to a 1e-9 grid to kill partition-order ulp drift;
+    *      cells that lose all members keep their previous centroid.
+    * Returns m codebooks of k subvectors each (cid = list index). */
+  def trainCodebooks(corpus: DataFrame, m: Int, k: Int,
+      lloydIters: Int): Seq[Seq[Array[Double]]] = {
+    val cand = corpus.select(col("id"), col("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(2 * k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // empty corpus → empty codebooks (knnPqFrom short-circuits to an empty
+    // result) — layout/empty-input invariance over throwing, the same
+    // contract as Similarity.kmeansDriver
+    if (cand.isEmpty) return Seq.empty
+    val dim = cand.head.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cbs: Seq[Seq[Array[Double]]] = (0 until m).map { s =>
+      val sub = cand.map(v => java.util.Arrays.copyOfRange(
+        v, s * subDim, (s + 1) * subDim))
+      val picked = scala.collection.mutable.ArrayBuffer(sub.head)
+      while (picked.length < math.min(k, sub.length)) {
+        // farthest-from-picked; maxBy keeps the FIRST max → deterministic
+        picked += sub.maxBy(c => picked.map(p => l2(c, p)).min)
+      }
+      picked.toSeq
+    }
+    for (_ <- 1 to lloydIters) {
+      val means = corpus
+        .select(posexplode(codesFor(col("v"), cbs)).as(Seq("sub", "cell")),
+          col("v"))
+        .select(col("sub"), col("cell"),
+          posexplode(expr(s"slice(v, sub * $subDim + 1, $subDim)"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("x")).as("x"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getInt(2), math.rint(r.getDouble(3) * 1e9) / 1e9)))
+        .groupBy(_._1)
+        .map { case (key, rows) =>
+          key -> rows.map(_._2).sortBy(_._1).map(_._2).toArray
+        }
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, ci) => means.getOrElse((s, ci), old) }
+      }
+    }
+    cbs
+  }
+
+  /** PQ-ADC top-k for the query ids: encode the corpus (narrow), broadcast
+    * the queries with their precomputed ADC tables, score O(m) per pair,
+    * rank by (adc ASC, neighbor_id). With `rerank = R > 0`, the top-R ADC
+    * candidates per query are re-scored with exact cosine (vectors fetched
+    * by id-join — R·|queries| rows) and the output is top-k by (cosine
+    * DESC, neighbor_id) with a `cosine` column instead of `adc_dist`. */
+  def knnPqAdc(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, m: Int, numCents: Int,
+      lloydIters: Int = 2, rerank: Int = 0): DataFrame = {
+    val corpus = Similarity.prepared(emb, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = try trainCodebooks(corpus, m, numCents, lloydIters)
+              finally corpus.unpersist()
+    knnPqFrom(corpus, cbs, queryIds, k, rerank)
+  }
+
+  /** [[knnPqAdc]] with caller-supplied codebooks (the hook that lets the
+    * oracle gate dump the exact codebooks its plan scores with). */
+  def knnPqFrom(corpus: DataFrame, cbs: Seq[Seq[Array[Double]]],
+      queryIds: Seq[Long], k: Int, rerank: Int = 0): DataFrame = {
+    require(rerank == 0 || rerank >= k, "rerank must be 0 or >= k")
+    if (cbs.isEmpty)
+      return corpus.filter(lit(false)).select(col("id").as("query_id"),
+        col("id").as("neighbor_id"),
+        lit(0.0).as(if (rerank == 0) "adc_dist" else "cosine"))
+    val coded = corpus.select(col("id"),
+      codesFor(col("v"), cbs).as("codes"))
+    val queries = corpus.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), qtabFor(col("v"), cbs).as("qtab"))
+    val scored = coded.join(broadcast(queries),
+        col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), col("qtab"),
+            (c, tab) => element_at(tab, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val topAdc = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= (if (rerank > 0) rerank else k))
+      .drop("rn")
+    if (rerank == 0) topAdc
+    else {
+      val nb = corpus.select(col("id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val qv = corpus.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val exact = topAdc.join(nb, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qv"), col("qn"), col("nv"), col("nn"))
+            .as("cosine"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+        .drop("rn")
+    }
+  }
+}

@@ -411,4 +411,39 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means and connecting
+    * within-cluster pairs whose cosine clears `threshold`; each connected
+    * component keeps its min-id row. Emits one decision record per input
+    * row: (id, cell, keeper, keep) — rows with no near-duplicate are their
+    * own keeper.
+    *
+    * Scale shape: clustering bounds the pairwise kernel to |cell|² per
+    * cell instead of n² — at corpus scale k grows ∝ n so cells stay
+    * constant-size, and the only vector-carrying shuffle is the ONE
+    * hash-partition by cell feeding the self-join (cell assignment itself
+    * is a narrow literal fold, [[assignCells]]). Everything after the
+    * cosine filter moves (id, id) longs only. Cells come from the caller
+    * ([[kmeansCentroidsSeq]] for learned, or any Cent seq) so a gate can
+    * hand the exact centroid table to a cross-engine oracle. */
+  def semDedupDecisions(corpus: DataFrame, cents: Seq[Cent],
+      threshold: Double): DataFrame = {
+    val assigned = assignCells(corpus, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm"))
+        >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val groups = Dedup.dupGroups(pairs)
+      .withColumnRenamed("keeper", "grp_keeper")
+    val out = assigned.select(col("id"), col("cell"))
+      .join(groups, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("grp_keeper"), col("id")).as("keeper"),
+        (coalesce(col("grp_keeper"), col("id")) === col("id")).as("keep"))
+    assigned.unpersist()
+    out
+  }
 }

@@ -67,4 +67,10 @@ object DuckFrag {
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
       s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** Sequential left-fold squared L2 distance of DOUBLE[] columns (matches
+    * graft.operators.Pq.l2sq's fold order exactly). */
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 }

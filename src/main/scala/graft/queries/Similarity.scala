@@ -36,6 +36,80 @@ object Similarity {
   private def centroidDump(dir: String): String =
     CentroidDumpBase + new java.io.File(dir).getName
 
+  /** Side-table handing the PQ codebooks to the oracle (same contract and
+    * same-scale-concurrency story as [[CentroidDumpBase]]): (sub, cid, cv)
+    * rows, cid 0-based within each subspace. */
+  private val PqDumpBase = "/root/repo/target/oracle_aux/pq_codebooks_"
+  private def pqDump(dir: String): String =
+    PqDumpBase + new java.io.File(dir).getName
+
+  private val PqM = 4
+  private val PqK = 8
+  private val PqSubDim = Dim / PqM
+  private val PqRerank = 15
+
+  /** Side-table handing the SemDeDup centroids to the oracle (same
+    * contract as [[CentroidDumpBase]]; separate path because the learned-
+    * IVF gate overwrites that one with its own training params). */
+  private val SemDumpBase = "/root/repo/target/oracle_aux/semdedup_centroids_"
+  private def semDump(dir: String): String =
+    SemDumpBase + new java.io.File(dir).getName
+  private val SemThreshold = 0.3
+
+  /** Shared by the two PQ gates: train (deterministic, so both gates get
+    * the identical codebooks), dump the side-table, return (corpus, cbs). */
+  private def pqTrained(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]]) = {
+    val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
+        "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = try graft.operators.Pq.trainCodebooks(corpus, PqM, PqK,
+        lloydIters = 2)
+      finally corpus.unpersist()
+    import s.implicits._
+    writeTableAtomically(
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (cv, cid) => (sub, cid, cv.toSeq) }
+      }.toDF("sub", "cid", "cv"),
+      pqDump(dir))
+    (corpus, cbs)
+  }
+
+  /** Oracle prelude shared by the PQ gates: per-(row, sub, cid) squared L2
+    * distances, 0-based codes per row, and per-query ADC tables — all from
+    * the dumped codebooks, mirroring Pq.codesFor/qtabFor fold-for-fold. */
+  private def pqCtes: String = {
+    val sub = s"list_slice(n.v, cb.sub*$PqSubDim + 1, cb.sub*$PqSubDim + $PqSubDim)"
+    s"""cb AS (
+       |  SELECT sub, cid, CAST(cv AS DOUBLE[]) AS cv
+       |  FROM read_parquet('${PqDumpBase}sf0.01/*.parquet')),
+       |dist AS (
+       |  SELECT n.id, cb.sub, cb.cid,
+       |         ${DuckFrag.l2sqSql(sub, "cb.cv")} AS d
+       |  FROM n, cb),
+       |codes AS (
+       |  SELECT id, list(cid ORDER BY sub) AS codes FROM (
+       |    SELECT id, sub, cid, row_number() OVER (
+       |      PARTITION BY id, sub ORDER BY d, cid) AS rk FROM dist)
+       |  WHERE rk = 1 GROUP BY id),
+       |qt AS (
+       |  SELECT id AS query_id, sub, list(d ORDER BY cid) AS tab
+       |  FROM dist WHERE id IN $queryIdList GROUP BY id, sub),
+       |qtab AS (
+       |  SELECT query_id, list(tab ORDER BY sub) AS qtab
+       |  FROM qt GROUP BY query_id),
+       |adc AS (
+       |  SELECT q.query_id, c.id AS neighbor_id,
+       |         list_reduce(list_prepend(0.0, list_transform(
+       |           range(1, $PqM + 1), s -> q.qtab[s][c.codes[s] + 1])),
+       |           (acc, x) -> acc + x) AS adc_dist
+       |  FROM codes c, qtab q WHERE c.id <> q.query_id),
+       |radc AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) rn
+       |  FROM adc)""".stripMargin
+  }
+
   /** Replace the parquet table at `path` via temp-dir + rename swap. Every
     * invocation of the query (verify, bench samples, DumpPlans) rewrites
     * the dump; a plain mode-overwrite deletes the directory before writing,
@@ -93,7 +167,8 @@ object Similarity {
     * per-dataset constants, not statistics. */
   def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
       annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned")): Map[String, Double] = {
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_pq",
+        "q_sim_knn_pq_rerank")): Map[String, Double] = {
     def sets(name: String): Map[Long, Set[Long]] =
       defs(name).fn(s, dir).select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
@@ -256,6 +331,54 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    // Product-quantization ANN, pure ADC: the corpus is stored as m=4
+    // one-byte codes per vector and queries score candidates with m table
+    // lookups instead of a dim-wide dot product — the memory-compression
+    // scale path (100 TB of vectors → a few hundred GB of codes). The
+    // trained codebooks are dumped to a parquet side-table; the oracle
+    // recomputes encoding, per-query distance tables, and the ADC ranking
+    // from it fold-for-fold.
+    "q_sim_knn_pq" -> Q(
+      (s, dir) => {
+        val (corpus, cbs) = pqTrained(s, dir)
+        graft.operators.Pq.knnPqFrom(corpus, cbs, QueryIds, K)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$preparedCte,
+              |$pqCtes
+              |SELECT query_id, neighbor_id, adc_dist FROM radc
+              |WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // PQ-ADC with exact re-rank: the top-15 ADC candidates per query are
+    // re-scored with exact cosine (only 15·|queries| full vectors move,
+    // by id-join) — the standard recall repair over pure ADC. Output is
+    // exact cosine, so recall failures surface as ranking differences.
+    "q_sim_knn_pq_rerank" -> Q(
+      (s, dir) => {
+        val (corpus, cbs) = pqTrained(s, dir)
+        graft.operators.Pq.knnPqFrom(corpus, cbs, QueryIds, K,
+            rerank = PqRerank)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$preparedCte,
+              |$pqCtes,
+              |cand AS (
+              |  SELECT query_id, neighbor_id FROM radc WHERE rn <= $PqRerank),
+              |ex AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |         ${DuckFrag.dotSql("q.v", "b.v")} / (q.nrm * b.nrm)
+              |           AS cosine
+              |  FROM cand c
+              |  JOIN n b ON b.id = c.neighbor_id
+              |  JOIN n q ON q.id = c.query_id),
+              |rex AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM ex)
+              |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // Embedding near-dup DECISIONS: the LSH-bucketed pair set resolved to
     // connected components (min-id keeper per component) — the embedding
     // analog of q_pipe_dup_groups, composing Similarity's candidate
@@ -293,6 +416,63 @@ object Similarity {
               |  JOIN reach ON e.a = reach.id)
               |SELECT id, min(r) AS keeper FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+    // cosine kernel to |cell|² per cell; within-cell components keep their
+    // min-id row. One decision record per embedding — the semantic
+    // complement of the text-side q_pipe_dedup_* family. The learned
+    // centroids go to a parquet side-table so DuckDB replays assignment,
+    // pair generation, and the component fold from the same cluster set.
+    "q_sim_semdedup" -> Q(
+      (s, dir) => {
+        val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
+            "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents =
+          try Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 2)
+          finally corpus.unpersist()
+        import s.implicits._
+        writeTableAtomically(
+          cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+          semDump(dir))
+        Sim.semDedupDecisions(corpus, cents, SemThreshold)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE p AS (
+              |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
+              |cent AS (
+              |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
+              |  FROM read_parquet('${SemDumpBase}sf0.01/*.parquet')),
+              |ranked AS (
+              |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+              |         row_number() OVER (PARTITION BY n.id ORDER BY
+              |           ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
+              |             DESC, cent.cid) AS rk
+              |  FROM n, cent),
+              |assign AS (
+              |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
+              |pairs AS (
+              |  SELECT x.id AS id1, y.id AS id2
+              |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+              |  WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+              |    >= $SemThreshold),
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id),
+              |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+              |SELECT a.id, a.cell,
+              |       coalesce(g.keeper, a.id) AS keeper,
+              |       coalesce(g.keeper, a.id) = a.id AS keep
+              |FROM assign a LEFT JOIN grp g ON g.id = a.id
+              |ORDER BY a.id""".stripMargin)),
 
     // Embedding near-dup pairs, LSH-bucketed: pairs sharing a bucket with
     // cosine ≥ τ. The bucket equi-join keeps the pair space ~n²/2^planes —

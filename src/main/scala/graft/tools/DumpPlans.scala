@@ -109,7 +109,14 @@ object DumpPlans {
         "prunes to (doc_id, source, text)"),
       "q_pipe_dedup_keep_best" -> ("quality-preferring keeper: component-" +
         "keyed row_number window + group join — (id, keeper, score) " +
-        "tuples shuffle, text never does"))
+        "tuples shuffle, text never does"),
+      "q_sim_knn_pq" -> ("PQ-ADC: corpus encoded by a narrow fold over the " +
+        "codebook literal (no join/shuffle to encode); per-query distance " +
+        "tables computed on the tiny broadcast side; scoring is m table " +
+        "lookups per pair — full vectors never meet the join"),
+      "q_sim_knn_pq_rerank" -> ("ADC candidates re-scored exact: the " +
+        "id-join fetches only rerank·|queries| full vectors; queries stay " +
+        "broadcast in both the ADC and the re-rank joins"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

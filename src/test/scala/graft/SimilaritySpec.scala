@@ -150,6 +150,34 @@ class SimilaritySpec extends SparkTestBase {
     } finally corpus.unpersist()
   }
 
+  test("semDedupDecisions: one decision per row; threshold edges collapse " +
+      "to per-cell components / identity") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val cents = Similarity.kmeansCentroidsSeq(corpus, k = 4, lloydIters = 1)
+      val n = corpus.count()
+      // threshold above any cosine → no pairs → every row keeps itself
+      val all = Similarity.semDedupDecisions(corpus, cents, 1.1).collect()
+      assert(all.length === n)
+      assert(all.forall(r => r.getLong(2) === r.getLong(0) && r.getBoolean(3)))
+      // threshold below any cosine → each cell is ONE component → exactly
+      // one keeper per non-empty cell, and the keeper is the cell's min id
+      val one = Similarity.semDedupDecisions(corpus, cents, -1.1).collect()
+      assert(one.length === n)
+      val byCell = one.groupBy(_.getLong(1))
+      for ((cell, rows) <- byCell) {
+        val minId = rows.map(_.getLong(0)).min
+        assert(rows.forall(_.getLong(2) === minId), s"cell $cell keeper")
+        assert(rows.count(_.getBoolean(3)) === 1, s"cell $cell keep count")
+      }
+      // mid threshold: keep ⇔ keeper == id, keepers are real row ids
+      val mid = Similarity.semDedupDecisions(corpus, cents, 0.3).collect()
+      val ids = mid.map(_.getLong(0)).toSet
+      assert(mid.forall(r => r.getBoolean(3) === (r.getLong(2) === r.getLong(0))))
+      assert(mid.forall(r => ids.contains(r.getLong(2))))
+    } finally corpus.unpersist()
+  }
+
   test("recallVsBrute (the bench queries_recall source) is sane at the " +
       "oracle gate scale") {
     // Every input is deterministic (hash planes, seed/k-means centroids,

@@ -24,7 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # them at any other scale would compare fresh Spark output against the
 # other scale's stale side-table — a guaranteed spurious diff — so they are
 # reported as SKIP outside their pinned scale.
-PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01"}
+PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01",
+                "q_sim_knn_pq": "sf0.01",
+                "q_sim_knn_pq_rerank": "sf0.01",
+                "q_sim_semdedup": "sf0.01"}
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
