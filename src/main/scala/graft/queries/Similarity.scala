@@ -168,7 +168,7 @@ object Similarity {
   def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
       annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_pq",
-        "q_sim_knn_pq_rerank")): Map[String, Double] = {
+        "q_sim_knn_pq_rerank", "q_sim_knn_sq8")): Map[String, Double] = {
     def sets(name: String): Map[Long, Set[Long]] =
       defs(name).fn(s, dir).select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
@@ -377,6 +377,46 @@ object Similarity {
               |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
               |  FROM ex)
               |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // Int8 scalar-quantization ANN: per-dim [min,max] ranges over the
+    // NORMALIZED corpus, 0..255 codes, integer squared-L2 ranking — the
+    // first rung of the memory ladder (64 B/vector, no codebook training).
+    // Everything is exact (min/max ranges, single-rounded IEEE code
+    // arithmetic, BIGINT distances), so the oracle re-derives ranges,
+    // codes, and ranking from the data alone — no side-table, no pinned
+    // scale, unlike the k-means-trained IVF/PQ gates.
+    "q_sim_knn_sq8" -> Q(
+      (s, dir) => graft.operators.Sq.knnSq8(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", QueryIds, K)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |mm AS (
+              |  SELECT i, min(v[i] / nrm) AS mn, max(v[i] / nrm) AS mx
+              |  FROM n, range(1, $Dim + 1) t(i) GROUP BY i),
+              |rg AS (
+              |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+              |  FROM mm),
+              |codes AS (
+              |  SELECT id, list_transform(range(1, $Dim + 1), i ->
+              |    CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+              |         ELSE least(greatest(CAST(floor((v[i] / nrm - mns[i])
+              |           * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 0), 255)
+              |    END) AS c
+              |  FROM n, rg),
+              |sqd AS (
+              |  SELECT q.id AS query_id, c.id AS neighbor_id,
+              |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |           list_transform(range(1, $Dim + 1),
+              |             i -> (q.c[i] - c.c[i]) * (q.c[i] - c.c[i]))),
+              |           (acc, x) -> acc + x) AS sq_dist
+              |  FROM codes c, codes q
+              |  WHERE q.id IN $queryIdList AND c.id <> q.id),
+              |rs AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY sq_dist, neighbor_id) rn
+              |  FROM sqd)
+              |SELECT query_id, neighbor_id, sq_dist FROM rs WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
     // Embedding near-dup DECISIONS: the LSH-bucketed pair set resolved to
