@@ -257,4 +257,39 @@ object Quality {
           col("lang_pred") === lit(keepLang) &&
           col("n_overlap") <= lit(maxOverlap))
   }
+
+  /** Unigram-LM perplexity PROXY with integer-exact arithmetic: rank every
+    * vocabulary token by corpus frequency (1 = most frequent; ties broken
+    * by token text so the ranking is total and engine-free), then score
+    * each document by the SUM of its tokens' ranks (with multiplicity) —
+    * rank_sum/n_tokens is the mean rank, high = rare-word-heavy. This is
+    * the CCNet perplexity-filter idea with ranks standing in for −log p:
+    * both orderings agree on "unusually rare vocabulary", but a rank sum
+    * is a BIGINT — bitwise-reproducible in any engine — where a log-prob
+    * sum would hash-differently per ulp. Complements [[TextOps]]' OOV rate
+    * (binary in/out of vocab) with a graded signal.
+    *
+    * Output: (doc_id, n_tokens, rank_sum). Callers threshold the mean
+    * rank_sum/n_tokens; it is left unreduced so the decision stays exact.
+    *
+    * Scale: the vocabulary aggregate collapses map-side to one row per
+    * distinct token; the rank window is a single global sort of the VOCAB
+    * (zipf-bounded — millions of rows, not corpus-scale; same shape as
+    * [[graft.queries.TextPipeline]]'s TF-IDF ranking); the score join
+    * shuffles (token-hash, rank) longs, never text, and the final per-doc
+    * sum aggregates map-side. */
+  def corpusRankScore(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("__t"))
+    val vocabRank = toks.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__cnt").desc, col("__t"))).cast("long"))
+      .select(col("__t"), col("__rank"))
+    toks.join(vocabRank, "__t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__rank")).as("rank_sum"))
+  }
 }

@@ -116,7 +116,31 @@ object DumpPlans {
         "lookups per pair — full vectors never meet the join"),
       "q_sim_knn_pq_rerank" -> ("ADC candidates re-scored exact: the " +
         "id-join fetches only rerank·|queries| full vectors; queries stay " +
-        "broadcast in both the ADC and the re-rank joins"))
+        "broadcast in both the ADC and the re-rank joins"),
+      "q_sim_knn_sq8" -> ("int8 scalar-quantization ANN: range learning " +
+        "shuffles dim-rows only (partial min/max below the exchange); " +
+        "encoding is a narrow fold over the 2·dim range literal; query " +
+        "codes broadcast — the corpus never shuffles"),
+      "q_pipe_shard" -> ("deterministic training shuffle: ONE hash-" +
+        "partition exchange on the shard key, per-shard row_number " +
+        "window (counter state only) — no global sort; scan prunes to " +
+        "doc_id"),
+      "q_pipe_pack" -> ("concat-and-split packing: shares q_pipe_shard's " +
+        "single exchange; cumsum + pack explode are narrow on top of the " +
+        "shard window — token counts shuffle, text never reads at all"),
+      "q_pipe_seg_dedup" -> ("segment dedup: first-occurrence election " +
+        "shuffles (segment-hash, packed-position) longs only; the one " +
+        "text-bearing exchange is the per-doc reassembly, bounded by " +
+        "OUTPUT size; both aggregates partial below their exchange"),
+      "q_pipe_word_rank" -> ("rank-based quality proxy: vocabulary agg " +
+        "collapses map-side to one row per distinct token; the rank " +
+        "window sorts the zipf-bounded VOCAB, not the corpus; per-doc " +
+        "rank sum aggregates partial — (token, rank) longs shuffle, " +
+        "text does not"),
+      "q_jsonl_roundtrip" -> ("jsonl boundary: distributed write (one " +
+        "file per partition) + schema-pinned distributed read — no " +
+        "driver materialization, no inference scan; the only exchange " +
+        "is the gate's deterministic ORDER BY"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
