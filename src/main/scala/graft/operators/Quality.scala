@@ -273,21 +273,23 @@ object Quality {
     * rank_sum/n_tokens; it is left unreduced so the decision stays exact.
     *
     * Scale: the vocabulary aggregate collapses map-side to one row per
-    * distinct token; the rank window is a single global sort of the VOCAB
-    * (zipf-bounded — millions of rows, not corpus-scale; same shape as
-    * [[graft.queries.TextPipeline]]'s TF-IDF ranking); the score join
-    * shuffles (token-hash, rank) longs, never text, and the final per-doc
-    * sum aggregates map-side. */
+    * distinct token; ranking uses [[Positional.withGlobalPos]]'s
+    * sampled-split bucket machinery — exact global positions with NO
+    * global-sort window, so even a 100M-token web vocabulary ranks in
+    * parallel (ties of a hot count value share a bucket; the per-bucket
+    * window is the only serialization). The score join shuffles (token,
+    * rank) rows, and the final per-doc sum aggregates map-side. */
   def corpusRankScore(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))
-    val vocabRank = toks.groupBy(col("__t"))
+    val vocab = toks.groupBy(col("__t"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__cnt").desc, col("__t"))).cast("long"))
-      .select(col("__t"), col("__rank"))
+      // negate so ascending global positions give (count DESC, token ASC)
+      .withColumn("__neg", -col("__cnt"))
+    val vocabRank = Positional
+      .withGlobalPos(vocab, Seq(col("__neg"), col("__t")), "__pos")
+      .select(col("__t"), (col("__pos") + 1L).as("__rank"))
     toks.join(vocabRank, "__t")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__rank")).as("rank_sum"))

@@ -133,10 +133,11 @@ object DumpPlans {
         "text-bearing exchange is the per-doc reassembly, bounded by " +
         "OUTPUT size; both aggregates partial below their exchange"),
       "q_pipe_word_rank" -> ("rank-based quality proxy: vocabulary agg " +
-        "collapses map-side to one row per distinct token; the rank " +
-        "window sorts the zipf-bounded VOCAB, not the corpus; per-doc " +
-        "rank sum aggregates partial — (token, rank) longs shuffle, " +
-        "text does not"),
+        "collapses map-side to one row per distinct token; exact global " +
+        "ranks come from the sampled-split bucket machinery (Positional." +
+        "withGlobalPos) — no global-sort window even over the vocab; " +
+        "per-doc rank sum aggregates partial — text dies at the token " +
+        "explode, only (token, rank) rows shuffle"),
       "q_jsonl_roundtrip" -> ("jsonl boundary: distributed write (one " +
         "file per partition) + schema-pinned distributed read — no " +
         "driver materialization, no inference scan; the only exchange " +

@@ -183,6 +183,57 @@ class PlanGuardSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("shard/pack shuffle ids and counts only — one hash exchange, no text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- Seq("q_pipe_shard", "q_pipe_pack")) {
+      val exec = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      // exactly: the shard-key hash exchange + the gate's final ORDER BY
+      assert(shuffles.size <= 2, s"$q: extra exchanges:\n$exec")
+      for (e <- shuffles; attr <- e.child.output)
+        assert(!attr.dataType.typeName.contains("string"),
+          s"$q: text-typed column ${attr.name} travels through a shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("segment-dedup election shuffles longs; text moves only keyed by " +
+      "doc for reassembly") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_pipe_seg_dedup")(spark, sf0001)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      for (e <- shuffles
+           if e.child.output.exists(_.dataType.typeName.contains("string"))) {
+        // any text-bearing exchange must be the per-doc reassembly
+        // (hash on doc_id — bounded by OUTPUT size) or the final ORDER BY;
+        // the first-occurrence ELECTION (keyed by segment hash) must stay
+        // fixed-width
+        val part = e.outputPartitioning.toString
+        assert(part.contains("doc_id"),
+          s"text crosses a non-doc-keyed exchange ($part):\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("word-rank: exact vocab ranking without a global-sort window, " +
+      "per-doc sums partial below their exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_pipe_word_rank")(spark, sf0001)
+      // the unpartitioned-window guard above already rejects a global rank
+      // window; additionally pin that the rank join's per-doc sum is
+      // partial-final (map-side collapse before the doc shuffle)
+      val aggs = df.queryExecution.executedPlan.collect {
+        case a: BaseAggregateExec => a.aggregateExpressions.map(_.mode)
+      }.flatten
+      assert(aggs.exists(_.toString.contains("Partial")),
+        "per-doc rank sum lost its partial aggregation")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no BroadcastNestedLoopJoin outside the documented allowlist") {
     for ((name, df) <- plans if !bnljAllowed(name)) {
       val bad = df.queryExecution.executedPlan.collect {
