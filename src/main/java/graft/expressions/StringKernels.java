@@ -423,4 +423,38 @@ public final class StringKernels {
         }
         return h;
     }
+
+    /**
+     * DEFLATE-compressed byte length of the string's UTF-8 bytes at the
+     * given level — the incompressibility quality signal (natural text
+     * compresses ~3-4x; boilerplate/repetition far more; gibberish/random
+     * hardly at all). The Deflater is thread-local-reused: codegen calls
+     * this once per row and per-row allocation of the native zlib stream
+     * would dominate the kernel.
+     *
+     * Determinism: fixed level + default strategy on the JDK's bundled
+     * zlib — stable within a JVM/cluster (every executor ships the same
+     * JDK), which is what the partitioning-invariance contract needs; NOT
+     * pinned across zlib versions, which is why this signal is spec-pinned
+     * rather than DuckDB-oracled.
+     */
+    public static int deflateLen(UTF8String str, int level) {
+        java.util.zip.Deflater d = DEFLATERS.get();
+        d.reset();
+        d.setLevel(level);
+        byte[] in = str.getBytes();
+        d.setInput(in);
+        d.finish();
+        byte[] buf = new byte[Math.max(64, in.length + (in.length >> 1) + 32)];
+        int total = 0;
+        // NB: the first deflate() after setLevel() returns 0 (it flushes the
+        // level change) — loop on finished(), never on "returned 0".
+        while (!d.finished()) {
+            total += d.deflate(buf);
+        }
+        return total;
+    }
+
+    private static final ThreadLocal<java.util.zip.Deflater> DEFLATERS =
+        ThreadLocal.withInitial(() -> new java.util.zip.Deflater());
 }

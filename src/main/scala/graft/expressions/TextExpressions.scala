@@ -124,6 +124,19 @@ case class Zfill(child: Expression, width: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** DEFLATE-compressed size of the UTF-8 bytes (incompressibility quality
+  * signal — see StringKernels.deflateLen for the determinism contract). */
+case class DeflateLen(child: Expression, level: Int) extends UnaryExpression {
+  require(level >= 0 && level <= 9, s"deflate level must be 0..9: $level")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(str: Any): Any =
+    StringKernels.deflateLen(str.asInstanceOf[UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expressions.StringKernels.deflateLen($s, $level)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Greedy word-wrap at width, newline-joined (reference tests/test_text.py:804). */
 case class WrapText(child: Expression, width: Int) extends UnaryExpression {
   require(width > 0, "wrap width must be positive")
@@ -249,4 +262,6 @@ object TextExpressions {
       Literal(UTF8String.fromString(repl), StringType), start, end))
   def swapCase(c: Column): Column = toCol(SwapCase(toExpr(c)))
   def polyHash(c: Column): Column = toCol(PolyHash(toExpr(c)))
+  def deflateLen(c: Column, level: Int = 6): Column =
+    toCol(DeflateLen(toExpr(c), level))
 }

@@ -279,6 +279,29 @@ object Quality {
     * parallel (ties of a hot count value share a bucket; the per-bucket
     * window is the only serialization). The score join shuffles (token,
     * rank) rows, and the final per-doc sum aggregates map-side. */
+  /** Incompressibility quality signal: DEFLATE-compressed size over raw
+    * UTF-8 size. Natural prose sits ~0.3-0.5; templated/repetitive
+    * boilerplate far lower; random gibberish ≈ 1 — the cheap two-sided
+    * filter (too compressible = spam/boilerplate, incompressible =
+    * noise/binary-in-text) used by Dolma/RedPajama-style curation.
+    * A native codegen Expression ([[graft.expressions.DeflateLen]], zlib
+    * thread-local-reused) — pure narrow projection, no shuffle. The raw
+    * size is UTF-8 BYTES (not codepoints): same units the compressor sees.
+    *
+    * Spec-pinned, not oracle-gated: deflate output is zlib-version-stable
+    * within a cluster but not a cross-engine constant (DuckDB has no
+    * deflate), so the gate records the weaker rows-only check and
+    * CorpusOpsSpec pins ordering/bounds/determinism. */
+  def compressionSignal(docs: DataFrame, textCol: String, idCol: String,
+      level: Int = 6): DataFrame = {
+    val rawLen = octet_length(col(textCol))
+    val defLen = graft.expressions.TextExpressions
+      .deflateLen(col(textCol), level)
+    docs.select(col(idCol).as("doc_id"), rawLen.as("raw_bytes"),
+      defLen.as("deflate_bytes"),
+      (defLen.cast("double") / rawLen.cast("double")).as("compress_ratio"))
+  }
+
   def corpusRankScore(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

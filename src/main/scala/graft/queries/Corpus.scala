@@ -152,5 +152,13 @@ object Corpus {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Incompressibility signal (deflate ratio): native codegen kernel,
+    // narrow projection. No DuckDB oracle exists for deflate, so this gate
+    // takes the driver's rows-only check; CorpusOpsSpec pins the signal's
+    // ordering (boilerplate < prose < gibberish), bounds, and determinism.
+    "q_pipe_compress_ratio" -> Q(
+      (s, dir) => Quality.compressionSignal(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))))
 }

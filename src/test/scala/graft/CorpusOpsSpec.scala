@@ -118,6 +118,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(2L) === ((4L, 1L + 3L + 2L + 4L)))
   }
 
+  test("compressionSignal: boilerplate < prose < gibberish ordering, " +
+      "sane bounds, deterministic under partitioning") {
+    val boiler = ("lorem ipsum " * 40).trim            // highly repetitive
+    val prose = "the quick brown fox jumps over the lazy dog while a " +
+      "cunning red vixen watches from dense undergrowth nearby planning " +
+      "her own approach to the henhouse under cover of evening fog"
+    val noise = (1 to 80).map(i => ((i * 2654435761L) % 93 + 33).toChar)
+      .mkString                                        // pseudo-random ascii
+    val in = Seq((1L, boiler), (2L, prose), (3L, noise))
+      .toDF("doc_id", "text")
+    val out = Quality.compressionSignal(in, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    for ((id, (raw, defl, ratio)) <- out) {
+      assert(raw > 0 && defl > 0, s"doc $id")
+      assert(ratio > 0.0 && ratio < 1.5, s"doc $id ratio $ratio")
+    }
+    assert(out(1L)._3 < out(2L)._3, "boilerplate must beat prose")
+    assert(out(2L)._3 < out(3L)._3, "prose must beat gibberish")
+    // pure function of the text: layout cannot change it
+    val a = Quality.compressionSignal(docs, "text", "doc_id")
+      .orderBy($"doc_id").collect().toSeq
+    val b = Quality.compressionSignal(docs.repartition(13), "text", "doc_id")
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("jsonl roundtrip is the identity on the documents table") {
     val path = "/root/repo/target/scratch/jsonl_spec"
     graft.sources.TextFormats.writeJsonl(docs, path)
