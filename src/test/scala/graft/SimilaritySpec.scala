@@ -195,11 +195,17 @@ class SimilaritySpec extends SparkTestBase {
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned"))
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8"))
     assert(rec("q_sim_knn_brute") === 1.0)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"))
     assert(rec("q_sim_knn_ivf") >= 0.3, rec.toString)
     assert(rec("q_sim_knn_ivf_learned") >= 0.3, rec.toString)
+    // 8-bit scalar quantization on 64 normalized dims loses almost
+    // nothing: near-exact by construction, and it must dominate every
+    // pruning-based ANN (it scans the full corpus, only the metric is
+    // quantized)
+    assert(rec("q_sim_knn_sq8") >= 0.8, rec.toString)
+    assert(rec("q_sim_knn_sq8") >= rec("q_sim_knn_ivf_learned"), rec.toString)
   }
 }
