@@ -71,6 +71,42 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("packTokens invariants hold across randomized shapes (seeded sweep)") {
+    // deterministic pseudo-random corpora: ids with gaps/negatives are NOT
+    // exercised (domain is non-negative ids per scaladoc); token counts
+    // include 0 and > seqLen
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nShards = 1 + rnd.nextInt(5)
+      val l = 1 + rnd.nextInt(40)
+      val seed = rnd.nextLong()
+      val rows = (0 until 100 + rnd.nextInt(200))
+        .map(i => (i.toLong, rnd.nextInt(3 * l).toLong))
+      val in = rows.toDF("id", "n")
+      val out = Pack.packTokens(in, "id", "n", nShards, seed, l).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      val ctx = s"trial $trial (shards=$nShards L=$l)"
+      // total piece tokens == total input tokens (each token placed once)
+      assert(out.map(p => p._7 - p._6).sum === rows.map(_._2).sum, ctx)
+      // every non-final pack of every shard holds exactly L tokens
+      for (((sh, pk), pieces) <- out.groupBy(p => (p._3, p._5))) {
+        val tok = pieces.map(p => p._7 - p._6).sum
+        if (pk < out.filter(_._3 == sh).map(_._5).max)
+          assert(tok === l, s"$ctx shard $sh pack $pk")
+        else assert(tok > 0 && tok <= l, s"$ctx shard $sh final")
+      }
+      // per-doc pieces tile [0, n) contiguously over consecutive packs
+      for ((id, pieces) <- out.groupBy(_._1)) {
+        val o = pieces.sortBy(_._5)
+        assert(o.head._6 === 0L, s"$ctx doc $id")
+        assert(o.last._7 === o.head._2, s"$ctx doc $id")
+        for (Array(a, b) <- o.sliding(2) if o.length > 1)
+          assert(b._6 === a._7 && b._5 === a._5 + 1, s"$ctx doc $id")
+      }
+    }
+  }
+
   test("packTokens drops zero-token docs but keeps offsets contiguous") {
     val in = Seq((1L, 3L), (2L, 0L), (3L, 5L)).toDF("id", "n")
     val out = Pack.packTokens(in, "id", "n", 1, 0L, 4).collect()
