@@ -154,6 +154,70 @@ object Corpus {
       Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END mix build: the whole last mile in ONE plan — exact-dedup
+    // keepers → per-source cap (domain balancing) → deterministic shard
+    // shuffle → concat-and-split packing. Documents in, training pieces
+    // out; every stage's arithmetic is already individually mirrored
+    // (md5 keeper election, capPerKey Knuth window, Pack shard/cumsum),
+    // so the composed oracle re-derives the full byte layout from the
+    // data. This is the "a user can run their pipeline on this engine"
+    // gate: stages chain through Catalyst as one optimized plan, not as
+    // materialized steps.
+    "q_pipe_e2e_mix" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keepers = Dedup.exactGroups(d, "text", "doc_id")
+          .select(col("keeper").as("doc_id"))
+        val kept = d.join(keepers, Seq("doc_id"), "left_semi")
+        val capped = graft.operators.TextOps.capPerKey(
+          kept.select(col("doc_id"), col("source"), col("text")),
+          "source", "doc_id", n = 50)
+        Pack.packTokens(
+            capped.select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok")),
+            "doc_id", "n_tok", nShards = 4, seed = 11L, seqLen = 128)
+          .orderBy(col("doc_id"), col("pack"))
+      },
+      Some(s"""WITH k AS (
+              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |kept AS (
+              |  SELECT d.doc_id, d.source, d.text
+              |  FROM documents d JOIN k USING (doc_id)),
+              |cap AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text,
+              |           row_number() OVER (PARTITION BY source
+              |             ORDER BY (((doc_id % 2147483647 + 2147483647)
+              |                        % 2147483647) * 2654435761)
+              |                      % 2147483647, doc_id) AS rk
+              |    FROM kept)
+              |  WHERE rk <= 50),
+              |t AS (
+              |  SELECT doc_id,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM cap),
+              |h AS (
+              |  SELECT doc_id, n_tok, ${knuthSql("doc_id", 11L)} AS hk
+              |  FROM t),
+              |s AS (
+              |  SELECT doc_id, n_tok, CAST(hk % 4 AS INT) AS shard,
+              |         CAST(row_number() OVER (PARTITION BY hk % 4
+              |           ORDER BY hk, doc_id) - 1 AS INT) AS seq,
+              |         CAST(sum(n_tok) OVER (PARTITION BY hk % 4
+              |           ORDER BY hk, doc_id
+              |           ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+              |           AS start
+              |  FROM h),
+              |p AS (
+              |  SELECT *, unnest(range(start // 128,
+              |           (start + n_tok - 1) // 128 + 1)) AS pack
+              |  FROM s WHERE n_tok > 0)
+              |SELECT doc_id, n_tok, shard, seq, pack,
+              |       greatest(pack * 128 - start, 0) AS doc_from,
+              |       least((pack + 1) * 128 - start, n_tok) AS doc_to,
+              |       greatest(start - pack * 128, 0) AS pack_from
+              |FROM p ORDER BY doc_id, pack""".stripMargin)),
+
     // Incompressibility signal (deflate ratio): native codegen kernel,
     // narrow projection. No DuckDB oracle exists for deflate, so this gate
     // takes the driver's rows-only check; CorpusOpsSpec pins the signal's

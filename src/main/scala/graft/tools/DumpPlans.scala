@@ -138,6 +138,11 @@ object DumpPlans {
         "withGlobalPos) — no global-sort window even over the vocab; " +
         "per-doc rank sum aggregates partial — text dies at the token " +
         "explode, only (token, rank) rows shuffle"),
+      "q_pipe_e2e_mix" -> ("end-to-end mix build in one optimized plan: " +
+        "md5 keeper election shuffles digests, left-semi prunes text " +
+        "early, cap window keyed by source, shard/pack share one hash " +
+        "exchange — four pipeline stages, no materialization between " +
+        "them, text never crosses an exchange after the cap"),
       "q_jsonl_roundtrip" -> ("jsonl boundary: distributed write (one " +
         "file per partition) + schema-pinned distributed read — no " +
         "driver materialization, no inference scan; the only exchange " +
