@@ -57,6 +57,22 @@ object Streaming {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
+  /** Gate drains clamp streaming STATE partitions to 8 (see
+    * Streams.withStatePartitions): every micro-batch commits one
+    * checkpoint delta per store per partition, so the 3-file staged
+    * replays over a handful of keys spend partitions × stores × batches
+    * in pure checkpoint I/O at the session's batch setting (32). A
+    * production job sizes state partitions to cluster parallelism — this
+    * is replay plumbing, not operator behavior (results are partition-
+    * count invariant, which LayoutMatrixSpec pins). */
+  private val StatePartitions = 8
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String) =
+    Streams.withStatePartitions(df.sparkSession, StatePartitions)(
+      Streams.runToTable(df, name))
+  private def drainAppend(df: org.apache.spark.sql.DataFrame, name: String) =
+    Streams.withStatePartitions(df.sparkSession, StatePartitions)(
+      Streams.runToTableAppend(df, name))
+
   /** Bumped whenever the multi-file split rule changes, so stale staged
     * layouts from an older rule can never satisfy the marker check. */
   private val SplitRuleVersion = 2
@@ -147,7 +163,7 @@ object Streaming {
           stopR.as("stop_ratio"),
           langPredict(toks).as("lang_pred"),
           (nTok >= 10 && nTok <= 1000 && stopR >= 0.01).as("keep"))
-        Streams.runToTableAppend(flags, "stream_quality_parity")
+        drainAppend(flags, "stream_quality_parity")
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH toks AS (
@@ -172,7 +188,7 @@ object Streaming {
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.windowedCounts(stream,
           width = "1 hour", slide = "1 hour", maxDelay = "1 hour")
-        Streams.runToTable(agg, "stream_window_parity")
+        drain(agg, "stream_window_parity")
           .select(col("w_start"), col("w_end"), col("event_type"), col("n"),
             col("total_value").cast("double").as("total_value"))
           .orderBy(col("w_start"), col("event_type"))
@@ -207,7 +223,7 @@ object Streaming {
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",
           maxDelay = "60 days")
-        Streams.runToTable(agg, "stream_session_parity")
+        drain(agg, "stream_session_parity")
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
             col("session_value").cast("double").as("session_value"))
@@ -248,7 +264,7 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("user_id"), col("event_type")),
           maxDelay = "60 days", keys = Seq("user_id", "event_type"))
-        Streams.runToTableAppend(dd, "stream_dedup_parity")
+        drainAppend(dd, "stream_dedup_parity")
           .select(col("user_id"), col("event_type"))
           .orderBy(col("user_id"), col("event_type"))
       },
@@ -274,7 +290,7 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("event_id")),
           maxDelay = "1 hour", keys = Seq("event_id"))
-        Streams.runToTableAppend(dd, "stream_late_drop")
+        drainAppend(dd, "stream_late_drop")
           .select(col("event_id"))
           .orderBy(col("event_id"))
       },
@@ -312,7 +328,7 @@ object Streaming {
           maxFilesPerTrigger = Some(1))
         val ds = stream.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Streams.Event]
-        Streams.runToTableAppend(Streams.userRunningStats(ds).toDF(),
+        drainAppend(Streams.userRunningStats(ds).toDF(),
             "stream_running_counts")
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"))
@@ -339,7 +355,7 @@ object Streaming {
             col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("c_mktsegment").as("segment"),
             col("c_acctbal").as("acctbal"))
-        Streams.runToTableAppend(joined, "stream_static_join")
+        drainAppend(joined, "stream_static_join")
           .orderBy(col("event_id"))
       },
       Some("""SELECT e.event_id, c.c_mktsegment AS segment,
@@ -379,7 +395,7 @@ object Streaming {
             $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
               $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
           .select($"c_id".as("click_id"), $"n_id".as("next_id"))
-        Streams.runToTableAppend(joined, "stream_stream_join")
+        drainAppend(joined, "stream_stream_join")
           .orderBy($"click_id", $"next_id")
       },
       Some("""SELECT a.event_id AS click_id, b.event_id AS next_id
@@ -437,7 +453,7 @@ object Streaming {
             rightFilter = Some(!strag("n_id", "n_ts")))
           .select($"c_id".as("click_id"),
             coalesce($"n_id", lit(-1L)).as("next_id"))
-        Streams.runToTableAppend(joined, "stream_outer_join")
+        drainAppend(joined, "stream_outer_join")
           .orderBy($"click_id", $"next_id")
       },
       Some(s"""WITH b AS (

@@ -168,6 +168,24 @@ object Streams {
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     _lastRunBatches.set(q.recentProgress.count(_.numInputRows > 0))
 
+  /** Run `body` with the session's shuffle-partition count clamped to `n`,
+    * restored afterwards. A streaming query pins its STATE-STORE partition
+    * count from this conf at `start()` and every micro-batch commits one
+    * checkpoint delta per store per partition — so a staged multi-batch
+    * replay over a handful of keys pays partitions × stores × batches in
+    * checkpoint I/O while doing trivial compute (measured 4-5× of the
+    * stream-stream join gate's wall time at 32 partitions). Production
+    * sizing is the opposite: state partitions must match cluster
+    * parallelism and key cardinality, so this clamp belongs at REPLAY call
+    * sites, never baked into an operator. Restoring in `finally` keeps the
+    * surrounding batch session untouched. */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drain a FINITE stream to completion and return the result as a batch
     * DataFrame: AvailableNow trigger (process everything currently in the
     * source, then stop) into a Complete-mode memory sink. This is the
