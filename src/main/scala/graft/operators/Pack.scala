@@ -105,4 +105,30 @@ object Pack {
         greatest(col("__start") - col("pack") * seqLen, lit(0L)))
       .drop("__cum", "__start")
   }
+
+  /** Materialize the packed PIECES as text: [[packTokens]] over the token
+    * counts, then each piece's token slice [doc_from, doc_to) cut from the
+    * document — the writer step that turns the layout into the bytes a
+    * trainer reads (concatenating a pack's pieces in pack_from order yields
+    * its training sequence verbatim).
+    *
+    * Scale shape: the layout side carries only ids and counts through the
+    * shard exchange; text joins back ONCE, by id, after the explode — and
+    * since a document averages ≤ 2 pieces (1 + n/L crossings), text bytes
+    * move ≈ once, not once per pack. The slice itself is a narrow
+    * codegen'd array op. */
+  def packText(docs: DataFrame, textCol: String, idCol: String,
+      nShards: Int, seed: Long, seqLen: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val counts = docs.select(col(idCol),
+      size(toks).cast("long").as("__n_tok"))
+    val layout = packTokens(counts, idCol, "__n_tok", nShards, seed, seqLen)
+    layout
+      .join(docs.select(col(idCol), toks.as("__w")), Seq(idCol))
+      .select(col(idCol), col("shard"), col("pack"), col("pack_from"),
+        array_join(
+          slice(col("__w"), (col("doc_from") + 1).cast("int"),
+            (col("doc_to") - col("doc_from")).cast("int")), " ")
+          .as("piece_text"))
+  }
 }

@@ -154,6 +154,40 @@ object Corpus {
       Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The packed PIECES as text — the writer step: concatenating a pack's
+    // pieces in pack_from order yields the training sequence verbatim.
+    // Layout derives from counts (ids/longs through the shard exchange);
+    // text joins back once by id after the explode.
+    "q_pipe_pack_text" -> Q(
+      (s, dir) => Pack.packText(docs(s, dir), "text", "doc_id",
+          nShards = 4, seed = 3L, seqLen = 256)
+        .orderBy(col("doc_id"), col("pack")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |h AS (
+              |  SELECT doc_id, w, n_tok, ${knuthSql("doc_id", 3L)} AS hk
+              |  FROM t),
+              |s AS (
+              |  SELECT doc_id, w, n_tok, CAST(hk % 4 AS INT) AS shard,
+              |         CAST(sum(n_tok) OVER (PARTITION BY hk % 4
+              |           ORDER BY hk, doc_id
+              |           ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+              |           AS start
+              |  FROM h),
+              |p AS (
+              |  SELECT *, unnest(range(start // 256,
+              |           (start + n_tok - 1) // 256 + 1)) AS pack
+              |  FROM s WHERE n_tok > 0)
+              |SELECT doc_id, shard, pack,
+              |       greatest(start - pack * 256, 0) AS pack_from,
+              |       array_to_string(list_slice(w,
+              |         greatest(pack * 256 - start, 0) + 1,
+              |         least((pack + 1) * 256 - start, n_tok)), ' ')
+              |         AS piece_text
+              |FROM p ORDER BY doc_id, pack""".stripMargin)),
+
     // END-TO-END mix build: the whole last mile in ONE plan — exact-dedup
     // keepers → per-source cap (domain balancing) → deterministic shard
     // shuffle → concat-and-split packing. Documents in, training pieces

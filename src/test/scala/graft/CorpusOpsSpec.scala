@@ -181,6 +181,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("packText: concatenating a pack's pieces in pack_from order yields " +
+      "exactly seqLen tokens, and concatenating a doc's pieces in pack " +
+      "order restores the document") {
+    val l = 64
+    val out = Pack.packText(docs, "text", "doc_id", 4, 3L, l).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc reassembly: pieces in pack order, space-joined == original text
+    for ((id, pieces) <- out.groupBy(_._1)) {
+      val joined = pieces.sortBy(_._3).map(_._5).mkString(" ")
+      assert(joined === texts(id), s"doc $id")
+    }
+    // pack reassembly: pieces in pack_from order give exactly l tokens for
+    // every non-final pack of each shard
+    for (((sh, pk), pieces) <- out.groupBy(p => (p._2, p._3))) {
+      val lastPack = out.filter(_._2 == sh).map(_._3).max
+      val n = pieces.sortBy(_._4).map(_._5.split(" ").length).sum
+      if (pk < lastPack) assert(n === l, s"shard $sh pack $pk")
+      else assert(n > 0 && n <= l, s"shard $sh final pack")
+    }
+  }
+
   test("jsonl roundtrip is the identity on the documents table") {
     val path = "/root/repo/target/scratch/jsonl_spec"
     graft.sources.TextFormats.writeJsonl(docs, path)

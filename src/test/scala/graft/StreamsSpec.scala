@@ -387,4 +387,29 @@ class StreamsSpec extends SparkTestBase {
     assert(winRows === 3)  // 00:00, 00:05, and the LATE 20:00 window all kept
     assert(sessRows === 2) // late event's session vanished: dropped on input
   }
+
+  test("withStatePartitions: results identical at any state-partition " +
+      "count and the session conf is restored (even on failure)") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val dir = "/tmp/graft_stream_clamp"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def drained(n: Int) = Streams.withStatePartitions(spark, n) {
+      Streams.runToTable(
+        Streams.windowedCounts(Streams.eventStream(spark, dir),
+          "1 hour", "1 hour", "1 day"), s"clamp_parity_$n")
+    }.orderBy("w_start", "event_type").collect().toSeq
+    val a = drained(2)
+    assert(spark.conf.get(key) === before)
+    val b = drained(13)
+    assert(a === b, "state-partition count changed the result")
+    intercept[RuntimeException](
+      Streams.withStatePartitions(spark, 3)(
+        throw new RuntimeException("boom")))
+    assert(spark.conf.get(key) === before)
+  }
 }
