@@ -138,6 +138,10 @@ object DumpPlans {
         "withGlobalPos) — no global-sort window even over the vocab; " +
         "per-doc rank sum aggregates partial — text dies at the token " +
         "explode, only (token, rank) rows shuffle"),
+      "q_pipe_pack_text" -> ("packed-piece writer: layout side shuffles " +
+        "ids+counts only; text joins back ONCE by id after the explode " +
+        "(≈1 piece-join per doc piece, docs average ≤ 2 pieces); the " +
+        "slice is narrow codegen"),
       "q_pipe_e2e_mix" -> ("end-to-end mix build in one optimized plan: " +
         "md5 keeper election shuffles digests, left-semi prunes text " +
         "early, cap window keyed by source, shard/pack share one hash " +
