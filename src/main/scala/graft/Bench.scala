@@ -2,6 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Bench {
+  /** The three artifact lines as pure functions of pre-rendered JSON
+    * fragments, extracted so BenchContractSpec can pin that each line is
+    * standalone-parseable JSON (the driver tail-grabs stdout; r9/r10 lost
+    * rounds to a line that wasn't) and that the FINAL line stays tiny. */
+  private[graft] def fullLine(total: String, stat: String, qs: String,
+      qsMedian: String, qsCpu: String, qsGc: String, qsMem: String,
+      qsShuffle: String, qsShufRec: String, qsBcast: String,
+      recallJson: String, failed: String, sf: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf"}"""
+
+  private[graft] def compactLine(total: String, stat: String, qs: String,
+      recallJson: String, failed: String, sf: String, detail: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
+
+  private[graft] def tinyLine(total: String, stat: String, nQueries: Int,
+      failed: String, sf: String, detail: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","n_queries":$nQueries,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -210,25 +228,22 @@ object Bench {
     // capture has truncated long lines in past rounds (BENCH_r06 lost 16 of
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
     // and stdout carries a compact line that fits a tail grab.
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir"}"""
+    val full = fullLine(total, stat, qs, qsMedian, qsCpu, qsGc, qsMem,
+      qsShuffle, qsShufRec, qsBcast, recallJson, failed, sfDir)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // Compact line: per-query min wall only, rounded to 0.1ms (~2.5 KB for
     // 92 queries vs ~13 KB with all five maps). "detail" names the full
     // artifact.
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":${jmap(_._1, round = true)},"queries_recall":$recallJson,"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
-    println(compact)
+    println(compactLine(total, stat, jmap(_._1, round = true), recallJson,
+      failed, sfDir, out))
     // FINAL line is tiny (~150 bytes): the driver's stdout capture is a
     // bounded TAIL, and r9/r10 proved even the compact per-query line can
     // overflow it (BENCH "parsed": null, head of the line clipped). Totals +
     // failed + detail pointer always survive a tail grab whole; per-query
     // data lives one line up and, authoritatively, in the "detail" file.
-    val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$out"}"""
-    println(tiny)
+    println(tinyLine(total, stat, results.size, failed, sfDir, out))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench artifact's driver contract: every emitted line must be
+  * standalone-parseable JSON (r9/r10 lost rounds to lines the driver's
+  * bounded stdout tail clipped mid-object) and the FINAL line must stay
+  * small enough that any sane tail grab contains it whole. Builders are
+  * pure functions extracted from Bench.main; the real sf0.1 artifact in
+  * bench_times.json is additionally parsed when present.
+  */
+class BenchContractSpec extends AnyFunSuite {
+  private val om = new ObjectMapper()
+
+  private val qs = (1 to 120)
+    .map(i => s"\"q_example_$i\":${i * 0.01}").mkString("{", ",", "}")
+  private val recall = """{"q_sim_knn_sq8":0.75}"""
+
+  test("tiny final line: parseable, carries totals+failed+detail, < 512 B") {
+    val line = Bench.tinyLine("69.1", "min_of_3x2", 118, "[]",
+      "/root/testdata/sf0.1", "bench_times.json")
+    assert(line.length < 512, s"tiny line must survive a tail grab: $line")
+    val node = om.readTree(line)
+    for (k <- Seq("metric", "value", "unit", "stat", "n_queries", "failed",
+        "sf", "detail"))
+      assert(node.has(k), s"missing $k in $line")
+    assert(node.get("n_queries").asInt === 118)
+    assert(node.get("failed").isArray)
+  }
+
+  test("compact and full lines parse with a failed query (null timing)") {
+    val qsWithNull = qs.dropRight(1) + ",\"q_broken\":null}"
+    val compact = Bench.compactLine("null", "min_of_3x2", qsWithNull, recall,
+      "[\"q_broken\"]", "/sf", "out.json")
+    val full = Bench.fullLine("null", "min_of_3x2", qsWithNull, qsWithNull,
+      qsWithNull, qsWithNull, qsWithNull, qsWithNull, qsWithNull, qsWithNull,
+      recall, "[\"q_broken\"]", "/sf")
+    for (line <- Seq(compact, full)) {
+      val node = om.readTree(line)
+      assert(node.get("value").isNull, "partial totals must be null")
+      assert(node.get("failed").get(0).asText === "q_broken")
+      assert(node.get("queries").get("q_broken").isNull)
+    }
+  }
+
+  test("the committed sf0.1 artifact parses and agrees with its own totals") {
+    val p = java.nio.file.Paths.get("/root/repo/bench_times.json")
+    assume(java.nio.file.Files.exists(p))
+    val node = om.readTree(java.nio.file.Files.readString(p).trim)
+    val q = node.get("queries")
+    assert(q.size() >= 110)
+    val it = q.fields()
+    var sum = 0.0
+    while (it.hasNext) { val e = it.next(); if (!e.getValue.isNull) sum += e.getValue.asDouble }
+    assert(math.abs(sum - node.get("value").asDouble) < 1e-6,
+      "total must be the sum of per-query minima")
+  }
+}
