@@ -445,7 +445,10 @@ public final class StringKernels {
         byte[] in = str.getBytes();
         d.setInput(in);
         d.finish();
-        byte[] buf = new byte[Math.max(64, in.length + (in.length >> 1) + 32)];
+        // fixed thread-local scratch: output bytes are only COUNTED, so the
+        // loop drains any size through one reused buffer — a per-row
+        // allocation here would defeat the point of reusing the Deflater
+        byte[] buf = DEFLATE_SCRATCH.get();
         int total = 0;
         // NB: the first deflate() after setLevel() returns 0 (it flushes the
         // level change) — loop on finished(), never on "returned 0".
@@ -457,4 +460,7 @@ public final class StringKernels {
 
     private static final ThreadLocal<java.util.zip.Deflater> DEFLATERS =
         ThreadLocal.withInitial(() -> new java.util.zip.Deflater());
+
+    private static final ThreadLocal<byte[]> DEFLATE_SCRATCH =
+        ThreadLocal.withInitial(() -> new byte[1 << 16]);
 }

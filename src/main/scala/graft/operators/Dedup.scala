@@ -529,56 +529,67 @@ object Dedup {
     * feed paragraphs as single-segment rows; the windowing here is the
     * degenerate-structure fallback (this testdata is single-line).
     *
-    * Scale shape: two shuffles. (1) First-occurrence election groups by
-    * the segment polyHash carrying only (hash, posKey) longs — text never
-    * enters the election shuffle; min(posKey) is exact and total because
+    * Scale shape: text moves through exactly ONE exchange, keyed by doc.
+    * (1) First-occurrence election groups (hash, posKey) LONGS by the
+    * segment polyHash; min(posKey) is exact and total because
     * posKey = doc_id·2^20 + seg_idx packs the document order into one
     * BIGINT (requires 0 ≤ doc_id < 2^43, seg_idx < 2^20 — enforced).
-    * (2) Reassembly groups the KEPT segments by doc — the only shuffle
-    * that moves text, bounded by the output size. Hash collisions (mod
-    * 1e9+7) can drop a colliding later segment — the standard
-    * hash-dedup false-positive tradeoff, same as [[exactGroups]]' md5. */
+    * (2) The winning posKeys are unpacked back to (doc_id, seg_idx) —
+    * pure long arithmetic, no join back to the segment rows, so the
+    * election side never needs the text at all — and collected per doc
+    * into a kept-index list (again a long-only shuffle). (3) The index
+    * lists join the ORIGINAL documents by doc_id and the surviving
+    * segments are re-sliced from the token array narrowly — the one
+    * exchange that carries text, and the same doc-keyed shuffle any
+    * reassembly needs. n_segs derives from the token count in the same
+    * projection (no separate aggregate). Hash collisions (mod 1e9+7) can
+    * drop a colliding later segment — the standard hash-dedup
+    * false-positive tradeoff, same as [[exactGroups]]' md5. */
   def dedupSegments(docs: DataFrame, textCol: String, idCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens >= 1, "segTokens must be >= 1")
     val MaxSeg = 1L << 20
     val toks = tokens(col(textCol))
-    val segs = docs
+    // election input: (hash, posKey) longs only — the segment string dies
+    // in this projection, before any exchange
+    val hashed = docs
       .select(col(idCol).as("doc_id"), toks.as("__w"))
       .withColumn("__starts",
         sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)),
           lit(segTokens)))
       .select(col("doc_id"), col("__w"),
         posexplode(col("__starts")).as(Seq("seg_idx", "__start")))
-      .withColumn("__seg",
+      // guard the posKey packing domain once, inside the plan (narrow)
+      .withColumn("__pk",
+        when(col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
+            col("seg_idx") >= MaxSeg,
+          raise_error(lit("dedupSegments: doc_id/seg_idx outside packing " +
+            "domain [0,2^43)/[0,2^20)")))
+          .otherwise(col("doc_id") * MaxSeg + col("seg_idx")))
+      .withColumn("__h", graft.expressions.TextExpressions.polyHash(
         array_join(slice(col("__w"), col("__start") + 1, lit(segTokens)),
-          " "))
-      .drop("__w", "__start")
-    // guard the posKey packing domain once, inside the plan (narrow)
-    val guarded = segs.withColumn("__pk",
-      when(col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
-          col("seg_idx") >= MaxSeg,
-        raise_error(lit("dedupSegments: doc_id/seg_idx outside packing " +
-          "domain [0,2^43)/[0,2^20)")))
-        .otherwise(col("doc_id") * MaxSeg + col("seg_idx")))
-      .withColumn("__h",
-        graft.expressions.TextExpressions.polyHash(col("__seg")))
-    val firstPk = guarded.groupBy(col("__h"))
+          " ")))
+      .select(col("__h"), col("__pk"))
+    // winners unpack straight from the min posKey — no join to segments
+    val keepIdx = hashed.groupBy(col("__h"))
       .agg(min(col("__pk")).as("__first_pk"))
-    val kept = guarded.join(firstPk,
-      guarded("__h") === firstPk("__h") &&
-        col("__pk") === col("__first_pk"))
-    val nSegs = segs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"))
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("seg_idx"), col("__seg")))),
-          s => s.getField("__seg")), " ").as("clean_text"),
+      .select(expr(s"__first_pk div $MaxSeg").as("doc_id"),
+        pmod(col("__first_pk"), lit(MaxSeg)).cast("int").as("seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("__keep"),
         count(lit(1)).as("kept_segs"))
-    nSegs.join(rebuilt, Seq("doc_id"), "left")
+    // the ONE text-bearing exchange: documents meet their kept-index list
+    // keyed by doc_id; surviving segments re-slice narrowly from tokens
+    docs.select(col(idCol).as("doc_id"), toks.as("__w"))
+      .join(keepIdx, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_segs"), coalesce(col("kept_segs"), lit(0L)).as("kept_segs"))
+        coalesce(
+          array_join(transform(col("__keep"), i =>
+            array_join(slice(col("__w"), i * segTokens + 1, lit(segTokens)),
+              " ")), " "),
+          lit("")).as("clean_text"),
+        (expr(s"greatest(size(__w) - 1, 0) div $segTokens").cast("long")
+          + 1L).as("n_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"))
   }
 }

@@ -299,7 +299,12 @@ object Quality {
       .deflateLen(col(textCol), level)
     docs.select(col(idCol).as("doc_id"), rawLen.as("raw_bytes"),
       defLen.as("deflate_bytes"),
-      (defLen.cast("double") / rawLen.cast("double")).as("compress_ratio"))
+      // empty text: 0 raw bytes but ~8 deflate header bytes — 8/0.0 would
+      // be +Infinity under IEEE division and read as "maximally
+      // incompressible noise" to any threshold; null says "no signal"
+      when(rawLen === 0, lit(null))
+        .otherwise(defLen.cast("double") / rawLen.cast("double"))
+        .as("compress_ratio"))
   }
 
   def corpusRankScore(docs: DataFrame, textCol: String,

@@ -28,9 +28,11 @@ object TextFormats {
     df.write.mode("overwrite").json(path)
 
   /** JSONL directory → DataFrame with a caller-supplied schema (no
-    * inference pass — see class doc). Lines that fail to parse become
-    * all-null rows under the default PERMISSIVE mode; pass FAILFAST
-    * to make corruption loud instead. */
+    * inference pass — see class doc). Corruption is loud by default
+    * (FAILFAST: one malformed line aborts the read); pass PERMISSIVE to
+    * tolerate bad lines as all-null rows instead — the right mode for
+    * scraped corpora where a few broken records must not kill a 100 TB
+    * ingest, wrong for interchange of data you produced yourself. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
       mode: String = "FAILFAST"): DataFrame =
     spark.read.schema(schema).option("mode", mode).json(path)

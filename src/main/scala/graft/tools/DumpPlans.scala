@@ -129,9 +129,11 @@ object DumpPlans {
         "single exchange; cumsum + pack explode are narrow on top of the " +
         "shard window — token counts shuffle, text never reads at all"),
       "q_pipe_seg_dedup" -> ("segment dedup: first-occurrence election " +
-        "shuffles (segment-hash, packed-position) longs only; the one " +
-        "text-bearing exchange is the per-doc reassembly, bounded by " +
-        "OUTPUT size; both aggregates partial below their exchange"),
+        "shuffles (segment-hash, packed-position) longs only; winners " +
+        "unpack from the min posKey (no join back to segment rows), and " +
+        "the ONE text-bearing exchange is the doc-keyed join of kept-" +
+        "index lists to the original documents, where surviving segments " +
+        "re-slice narrowly from the token array"),
       "q_pipe_word_rank" -> ("rank-based quality proxy: vocabulary agg " +
         "collapses map-side to one row per distinct token; exact global " +
         "ranks come from the sampled-split bucket machinery (Positional." +

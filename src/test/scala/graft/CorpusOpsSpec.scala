@@ -164,6 +164,10 @@ class CorpusOpsSpec extends SparkTestBase {
       .mkString                                        // pseudo-random ascii
     val in = Seq((1L, boiler), (2L, prose), (3L, noise))
       .toDF("doc_id", "text")
+    // empty text: no bytes, no signal — ratio must be null, not +Infinity
+    val empty = Quality.compressionSignal(
+      Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(empty.getInt(1) === 0 && empty.isNullAt(3))
     val out = Quality.compressionSignal(in, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
       .toMap

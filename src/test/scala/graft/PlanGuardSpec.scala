@@ -14,15 +14,32 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 class PlanGuardSpec extends SparkTestBase {
 
   // Queries that intentionally broadcast-nested-loop (documented quadratic /
-  // broadcast-by-design kernels — the query-set side is tiny and broadcast).
-  private val bnljAllowed = Set("q_sim_knn_brute")
+  // broadcast-by-design kernels — the broadcast side is tiny by
+  // construction, so the "nested loop" is a scan × constant):
+  //   q_sim_knn_brute / _sq8 / _pq / _pq_rerank — the deliberate
+  //     brute-scan ANN family: the query set (a handful of ids, their
+  //     codes/vectors) broadcasts and the corpus scans once; the non-equi
+  //     condition (id =!= query_id) is what forces BNLJ, and that is the
+  //     design — the corpus side never shuffles.
+  //   q_pipe_tfidf — crossJoin(broadcast(n_docs)): a 1-row global count
+  //     attached to every row.
+  private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
+    "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to
-    // collect); inspect the statically-planned tree instead.
+    // collect); inspect the statically-planned tree instead. The
+    // executedPlan MUST be forced while AQE is still off — it is a lazy
+    // val, so forcing it after the finally restores the conf would cache
+    // the adaptive wrapper and silently vacuate every physical-plan
+    // assertion downstream (exactly what happened to the BNLJ guard).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1)
-      .map { case (n, fn) => n -> fn(spark, sf0001) }
+      .map { case (n, fn) =>
+        val df = fn(spark, sf0001)
+        df.queryExecution.executedPlan
+        n -> df
+      }
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -235,12 +252,14 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist") {
-    for ((name, df) <- plans if !bnljAllowed(name)) {
-      val bad = df.queryExecution.executedPlan.collect {
+    val offenders = for {
+      (name, df) <- plans if !bnljAllowed(name)
+      j <- df.queryExecution.executedPlan.collect {
         case j: BroadcastNestedLoopJoinExec => j
       }
-      assert(bad.isEmpty, s"$name plans a nested-loop join (cross-product " +
-        s"risk at scale):\n${bad.mkString("\n")}")
-    }
+    } yield s"$name: ${j.simpleStringWithNodeId()}"
+    assert(offenders.isEmpty,
+      "nested-loop joins (cross-product risk at scale) outside the " +
+        s"allowlist:\n${offenders.mkString("\n")}")
   }
 }

@@ -56,9 +56,8 @@ class SqSpec extends SparkTestBase {
   }
 
   test("a constant dimension codes to 0 instead of dividing by zero") {
-    val vecs = Seq((1L, Seq(1.0, 5.0)), (2L, Seq(1.0, -5.0)))
-    // dim 0 is constant AFTER normalization only if ratios match; build it
-    // directly: same first coordinate and same norm
+    // dim 0 is constant AFTER normalization: same first coordinate and
+    // same norm (3-4-5 triangles with opposite second coordinates)
     val corpus = Similarity.prepared(
       Seq((1L, Seq(3.0, 4.0)), (2L, Seq(3.0, -4.0)))
         .toDF("vec_id", "embedding")
@@ -69,7 +68,6 @@ class SqSpec extends SparkTestBase {
     val codes = corpus.select(Sq.codesFor($"v", $"nrm", r).as("c"))
       .collect().map(_.getSeq[Long](0).toSeq)
     assert(codes.forall(_(0) === 0L))
-    assert(vecs.nonEmpty) // fixture above documents the intent
   }
 
   test("trainRange is partition-invariant and knnSq8 results don't depend " +
