@@ -11,7 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark only reads it as long.
+      // only matters when the data layer regenerates events.ts as
+      // TIMESTAMP(NANOS) (Spark can't read NANOS except as long); the read
+      // boundary (queries.canonicalizeTime) absorbs whichever unit arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -417,8 +417,9 @@ object Relational {
     // the union+window decomposition is one |L|+|R| shuffle with zero row
     // multiplication (vs the range-join cross-product blowup). DuckDB has
     // native ASOF JOIN, so the oracle gates full values, not just rows.
-    // events.ts is parquet TIMESTAMP(NANOS) read as nanos-long; outputs
-    // normalize to microsecond timestamps exactly (integer div).
+    // events.ts reads as canonical nanos-long (queries.canonicalizeTime
+    // absorbs the parquet unit); outputs normalize to microsecond
+    // timestamps exactly (integer div).
     "q_asof_join" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -686,8 +687,8 @@ object Relational {
              |WHERE pos % 3 = 0 ORDER BY pos""".stripMargin)),
 
     // §2.8.5 JSON + timestamp scalar surface (beyond-parity): JSON path
-    // extraction over the events props column; nano-long parquet timestamps
-    // normalized exactly via integer division (see streaming.Streams).
+    // extraction over the events props column; canonical nanos-long ts
+    // normalized exactly via integer division (see queries.canonicalizeTime).
     "q_json_props" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -30,18 +30,42 @@ object Streaming {
     * silently reusing a stale one. */
   private val StageRoot = java.nio.file.Paths.get("/tmp/graft_stream_stage")
 
-  private def stageKey(dir: String, file: String, variant: String): String = {
+  /** (prefix, fingerprint): the prefix names the source+variant, the
+    * fingerprint the source generation — kept separate so staging can GC
+    * stale generations of the same prefix. */
+  private def stageKey(dir: String, file: String,
+      variant: String): (String, String) = {
     val src = java.nio.file.Paths.get(dir, file)
     val sanitized = (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_")
     val fp = s"${java.nio.file.Files.size(src)}_" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    s"$sanitized${variant}_$fp"
+    (s"$sanitized$variant", fp)
   }
 
-  private def staged(key: String)(fill: java.nio.file.Path => Unit): String = {
-    val stage = StageRoot.resolve(key)
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
+  private def staged(key: (String, String))(
+      fill: java.nio.file.Path => Unit): String = {
+    val (prefix, fp) = key
+    val stage = StageRoot.resolve(s"${prefix}_$fp")
     val marker = stage.resolve(".staged")
     if (!java.nio.file.Files.exists(marker)) {
+      // GC stale fingerprints of the same source+variant — without this a
+      // regenerated source accretes one dead staged copy per generation.
+      // The fingerprint shape (\d+_\d+) keeps the match exact: the bare
+      // events prefix cannot swallow its own _multiN variants.
+      if (java.nio.file.Files.isDirectory(StageRoot)) {
+        import scala.jdk.CollectionConverters._
+        val fpRe = (java.util.regex.Pattern.quote(prefix) + "_\\d+_\\d+").r
+        java.nio.file.Files.list(StageRoot).iterator().asScala
+          .filter(p => fpRe.matches(p.getFileName.toString) &&
+            p.getFileName.toString != s"${prefix}_$fp")
+          .toSeq.foreach(deleteRecursively)
+      }
       java.nio.file.Files.createDirectories(stage)
       fill(stage)
       java.nio.file.Files.writeString(marker, "ok\n")
@@ -73,17 +97,19 @@ object Streaming {
     Streams.withStatePartitions(df.sparkSession, StatePartitions)(
       Streams.runToTableAppend(df, name))
 
-  /** Bumped whenever the multi-file split rule changes, so stale staged
-    * layouts from an older rule can never satisfy the marker check. */
-  private val SplitRuleVersion = 2
+  /** Bumped whenever the multi-file split rule OR the staged file layout
+    * changes, so stale staged layouts from an older rule can never satisfy
+    * the marker check (v3: staged files always carry canonical BIGINT-nanos
+    * `ts` regardless of the source parquet's timestamp unit). */
+  private val SplitRuleVersion = 3
   private val TwoHoursNs = 7200000000000L
 
   /** Multi-file staging of the events table: split deterministically into
     * THREE parquet files with ascending modification times, so the file
     * source under `maxFilesPerTrigger=1` + AvailableNow replays them as
-    * three ordered micro-batches. Split rule (ts = BIGINT nanos under
-    * `nanosAsLong`; span = t1 − t0; arithmetic mirrored by the
-    * q_stream_late_drop oracle):
+    * three ordered micro-batches. Split rule (ts = canonical BIGINT nanos,
+    * see queries.canonicalizeTime; span = t1 − t0; arithmetic mirrored by
+    * the q_stream_late_drop oracle):
     *
     *   cut1 = t0 + span·6/10,  cut2 = t0 + span·85/100
     *   straggler ⇔ event_id % 50 = 0 AND ts ≤ cut1 − 2h
@@ -111,7 +137,11 @@ object Streaming {
       dir: String): String =
     staged(stageKey(dir, "events.parquet", s"_multi$SplitRuleVersion")) {
         stage =>
-      val df = s.read.parquet(s"$dir/events.parquet")
+      // canonicalize at stage time: the staged replay files always carry
+      // BIGINT-nanos ts whatever unit the source parquet was regenerated
+      // with, so the split arithmetic below and every downstream reader see
+      // one shape
+      val df = canonicalizeTime(s.read.parquet(s"$dir/events.parquet"))
       val mm = df.agg(min(col("ts")), max(col("ts"))).head()
       val t0 = mm.getLong(0)
       val span = mm.getLong(1) - t0
@@ -428,7 +458,7 @@ object Streaming {
     "q_stream_outer_join" -> Q(
       (s, dir) => {
         import s.implicits._
-        val mm = s.read.parquet(s"$dir/events.parquet")
+        val mm = canonicalizeTime(s.read.parquet(s"$dir/events.parquet"))
           .agg(min(col("ts")), max(col("ts"))).head()
         val t0 = mm.getLong(0)
         val cut1 = t0 + (mm.getLong(1) - t0) * 6L / 10L

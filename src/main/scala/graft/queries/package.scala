@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 package object queries {
   /** One driver-checkable query: the Spark plan plus (optionally) the
@@ -25,7 +27,45 @@ package object queries {
     */
   @volatile private[graft] var tableLayout: DataFrame => DataFrame = identity
 
-  /** Read one of the driver-generated tables under the given sf directory. */
+  /** The canonical post-read dtype contract for the driver tables' time
+    * columns. The data layer is free to regenerate the parquet with any
+    * timestamp unit — the r11→r12 regeneration flipped `events.ts` from
+    * TIMESTAMP(NANOS) (read as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong`) to TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ), which broke every downstream consumer — so the unit is
+    * absorbed HERE, at the read boundary, exactly once. The reference applies
+    * the same contract by accepting any Arrow timestamp unit on ingest
+    * (reference fletcher/base.py:64,94-105 maps all of s/ms/us/ns).
+    *
+    * Contract: `ts` (the event-time column every as-of/range/session/stream
+    * operator does integer arithmetic on) is BIGINT nanoseconds since epoch;
+    * date-like columns are TIMESTAMP_NTZ. All sessions run UTC, so every
+    * conversion below is exact integer math (no DST/offset ambiguity), and a
+    * micros→nanos widening cannot overflow (2^63 ns ≈ year 2262).
+    * SchemaContractSpec pins the post-`tbl` schema of every table so a future
+    * unit change fails ONE loud spec, not 30 queries downstream.
+    */
+  private val NanosLongCols = Set("ts")
+  private val TimestampCols = Set("l_shipdate", "o_orderdate")
+
+  private[graft] def canonicalizeTime(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      (f.name, f.dataType) match {
+        case (n, TimestampType) if NanosLongCols(n) =>
+          d.withColumn(n, unix_micros(col(n)) * lit(1000L))
+        case (n, TimestampNTZType) if NanosLongCols(n) =>
+          d.withColumn(n, unix_micros(col(n).cast(TimestampType)) * lit(1000L))
+        case (n, LongType) if TimestampCols(n) =>
+          d.withColumn(n,
+            timestamp_micros(expr(s"$n div 1000")).cast(TimestampNTZType))
+        case (n, TimestampType) if TimestampCols(n) =>
+          d.withColumn(n, col(n).cast(TimestampNTZType))
+        case _ => d
+      }
+    }
+
+  /** Read one of the driver-generated tables under the given sf directory,
+    * normalized to the canonical time-column contract above. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableLayout(spark.read.parquet(s"$dir/$name.parquet"))
+    tableLayout(canonicalizeTime(spark.read.parquet(s"$dir/$name.parquet")))
 }

@@ -25,8 +25,13 @@ object Streams {
 
   /** File-source ingest of an events directory as an unbounded stream —
     * the production entry point (each arriving parquet = one micro-batch).
-    * `ts` arrives as TIMESTAMP(NANOS) parquet → bigint nanos under
-    * `nanosAsLong`; normalized here to a true timestamp column.
+    * The file source needs an explicit schema, so the footer of whatever is
+    * currently in the directory is probed with a batch read — the stream
+    * then survives a data-layer timestamp-unit change: `ts` may arrive as
+    * BIGINT nanos (TIMESTAMP(NANOS) parquet under `nanosAsLong`), as
+    * TIMESTAMP, or as TIMESTAMP_NTZ (TIMESTAMP(MICROS)); all normalize here
+    * to one true TimestampType event-time column (sessions run UTC, so the
+    * NTZ cast is exact).
     *
     * `maxFilesPerTrigger = Some(1)` makes each staged file its own
     * micro-batch under an AvailableNow drain (the file source orders files
@@ -35,14 +40,20 @@ object Streams {
     * late-drops against a finite corpus. */
   def eventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
+    val schema = spark.read.parquet(dir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      // integer div keeps exactness: nanos/1e9 in double drops sub-µs
-      // precision for 2024-era epochs (2^53 < nanos)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = reader.parquet(dir)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div keeps exactness: nanos/1e9 in double drops sub-µs
+        // precision for 2024-era epochs (2^53 < nanos)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** File-source ingest of a documents directory as an unbounded stream —

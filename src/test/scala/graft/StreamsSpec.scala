@@ -141,17 +141,28 @@ class StreamsSpec extends SparkTestBase {
     assert(n === batchN)   // every event lands in exactly one window
   }
 
-  test("eventStream normalizes nano-long timestamps from the parquet source") {
-    // batch-mode read of the same path proves the schema + ts conversion
-    val df = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestampFromNanos)
-    assert(df.schema("ts").dataType.typeName === "timestamp")
-    assert(df.selectExpr("min(year(ts))").head.getInt(0) === 2024)
+  test("eventStream normalizes ts to TimestampType whatever the source " +
+      "parquet unit is") {
+    // drive the real streaming entry against the shipped testdata: the
+    // schema probe + normalization must yield a true timestamp column
+    val dir = "/tmp/graft_stream_norm"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = Streams.eventStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType.typeName === "timestamp",
+      s"eventStream left ts as ${stream.schema("ts").dataType}")
+    // and the values land in the corpus's year, proving the unit conversion
+    // (a nanos-as-micros mixup would shift the epoch by ×1000)
+    val years = Streams.runToTable(
+      stream.groupBy().agg(org.apache.spark.sql.functions
+        .min(org.apache.spark.sql.functions.year($"ts")).as("y")),
+      "stream_norm_year")
+    assert(years.head.getInt(0) === 2024)
   }
-
-  private def timestampFromNanos =
-    org.apache.spark.sql.functions.timestamp_seconds(
-      org.apache.spark.sql.functions.col("ts") / 1e9)
 
   // ---- multi-file replay semantics the multi-batch parity gates rely on --
 
