@@ -209,20 +209,24 @@ object Dedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)
       else df.localCheckpoint(true)
-    // pairs feeds both union branches — cache it so the (expensive)
-    // upstream pair pipeline runs once, not twice
-    val p = pairs.persist(lvl)
-    val nPairs = p.count() // eager: the union below scans p twice
-                           // concurrently — materializing first makes both
-                           // scans cache hits; also the strategy switch
     // ADAPTIVE strategy (the broadcast-join-threshold pattern): the dup-pair
     // graph is usually orders of magnitude smaller than the corpus — near-dup
     // clusters are sparse. Below the edge limit (~32 MB of longs), a driver
-    // union-find answers in one collect instead of O(log d) distributed
-    // rounds of joins + checkpoints. Above it, the iterative path keeps
+    // union-find answers the components; above it, the iterative path keeps
     // everything distributed. Both produce identical min-label components.
-    if (nPairs <= driverEdgeLimit) {
-      val spark = p.sparkSession
+    //
+    // The strategy probe is ONE bounded limit-collect (factorize's bounded-
+    // probe pattern, minus the separate count): at most limit+1 edge rows
+    // reach the driver, and in the common sparse case that collect IS the
+    // whole graph — the expensive upstream pair pipeline runs exactly once,
+    // with no full-materializing count() before the branch switch (the r11
+    // eager count+persist cost q_pipe_dup_groups 3× at gate scale). Only an
+    // over-limit graph pays the persist+count, which the distributed loop's
+    // concurrent union scans need anyway.
+    val probeLimit = math.min(driverEdgeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    val probe = pairs.select(col("id1"), col("id2")).limit(probeLimit).collect()
+    if (probe.length <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -231,7 +235,7 @@ object Dedup {
         while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      p.select(col("id1"), col("id2")).collect().foreach { row =>
+      probe.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -239,11 +243,16 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      p.unpersist()
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       import spark.implicits._
       return (rows.toDF("id", "keeper"), 0)
     }
+    // pairs feeds both union branches — cache it so the (expensive)
+    // upstream pair pipeline runs once, not twice; eager count because the
+    // union below scans p twice CONCURRENTLY, and two racing scans of a
+    // lazily-persisted frame each recompute uncached partitions
+    val p = pairs.persist(lvl)
+    p.count()
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist(lvl)

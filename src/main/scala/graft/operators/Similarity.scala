@@ -383,20 +383,33 @@ object Similarity {
     cents
   }
 
+  /** All XOR masks over `numPlanes` bit positions with popcount ≤ `radius`,
+    * ascending — the probe set of multi-probe LSH (Lv et al. 2007,
+    * "Multi-Probe LSH"): probing every bucket within Hamming distance r of
+    * the query's bucket recovers neighbors that fall just across r
+    * hyperplanes, the dominant recall loss of single-bucket SRP-LSH.
+    * |masks| = Σ_{i≤r} C(numPlanes, i) — e.g. 37 for (8, 2). */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= numPlanes, "probes in [0, numPlanes]")
+    (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+      .sorted
+  }
+
   /** ANN top-k via LSH bucket pruning: candidates sharing the query's
-    * bucket — or, with `probes` > 0, any bucket within Hamming distance 1
-    * obtained by flipping one of the first `probes` plane bits (multi-probe
-    * LSH: recovers neighbors that fall just across a hyperplane, the main
-    * recall loss of single-bucket LSH). The probe expansion happens on the
-    * tiny broadcast query side; the corpus still joins by bucket equality. */
+    * bucket — or, with `probes` = r > 0, any bucket within Hamming distance
+    * r (full multi-probe, see [[probeMasks]]). The probe expansion happens
+    * on the tiny broadcast query side — |queries|·Σ C(planes, ≤r) rows —
+    * while the corpus still joins by bucket EQUALITY, so the plan stays a
+    * broadcast hash join over one narrow corpus scan at any radius. */
   def knnLsh(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int,
       probes: Int = 0): DataFrame = {
-    require(probes >= 0 && probes <= numPlanes, "probes in [0, numPlanes]")
+    val masks = probeMasks(numPlanes, probes)
     val ps = planes(numPlanes, dim)
     val corpus = withBuckets(prepared(emb, vecCol, idCol), ps)
-    val probeBuckets = array((col("bucket") +:
-      (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val probeBuckets =
+      array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val queries = corpus.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(probeBuckets).as("qbucket"))
@@ -409,6 +422,51 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** ANN top-k via the multi-TABLE LSH OR-construction (Indyk–Motwani /
+    * Gionis et al. 1999): `numTables` independent hash tables of
+    * `bitsPerTable` hyperplanes each; a corpus row is a candidate if it
+    * shares the query's bucket in ANY table. AND within a table sharpens
+    * precision (P^b), OR across tables repairs recall (1−(1−P^b)^L) — the
+    * standard shape when single-table collision probability is low (weakly
+    * clustered corpora, where nearest-neighbor angles approach random).
+    *
+    * Scale shape: the per-table buckets are narrow literal folds over ONE
+    * corpus scan; the (table, bucket) index explodes corpus ×L as a
+    * streamed projection feeding a broadcast hash join with the probe set
+    * (never materialized, never shuffled). Only the matched candidate rows
+    * — (query_id, neighbor_id, cosine) longs+double — reach the dedup
+    * aggregate, whose shuffle is bounded by the candidate count, not the
+    * corpus. */
+  def knnLshTables(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, numTables: Int, bitsPerTable: Int,
+      dim: Int): DataFrame = {
+    require(numTables >= 1 && bitsPerTable >= 1,
+      "numTables and bitsPerTable must be >= 1")
+    val all = planes(numTables * bitsPerTable, dim)
+    val corpus = prepared(emb, vecCol, idCol)
+    def tablePlanes(t: Int) = all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+    val buckets = array((0 until numTables)
+      .map(t => lshBucket(col("v"), tablePlanes(t))): _*)
+    val indexed = corpus.select(col("id"), col("v"), col("nrm"),
+      posexplode(buckets).as(Seq("t", "b")))
+    val queries = indexed.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("t").as("qt"), col("b").as("qb"))
+    val scored = indexed.join(broadcast(queries),
+        col("t") === col("qt") && col("b") === col("qb") &&
+          col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    // a pair can match in several tables; collapse before ranking (cosine
+    // is identical across duplicates, max is just the dedup spelling)
+    val dedup = scored.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    dedup.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")
   }
 

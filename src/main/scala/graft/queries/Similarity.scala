@@ -17,6 +17,18 @@ object Similarity {
   private val K = 5
   private val NumPlanes = 8
   private val Dim = 64
+  /** Multi-table OR-construction sizing for q_sim_knn_lsh. The synthetic
+    * corpus is weakly clustered (true-neighbor cosines ≈ 0.35–0.48, so
+    * per-plane bit-agreement ≈ 0.62): a single 8-bit table collides with a
+    * true neighbor ~0.62^8 ≈ 2% of the time (measured recall 0.0 in r11).
+    * 4 tables × 4 bits gives 1−(1−0.62⁴)⁴ ≈ 0.47 expected recall at a
+    * ~25% candidate scan on the sf0.1 corpus — measured 0.45. */
+  private val NumTables = 4
+  private val BitsPerTable = 4
+  /** Multi-probe radius for q_sim_knn_lsh_mp: all buckets within Hamming
+    * distance 2 of the query's 8-bit bucket (37 probes, broadcast side
+    * only) — measured recall 0.45 at a ~12–25% candidate scan. */
+  private val ProbeRadius = 2
 
   /** Side-table handing the LEARNED k-means|| centroids to the oracle: the
     * query fn dumps the exact centroid set its plan scores with, and the
@@ -46,7 +58,13 @@ object Similarity {
   private val PqM = 4
   private val PqK = 8
   private val PqSubDim = Dim / PqM
-  private val PqRerank = 15
+  /** Exact-rerank candidate breadth. The m=4/k=8 ADC is deliberately coarse
+    * (it is the memory-compression gate), so repairing recall is entirely
+    * the re-rank's job: breadth 15 left recall at the ADC's own 0.10 in
+    * r11; 200 (10% of the sf0.1 corpus, a constant per query at any scale)
+    * measures 0.70 — clearly above pure ADC, which is the point of the
+    * gate pair. */
+  private val PqRerank = 200
 
   /** Side-table handing the SemDeDup centroids to the oracle (same
     * contract as [[CentroidDumpBase]]; separate path because the learned-
@@ -147,12 +165,16 @@ object Similarity {
   private def planeSql(w: Array[Double]): String =
     w.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
 
-  /** Σ_p (dot(v, w_p) > 0 ? 2^p : 0) — mirrors Sim.lshBucket. */
-  private def bucketSql(vecExpr: String): String =
-    Sim.planes(NumPlanes, Dim).zipWithIndex.map { case (w, p) =>
+  /** Σ_p (dot(v, w_p) > 0 ? 2^p : 0) over the given planes — mirrors
+    * Sim.lshBucket (bit index = position within `ps`). */
+  private def bucketSqlFor(vecExpr: String, ps: Seq[Array[Double]]): String =
+    ps.zipWithIndex.map { case (w, p) =>
       s"(CASE WHEN ${DuckFrag.dotSql(vecExpr, planeSql(w))} > 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(vecExpr: String): String =
+    bucketSqlFor(vecExpr, Sim.planes(NumPlanes, Dim))
 
   private val queryIdList = QueryIds.mkString("(", ", ", ")")
 
@@ -205,54 +227,69 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
-    // ANN top-k via signed-random-projection LSH: only candidates in the
-    // query's bucket are scored (2^planes fan-in reduction vs brute force).
+    // ANN top-k via the multi-table LSH OR-construction: 4 independent
+    // 4-bit signed-random-projection tables; a candidate shares the
+    // query's bucket in ANY table (AND-within sharpens precision,
+    // OR-across repairs recall — the standard sizing when single-table
+    // collision probability is low; see NumTables scaladoc).
     "q_sim_knn_lsh" -> Q(
-      (s, dir) => Sim.knnLsh(tbl(s, dir, "embeddings"), "embedding",
-          "vec_id", QueryIds, K, NumPlanes, Dim)
+      (s, dir) => Sim.knnLshTables(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", QueryIds, K, NumTables, BitsPerTable, Dim)
         .orderBy(col("query_id"), col("neighbor_id")),
-      Some(s"""$preparedCte,
-              |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
-              |q AS (
-              |  SELECT id AS query_id, v AS qv, nrm AS qn,
-              |         bucket AS qbucket
-              |  FROM b WHERE id IN $queryIdList),
-              |s AS (
-              |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
-              |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
-              |r AS (
-              |  SELECT *, row_number() OVER (
-              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
-              |  FROM s)
-              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
-              |ORDER BY query_id, neighbor_id""".stripMargin)),
+      Some {
+        val all = Sim.planes(NumTables * BitsPerTable, Dim)
+        val cols = (0 until NumTables).map { t =>
+          s"${bucketSqlFor("v", all.slice(t * BitsPerTable, (t + 1) * BitsPerTable))} AS b$t"
+        }.mkString(", ")
+        val anyTable = (0 until NumTables)
+          .map(t => s"b.b$t = q.qb$t").mkString("(", " OR ", ")")
+        val qcols = (0 until NumTables).map(t => s"b$t AS qb$t").mkString(", ")
+        s"""$preparedCte,
+           |b AS (SELECT id, v, nrm, $cols FROM n),
+           |q AS (
+           |  SELECT id AS query_id, v AS qv, nrm AS qn, $qcols
+           |  FROM b WHERE id IN $queryIdList),
+           |s AS (
+           |  SELECT query_id, b.id AS neighbor_id,
+           |         ${DuckFrag.dotSql("qv", "b.v")} / (qn * b.nrm) AS cosine
+           |  FROM b, q WHERE $anyTable AND b.id <> query_id),
+           |r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+           |  FROM s)
+           |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+           |ORDER BY query_id, neighbor_id""".stripMargin
+      }),
 
-    // Multi-probe LSH ANN: additionally probes the buckets at Hamming
-    // distance 1 on the first two planes — recovers neighbors just across
-    // a hyperplane (the main recall loss of single-bucket LSH). Probe
-    // expansion is on the broadcast query side only.
+    // Multi-probe LSH ANN: one 8-bit table, probing every bucket within
+    // Hamming distance 2 of the query's (37 probes — broadcast query side
+    // only; the corpus still joins by bucket equality). Recovers neighbors
+    // that fall just across one or two hyperplanes, the dominant recall
+    // loss of single-bucket LSH.
     "q_sim_knn_lsh_mp" -> Q(
       (s, dir) => Sim.knnLsh(tbl(s, dir, "embeddings"), "embedding",
-          "vec_id", QueryIds, K, NumPlanes, Dim, probes = 2)
+          "vec_id", QueryIds, K, NumPlanes, Dim, probes = ProbeRadius)
         .orderBy(col("query_id"), col("neighbor_id")),
-      Some(s"""$preparedCte,
-              |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
-              |q AS (
-              |  SELECT id AS query_id, v AS qv, nrm AS qn,
-              |         unnest([bucket, xor(bucket, 1), xor(bucket, 2)])
-              |           AS qbucket
-              |  FROM b WHERE id IN $queryIdList),
-              |s AS (
-              |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
-              |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
-              |r AS (
-              |  SELECT *, row_number() OVER (
-              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
-              |  FROM s)
-              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
-              |ORDER BY query_id, neighbor_id""".stripMargin)),
+      Some {
+        val masks = Sim.probeMasks(NumPlanes, ProbeRadius)
+          .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+        s"""$preparedCte,
+           |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+           |q AS (
+           |  SELECT id AS query_id, v AS qv, nrm AS qn,
+           |         unnest($masks) AS qbucket
+           |  FROM b WHERE id IN $queryIdList),
+           |s AS (
+           |  SELECT query_id, id AS neighbor_id,
+           |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+           |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
+           |r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+           |  FROM s)
+           |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+           |ORDER BY query_id, neighbor_id""".stripMargin
+      }),
 
     // IVF-cell ANN: corpus partitioned by nearest centroid (deterministic
     // seed centroids), probe = the query's cell only.
@@ -350,10 +387,10 @@ object Similarity {
               |WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
-    // PQ-ADC with exact re-rank: the top-15 ADC candidates per query are
-    // re-scored with exact cosine (only 15·|queries| full vectors move,
-    // by id-join) — the standard recall repair over pure ADC. Output is
-    // exact cosine, so recall failures surface as ranking differences.
+    // PQ-ADC with exact re-rank: the top-PqRerank ADC candidates per query
+    // are re-scored with exact cosine (only PqRerank·|queries| full vectors
+    // move, by id-join) — the standard recall repair over pure ADC. Output
+    // is exact cosine, so recall failures surface as ranking differences.
     "q_sim_knn_pq_rerank" -> Q(
       (s, dir) => {
         val (corpus, cbs) = pqTrained(s, dir)

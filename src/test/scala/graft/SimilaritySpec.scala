@@ -178,34 +178,46 @@ class SimilaritySpec extends SparkTestBase {
     } finally corpus.unpersist()
   }
 
-  test("recallVsBrute (the bench queries_recall source) is sane at the " +
-      "oracle gate scale") {
+  test("recallVsBrute (the bench queries_recall source): the recall ladder " +
+      "holds with floors at the oracle gate scale") {
     // Every input is deterministic (hash planes, seed/k-means centroids,
-    // fixed query ids), so these are exact per-dataset constants. What is
-    // safe to pin across testdata regenerations:
-    //   * the helper itself: brute-vs-brute recall is exactly 1;
-    //   * multi-probe LSH never sits below single-bucket LSH (its probe
-    //     set is a superset, so its candidate set is a superset);
-    //   * both IVF variants find a nontrivial fraction of the true top-k
-    //     (measured 0.35-0.65 across sf0.001-0.1).
-    // LSH recall is legitimately near zero on this corpus — the synthetic
-    // embeddings are near-uniform, so true top-5 neighbors rarely share an
-    // 8-plane bucket (1/256 collision baseline). The gate value is the
-    // TREND the bench records each round, not an absolute bar.
+    // fixed query ids), so these are exact per-dataset constants, and the
+    // floors are real bars, not statistics. The ladder:
+    //   brute = 1  ≥  sq8 (full scan, quantized metric)  ≥  every
+    //   pruning-based ANN  >  0, with each ANN gate ≥ 0.3 — an ANN
+    //   configuration that cannot find a third of the true top-k on its
+    //   own corpus is a broken operating point, not a tradeoff (that was
+    //   r11's single-table LSH: recall 0.0).
+    // The synthetic corpus is weakly clustered (true-neighbor cosines
+    // 0.35-0.48), so these floors demand honest candidate breadth:
+    // multi-table OR-construction for lsh, Hamming<=2 probing for lsh_mp,
+    // 200-wide exact re-rank for pq_rerank (measured 0.4-0.7 across
+    // sf0.001-0.1).
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8"))
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8",
+        "q_sim_knn_pq", "q_sim_knn_pq_rerank"))
     assert(rec("q_sim_knn_brute") === 1.0)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
-    assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"))
-    assert(rec("q_sim_knn_ivf") >= 0.3, rec.toString)
-    assert(rec("q_sim_knn_ivf_learned") >= 0.3, rec.toString)
+    for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
+        "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank"))
+      assert(rec(ann) >= 0.3, s"$ann below the 0.3 recall floor: $rec")
+    // pure ADC is the deliberately-coarse memory-compression rung; its only
+    // bars are "nonzero" and "the re-rank repairs it" (the pair's point)
+    assert(rec("q_sim_knn_pq") > 0.0, rec.toString)
+    assert(rec("q_sim_knn_pq_rerank") > rec("q_sim_knn_pq"),
+      s"exact re-rank did not repair ADC recall: $rec")
     // 8-bit scalar quantization on 64 normalized dims loses almost
     // nothing: near-exact by construction, and it must dominate every
     // pruning-based ANN (it scans the full corpus, only the metric is
     // quantized)
     assert(rec("q_sim_knn_sq8") >= 0.8, rec.toString)
-    assert(rec("q_sim_knn_sq8") >= rec("q_sim_knn_ivf_learned"), rec.toString)
+    // (pq_rerank is excluded: its exact re-rank over a wide candidate set
+    // can legitimately out-recall sq8's quantized full scan)
+    for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
+        "q_sim_knn_ivf_learned", "q_sim_knn_pq"))
+      assert(rec("q_sim_knn_sq8") >= rec(ann),
+        s"full-scan sq8 below pruning/quantized $ann: $rec")
   }
 }
