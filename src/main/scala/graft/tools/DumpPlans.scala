@@ -50,7 +50,13 @@ object DumpPlans {
       "q_topk" -> "TakeOrderedAndProject (no full sort)",
       "q_pipe_dedup_minhash" -> ("banded LSH: only (band,key,id) through the " +
         "explode shuffle; signatures persisted once"),
-      "q_sim_knn_lsh" -> "bucket equi-join; corpus never shuffles (broadcast q)",
+      "q_sim_knn_lsh" -> ("multi-table OR-construction: per-table buckets " +
+        "as narrow literal folds over ONE scan, (table,bucket) posexplode " +
+        "streamed into a broadcast hash equi-join; only candidate rows " +
+        "(longs+double) reach the dedup aggregate's exchange"),
+      "q_sim_knn_lsh_mp" -> ("Hamming<=2 multi-probe: 37-mask probe " +
+        "expansion on the broadcast QUERY side only; corpus joins by " +
+        "bucket equality, never shuffles"),
       "q_sim_knn_ivf" -> "centroid broadcast; per-id cell resolve; cell probe",
       "q_sim_knn_ivf_learned" -> ("learned k-means|| centroids folded as ONE " +
         "literal; narrow argmax cell assignment (no join/window for assign); " +
