@@ -220,12 +220,23 @@ object Dedup {
     // reach the driver, and in the common sparse case that collect IS the
     // whole graph — the expensive upstream pair pipeline runs exactly once,
     // with no full-materializing count() before the branch switch (the r11
-    // eager count+persist cost q_pipe_dup_groups 3× at gate scale). Only an
-    // over-limit graph pays the persist+count, which the distributed loop's
-    // concurrent union scans need anyway.
-    val probeLimit = math.min(driverEdgeLimit + 1, Int.MaxValue.toLong - 1).toInt
-    val probe = pairs.select(col("id1"), col("id2")).limit(probeLimit).collect()
-    if (probe.length <= driverEdgeLimit) {
+    // eager count+persist cost q_pipe_dup_groups 3× at gate scale).
+    //
+    // The persist sits UNDER the probe: the probe's incremental jobs warm
+    // the cache for whatever partitions they compute, so an over-limit
+    // graph's follow-up count() only computes the remainder — the
+    // expensive upstream never runs twice on either branch. A limit above
+    // what a driver collect could ever hold skips the probe entirely (no
+    // silent union-find over a TRUNCATED edge set — dropped edges would
+    // split components and produce wrong dedup decisions).
+    val p = pairs.persist(lvl)
+    val probeable = driverEdgeLimit < Int.MaxValue.toLong - 1
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (probeable)
+        p.select(col("id1"), col("id2"))
+          .limit(driverEdgeLimit.toInt + 1).collect()
+      else Array.empty
+    if (probeable && probe.length <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -243,15 +254,14 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
+      p.unpersist()
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       import spark.implicits._
       return (rows.toDF("id", "keeper"), 0)
     }
-    // pairs feeds both union branches — cache it so the (expensive)
-    // upstream pair pipeline runs once, not twice; eager count because the
-    // union below scans p twice CONCURRENTLY, and two racing scans of a
-    // lazily-persisted frame each recompute uncached partitions
-    val p = pairs.persist(lvl)
+    // eager count before the union: it scans p twice CONCURRENTLY, and two
+    // racing scans of a partially-cached frame each recompute uncached
+    // partitions; the count reuses everything the probe already cached
     p.count()
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))

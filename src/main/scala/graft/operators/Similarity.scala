@@ -391,9 +391,16 @@ object Similarity {
     * |masks| = Σ_{i≤r} C(numPlanes, i) — e.g. 37 for (8, 2). */
   def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
     require(radius >= 0 && radius <= numPlanes, "probes in [0, numPlanes]")
-    (0L until (1L << numPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= radius)
-      .sorted
+    require(numPlanes >= 0 && numPlanes <= 63,
+      s"numPlanes $numPlanes outside [0, 63]: bucket bits live in one Long")
+    // combinatorial generation — Σ_{i≤r} C(numPlanes, i) masks, NOT a
+    // 2^numPlanes range scan (which would hang past ~28 planes and
+    // silently misbehave at 63/64 where 1L << n wraps)
+    def choose(from: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (from until numPlanes).flatMap(p =>
+        choose(p + 1, left - 1, acc | (1L << p)))
+    (0 to radius).flatMap(r => choose(0, r, 0L)).distinct.sorted
   }
 
   /** ANN top-k via LSH bucket pruning: candidates sharing the query's

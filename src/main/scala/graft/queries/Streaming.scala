@@ -30,41 +30,52 @@ object Streaming {
     * silently reusing a stale one. */
   private val StageRoot = java.nio.file.Paths.get("/tmp/graft_stream_stage")
 
-  /** (prefix, fingerprint): the prefix names the source+variant, the
-    * fingerprint the source generation — kept separate so staging can GC
-    * stale generations of the same prefix. */
-  private def stageKey(dir: String, file: String,
-      variant: String): (String, String) = {
+  private def sanitizedName(dir: String, file: String): String =
+    (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def fingerprint(dir: String, file: String): String = {
     val src = java.nio.file.Paths.get(dir, file)
-    val sanitized = (dir + "/" + file).replaceAll("[^A-Za-z0-9.]", "_")
-    val fp = s"${java.nio.file.Files.size(src)}_" +
+    s"${java.nio.file.Files.size(src)}_" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    (s"$sanitized$variant", fp)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
+  /** java.nio directory streams hold an open fd until closed — drain them
+    * eagerly under try/finally (a long-lived session stages many sources). */
+  private def listClosing(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try { import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
   }
 
-  private def staged(key: (String, String))(
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val st = java.nio.file.Files.walk(p)
+    val all = try { import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
+    all.reverse.foreach(java.nio.file.Files.delete)
+  }
+
+  /** Idempotent stage-or-reuse with generation GC. `variantRe` is the
+    * regex CLASS of the variant (e.g. `_multi\d+` matching any
+    * SplitRuleVersion, or empty for the plain copy): any directory of the
+    * same source + variant class whose name is not the current key is a
+    * dead generation — an older fingerprint (data regeneration) or an
+    * older rule version — and is pruned, so the scratch root never
+    * accretes. The fingerprint tail (`_\d+_\d+`) keeps the empty-variant
+    * pattern from swallowing the `_multiN` variants of the same source. */
+  private def staged(sanitized: String, variantRe: String, name: String)(
       fill: java.nio.file.Path => Unit): String = {
-    val (prefix, fp) = key
-    val stage = StageRoot.resolve(s"${prefix}_$fp")
+    val stage = StageRoot.resolve(name)
     val marker = stage.resolve(".staged")
     if (!java.nio.file.Files.exists(marker)) {
-      // GC stale fingerprints of the same source+variant — without this a
-      // regenerated source accretes one dead staged copy per generation.
-      // The fingerprint shape (\d+_\d+) keeps the match exact: the bare
-      // events prefix cannot swallow its own _multiN variants.
       if (java.nio.file.Files.isDirectory(StageRoot)) {
-        import scala.jdk.CollectionConverters._
-        val fpRe = (java.util.regex.Pattern.quote(prefix) + "_\\d+_\\d+").r
-        java.nio.file.Files.list(StageRoot).iterator().asScala
-          .filter(p => fpRe.matches(p.getFileName.toString) &&
-            p.getFileName.toString != s"${prefix}_$fp")
-          .toSeq.foreach(deleteRecursively)
+        val re = (java.util.regex.Pattern.quote(sanitized) + variantRe +
+          "_\\d+_\\d+").r
+        listClosing(StageRoot)
+          .filter(p => re.matches(p.getFileName.toString) &&
+            p.getFileName.toString != name)
+          .foreach(deleteRecursively)
       }
       java.nio.file.Files.createDirectories(stage)
       fill(stage)
@@ -73,13 +84,15 @@ object Streaming {
     stage.toString
   }
 
-  private def stageDir(dir: String, file: String): String =
-    staged(stageKey(dir, file, "")) { stage =>
+  private def stageDir(dir: String, file: String): String = {
+    val s = sanitizedName(dir, file)
+    staged(s, "", s"${s}_${fingerprint(dir, file)}") { stage =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, file),
         stage.resolve(file),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+  }
 
   /** Gate drains clamp streaming STATE partitions to 8 (see
     * Streams.withStatePartitions): every micro-batch commits one
@@ -134,8 +147,12 @@ object Streaming {
     * StreamsSpec pins this too), so the window/session parity oracles stay
     * the plain whole-table SQL. */
   private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
-      dir: String): String =
-    staged(stageKey(dir, "events.parquet", s"_multi$SplitRuleVersion")) {
+      dir: String): String = {
+    val san = sanitizedName(dir, "events.parquet")
+    // variant class `_multi\d+`: the GC prunes BOTH stale fingerprints
+    // (data regenerations) and stale SplitRuleVersions of this source
+    staged(san, "_multi\\d+",
+        s"${san}_multi${SplitRuleVersion}_${fingerprint(dir, "events.parquet")}") {
         stage =>
       // canonicalize at stage time: the staged replay files always carry
       // BIGINT-nanos ts whatever unit the source parquet was regenerated
@@ -157,8 +174,7 @@ object Streaming {
         val tmp = stage.resolve(s"b${i + 1}.tmpdir")
         df.filter(pred).coalesce(1).write.mode("overwrite")
           .parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
+        val part = listClosing(tmp)
           .find(_.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file under $tmp"))
         val target = stage.resolve(s"b${i + 1}.parquet")
@@ -167,10 +183,10 @@ object Streaming {
         // fixed ascending mtimes pin the file-source replay order (the
         // source sorts oldest-first); constants keep re-stages stable
         target.toFile.setLastModified(1700000000000L + i * 60000L)
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
+        deleteRecursively(tmp)
       }
     }
+  }
 
   val defs: Map[String, Q] = Map(
     // Streaming corpus QUALITY filtering: the stateless quality/lang

@@ -40,7 +40,17 @@ object Streams {
     * late-drops against a finite corpus. */
   def eventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    // An EMPTY landing directory (production cold start: the stream is
+    // started before the first file arrives) has no footer to probe —
+    // fall back to the canonical staged layout (BIGINT-nanos ts) so the
+    // stream still starts and picks up files as they land.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+      }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val df = reader.parquet(dir)

@@ -220,4 +220,21 @@ class SimilaritySpec extends SparkTestBase {
       assert(rec("q_sim_knn_sq8") >= rec(ann),
         s"full-scan sq8 below pruning/quantized $ann: $rec")
   }
+
+  test("probeMasks: combinatorial counts, distinct ascending, no 2^n " +
+      "enumeration at high plane counts") {
+    assert(Similarity.probeMasks(8, 0) === Seq(0L))
+    assert(Similarity.probeMasks(8, 1).length === 9)     // 1 + C(8,1)
+    val m = Similarity.probeMasks(8, 2)
+    assert(m.length === 37)                              // 1 + 8 + C(8,2)
+    assert(m === m.sorted && m.distinct.length === m.length)
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2))
+    // high plane counts must stay O(masks), not O(2^planes) — this call
+    // would hang (or silently return wrong masks at the Long shift wrap)
+    // under a range-scan implementation
+    val big = Similarity.probeMasks(63, 1)
+    assert(big.length === 64 && big.contains(1L << 62))
+    intercept[IllegalArgumentException](Similarity.probeMasks(64, 1))
+    intercept[IllegalArgumentException](Similarity.probeMasks(8, 9))
+  }
 }

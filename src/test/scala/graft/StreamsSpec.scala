@@ -141,6 +141,19 @@ class StreamsSpec extends SparkTestBase {
     assert(n === batchN)   // every event lands in exactly one window
   }
 
+  test("eventStream starts on an EMPTY landing directory (production cold " +
+      "start: stream up before the first file arrives)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-empty").toString
+    val stream = Streams.eventStream(spark, dir)
+    assert(stream.isStreaming)
+    // fallback schema is the canonical staged layout, normalized to a true
+    // timestamp column like any other arrival
+    assert(stream.schema("ts").dataType.typeName === "timestamp")
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
   test("eventStream normalizes ts to TimestampType whatever the source " +
       "parquet unit is") {
     // drive the real streaming entry against the shipped testdata: the
