@@ -128,11 +128,10 @@ class SimilaritySpec extends SparkTestBase {
     // skew failure IVF exists to avoid (one task scans ~everything, and a
     // probe of that cell is brute force in disguise). Pin cell-count and
     // bounded imbalance for BOTH centroid sources on the gate corpus; the
-    // values are deterministic per dataset. This is also why learned-IVF
-    // recall can sit BELOW seed-IVF here without indicating a bug: on this
-    // near-uniform corpus both partitions are balanced (max/min < 2), so
-    // per-cell candidate sets are ~n/8 either way and recall@5 over 4
-    // fixed queries is a 0.05-granularity constant, not a quality ladder.
+    // values are deterministic per dataset. (Recall quality is the
+    // 40-query panel's business — see recallVsBrute; on that panel the
+    // learned centroids out-recall the seed heuristic at equal probe
+    // breadth, 0.55 vs 0.46 at nProbe=2.)
     val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
     try {
       val seed = corpus.filter($"id" < 8).collect()
@@ -181,8 +180,12 @@ class SimilaritySpec extends SparkTestBase {
   test("recallVsBrute (the bench queries_recall source): the recall ladder " +
       "holds with floors at the oracle gate scale") {
     // Every input is deterministic (hash planes, seed/k-means centroids,
-    // fixed query ids), so these are exact per-dataset constants, and the
-    // floors are real bars, not statistics. The ladder:
+    // the fixed 40-query RecallPanel), so these are exact per-dataset
+    // constants, and the floors are real bars, not statistics. The panel
+    // matters: 4-query recall has 0.05 granularity and r12 measured random
+    // centroid placement alone moving it 0.00–0.65 on this corpus; 40
+    // queries × k=5 = 200 pairs puts the noise well under the floor gaps.
+    // The ladder:
     //   brute = 1  ≥  sq8 (full scan, quantized metric)  ≥  every
     //   pruning-based ANN  >  0, with each ANN gate ≥ 0.3 — an ANN
     //   configuration that cannot find a third of the true top-k on its
@@ -191,8 +194,8 @@ class SimilaritySpec extends SparkTestBase {
     // The synthetic corpus is weakly clustered (true-neighbor cosines
     // 0.35-0.48), so these floors demand honest candidate breadth:
     // multi-table OR-construction for lsh, Hamming<=2 probing for lsh_mp,
-    // 200-wide exact re-rank for pq_rerank (measured 0.4-0.7 across
-    // sf0.001-0.1).
+    // 2-of-8-cell probing for both IVF gates, 200-wide exact re-rank for
+    // pq_rerank (panel recall 0.40–0.84 across gates and scales).
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
