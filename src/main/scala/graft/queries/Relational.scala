@@ -720,6 +720,33 @@ object Relational {
       Some("""SELECT p_partkey,
              |  CAST(unnest(range(len(string_split(p_name, ' ')))) AS INTEGER) AS pos,
              |  unnest(string_split(p_name, ' ')) AS tok
-             |FROM part ORDER BY p_partkey, pos""".stripMargin))
+             |FROM part ORDER BY p_partkey, pos""".stripMargin)),
+
+    // Z-order (Morton) layout key: the bit-interleaved clustering value
+    // operators.Layout.clusterByZ range-partitions files by, giving every
+    // written file a tight min/max box in BOTH dimensions — the write-time
+    // layout that makes a parquet scan prune on either column at 100 TB
+    // (ZOrderSpec measures the footer-level pruning win; this gate pins the
+    // key's integer arithmetic bitwise cross-engine). Pure codegen'd
+    // shift/mask projection — no shuffle beyond the output ORDER BY.
+    "q_layout_zorder" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            graft.operators.Layout.zValue(
+              Seq($"l_partkey", $"l_suppkey"), bits = 16).as("zval"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some {
+        def pm(c: String) = s"((($c % 65536) + 65536) % 65536)"
+        s"""SELECT l_orderkey, l_linenumber,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, 16), j ->
+           |      (((${pm("l_partkey")} >> j) & 1) << (j * 2)) |
+           |      (((${pm("l_suppkey")} >> j) & 1) << (j * 2 + 1)))),
+           |    (a, x) -> a | x) AS zval
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      })
   )
 }

@@ -619,6 +619,53 @@ object Similarity {
               |FROM assign a LEFT JOIN grp g ON g.id = a.id
               |ORDER BY a.id""".stripMargin)),
 
+    // kNN label classification over the exact top-k neighbors: majority
+    // vote of the neighbors' labels (ties break to the smallest label) —
+    // the label-propagation step a training pipeline runs to extend a
+    // small labeled seed set over an unlabeled corpus (fastText-style
+    // quality classifiers). Scale shape: the k·|queries| candidate set
+    // broadcasts into the label join; the corpus side never shuffles.
+    "q_sim_knn_classify" -> Q(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val nn = Sim.knnBrute(emb, "embedding", "vec_id", QueryIds, K)
+        val votes = broadcast(nn.select(col("query_id"), col("neighbor_id")))
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+            "neighbor_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label"))
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("label").as("pred_label"),
+            col("votes"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$preparedCte,
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn FROM n
+              |  WHERE id IN $queryIdList),
+              |sc AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |  FROM n, q WHERE id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM sc),
+              |v AS (
+              |  SELECT query_id, e.label, count(*) AS votes
+              |  FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+              |  WHERE rn <= $K GROUP BY query_id, e.label),
+              |w AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY votes DESC, label) wrn
+              |  FROM v)
+              |SELECT query_id, label AS pred_label, votes FROM w
+              |WHERE wrn = 1 ORDER BY query_id""".stripMargin)),
+
     // Embedding near-dup pairs, LSH-bucketed: pairs sharing a bucket with
     // cosine ≥ τ. The bucket equi-join keeps the pair space ~n²/2^planes —
     // the scale path; raw all-pairs stays an explicitly-opt-in API.

@@ -207,6 +207,42 @@ object Streams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Scratch checkpoint root for the finite-replay drains below. A MEMORY
+    * sink is explicitly non-recoverable (its contents die with the
+    * session), so a durable checkpoint buys a drain nothing — but the
+    * state store still fsyncs one delta file per store per partition per
+    * micro-batch into it. On a disk-backed temp dir those fsyncs ARE the
+    * wall time of a small staged replay (measured: the two stream-stream
+    * join gates spend most of their 4-5 s there). Point the scratch at
+    * tmpfs when the host has one; production jobs with real sinks keep
+    * durable checkpoints — this root is only ever used by the
+    * memory-sink drains. */
+  private val ScratchCkptRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isDirectory(shm)) shm
+      else java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+    base.resolve("graft_stream_ckpt")
+  }
+
+  private def drainTo(df: DataFrame, name: String, mode: OutputMode)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
+    val ckpt = ScratchCkptRoot.resolve(unique)
+    val q = df.writeStream.format("memory").queryName(unique)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally {
+      recordBatches(q); q.stop()
+      try graft.queries.Streaming.deleteRecursively(ckpt)
+      catch { case _: java.io.IOException => () } // scratch; best-effort
+    }
+    spark.table(unique)
+  }
+
   /** Drain a FINITE stream to completion and return the result as a batch
     * DataFrame: AvailableNow trigger (process everything currently in the
     * source, then stop) into a Complete-mode memory sink. This is the
@@ -214,30 +250,15 @@ object Streams {
     * be value-compared against a batch/oracle computation of the same
     * aggregation (the stream/batch parity gate). Table names are
     * uniquified per run; the tiny memory sink holds only the AGGREGATED
-    * result, never the input. */
-  def runToTable(df: DataFrame, name: String): DataFrame = {
-    val spark = df.sparkSession
-    val unique = s"${name}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(unique)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally { recordBatches(q); q.stop() }
-    spark.table(unique)
-  }
+    * result, never the input. Checkpoints go to [[ScratchCkptRoot]] and
+    * are removed when the drain ends. */
+  def runToTable(df: DataFrame, name: String): DataFrame =
+    drainTo(df, name, OutputMode.Complete())
 
   /** [[runToTable]] for APPEND-mode plans (dedup, watermark-finalized
     * windows): rows are emitted once and accumulated by the memory sink. */
-  def runToTableAppend(df: DataFrame, name: String): DataFrame = {
-    val spark = df.sparkSession
-    val unique = s"${name}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(unique)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally { recordBatches(q); q.stop() }
-    spark.table(unique)
-  }
+  def runToTableAppend(df: DataFrame, name: String): DataFrame =
+    drainTo(df, name, OutputMode.Append())
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count and mean value, emitted on every update — the

@@ -23,8 +23,11 @@ class PlanGuardSpec extends SparkTestBase {
   //     design — the corpus side never shuffles.
   //   q_pipe_tfidf — crossJoin(broadcast(n_docs)): a 1-row global count
   //     attached to every row.
+  //   q_sim_knn_classify — majority vote OVER q_sim_knn_brute's output:
+  //     inherits the same broadcast-query BNLJ scan.
   private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
-    "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf")
+    "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf",
+    "q_sim_knn_classify")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to
