@@ -158,7 +158,16 @@ object DumpPlans {
       "q_jsonl_roundtrip" -> ("jsonl boundary: distributed write (one " +
         "file per partition) + schema-pinned distributed read — no " +
         "driver materialization, no inference scan; the only exchange " +
-        "is the gate's deterministic ORDER BY"))
+        "is the gate's deterministic ORDER BY"),
+      "q_layout_zorder" -> ("Morton z-value: one narrow WholeStageCodegen " +
+        "projection of 32 shift/mask terms over a 4-column pruned scan — " +
+        "zero exchanges before the gate's ORDER BY; clusterByZ adds only " +
+        "a range exchange at write time (ZOrderSpec measures the " +
+        "resulting per-file min/max pruning)"),
+      "q_sim_knn_classify" -> ("kNN label vote: the k·|queries| candidate " +
+        "set from the brute scan BROADCASTS into the label join (corpus " +
+        "side never shuffles); the vote window partitions by query_id — " +
+        "state bounded by |queries|·|labels|"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
