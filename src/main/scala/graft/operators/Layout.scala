@@ -29,13 +29,15 @@ object Layout {
     * column `c` lands at interleaved position `j * n + c`. Columns must
     * already be non-negative and < 2^bits (see [[zRank]] for the generic
     * quantize-first path); values are masked with pmod to keep the
-    * expression total on arbitrary longs. With n·bits ≤ 63 the result fits
-    * a BIGINT. Built entirely from codegen'd bitwise primitives — one
+    * expression total on arbitrary longs. With n·bits ≤ 62 the result (and
+    * the 1L << bits mask) fits a positive BIGINT. Built entirely from codegen'd bitwise primitives — one
     * whole-stage-codegen projection, no UDF. */
   def zValue(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
     require(n >= 1, "zValue needs at least one column")
-    require(n * bits <= 63, s"$n cols x $bits bits overflows a signed long")
+    require(bits >= 1, "zValue needs at least one bit per column")
+    // <= 62, not 63: the pmod mask is 1L << bits, which must stay positive
+    require(n * bits <= 62, s"$n cols x $bits bits overflows a signed long")
     val mask = 1L << bits
     val terms = for {
       (c, ci) <- cols.zipWithIndex
@@ -67,9 +69,12 @@ object Layout {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = df.stat.approxQuantile(colName, probs, 1e-4)
     val c = df.col(colName).cast("double")
-    bounds.distinct.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(c > lit(b), lit(1L)).otherwise(lit(0L))
-    }
+    // ONE array literal folded with `aggregate` — not 2^bits − 1 chained
+    // when() nodes, which would bloat the plan and overflow codegen's
+    // method limit at the upper bits settings (same convention as
+    // Similarity.lshBucket's plane literal).
+    aggregate(typedLit(bounds.distinct.toSeq), lit(0L),
+      (acc, b) => acc + when(c > b, lit(1L)).otherwise(lit(0L)))
   }
 
   /** Cluster `df` for multi-dimensional scan pruning: range-partition by

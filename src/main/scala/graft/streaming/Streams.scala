@@ -217,12 +217,44 @@ object Streams {
     * tmpfs when the host has one; production jobs with real sinks keep
     * durable checkpoints — this root is only ever used by the
     * memory-sink drains. */
-  private val ScratchCkptRoot: java.nio.file.Path = {
+  private val ScratchCkptBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isDirectory(shm)) shm
       else java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir", "/tmp"))
     base.resolve("graft_stream_ckpt")
+  }
+
+  /** Per-JVM checkpoint root: `<base>/<pid>` — two concurrent JVMs (a
+    * test suite beside an oracle run at another SF, the scenario the
+    * oracle side-tables already engineer for) can never write the same
+    * checkpoint even when their drain names and runSeq counters align,
+    * and a crashed run's leftovers (its finally never executed) can never
+    * be RESUMED by a later process: a fresh pid means a fresh root, and a
+    * resumed stale checkpoint would make Complete-mode drains silently
+    * return empty (all offsets already committed). Stale roots of dead
+    * pids are pruned lazily on first use — best-effort GC, matching the
+    * staged-source generation GC above. */
+  private lazy val ScratchCkptRoot: java.nio.file.Path = {
+    val pid = ProcessHandle.current().pid()
+    try {
+      if (java.nio.file.Files.isDirectory(ScratchCkptBase))
+        listClosing(ScratchCkptBase).foreach { p =>
+          val dead = p.getFileName.toString.toLongOption.exists { other =>
+            val h = ProcessHandle.of(other)
+            other != pid && !(h.isPresent && h.get().isAlive)
+          }
+          if (dead) graft.queries.Streaming.deleteRecursively(p)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () } // GC best-effort
+    ScratchCkptBase.resolve(pid.toString)
+  }
+
+  private def listClosing(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try { import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
   }
 
   private def drainTo(df: DataFrame, name: String, mode: OutputMode)
@@ -237,8 +269,11 @@ object Streams {
       .start()
     try q.awaitTermination() finally {
       recordBatches(q); q.stop()
+      // scratch; best-effort — NonFatal, not just IOException: Files.walk
+      // surfaces mid-traversal races as UncheckedIOException, and a failed
+      // delete must never mask the drain's own outcome
       try graft.queries.Streaming.deleteRecursively(ckpt)
-      catch { case _: java.io.IOException => () } // scratch; best-effort
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.table(unique)
   }

@@ -40,6 +40,20 @@ class ZOrderSpec extends SparkTestBase {
     assert(z == 0xAAAAAAAAL)
   }
 
+  test("zValue rejects sizings that would break the mask or the key") {
+    // bits = 0 would reduce an empty term list; 1L << 63 is negative, so a
+    // 63-bit mask would sign-extend garbage into the key
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x")), bits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x")), bits = 63)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y")), bits = 32)
+    }
+  }
+
   test("zRank buckets a skewed column into [0, 2^bits) preserving order") {
     val df = (1 to 1000).map(i => i.toLong * i).toDF("v")
     val ranked = df.select(col("v"),
