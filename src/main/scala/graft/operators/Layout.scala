@@ -77,6 +77,32 @@ object Layout {
       (acc, b) => acc + when(c > b, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Small-file compaction: rewrite a file-backed DataFrame into
+    * ~`targetBytes`-sized output partitions. The 100 TB problem this
+    * solves is the inverse of splitting: a streaming ingest or
+    * fine-partitioned ETL leaves millions of KB-scale files, and every
+    * downstream scan then pays one task + one footer read + one open per
+    * file — compaction is the standard periodic rewrite (Delta/Iceberg
+    * `OPTIMIZE`). Sizing uses the REAL on-disk bytes of the input files
+    * (`df.inputFiles`, a driver-side listing the scan already performed —
+    * bounded by file count, no data pass), not Catalyst's post-codec
+    * size estimate. Shrinking uses `coalesce` (no shuffle: tasks just
+    * read several input files each); growing uses a round-robin
+    * `repartition` (a genuine split needs the shuffle). */
+  def compact(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = df.inputFiles
+    require(files.nonEmpty,
+      "compact sizes from input files; this DataFrame exposes none")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val total = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    if (n < df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
+  }
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition by
     * the interleaved z-value into `numFiles` output partitions and sort
     * within each, so each written file covers a contiguous z-range — a

@@ -298,6 +298,50 @@ object Aggregates {
              |  TRUE AS merged_est_ok,
              |  COUNT(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-key z-score outlier flagging (training-pipeline outlier removal /
+    // sensor-anomaly shape): per-user mean/std of `value` from exact
+    // decimal power sums (order-independent, engine-agnostic — see detSum),
+    // then every event flagged by |value − μ| > 2σ. No division by σ, so a
+    // zero-variance user flags nothing instead of dividing by zero; the
+    // variance is clamped at 0 before sqrt (the decimal moments make the
+    // tiny-negative float case unreachable, but the clamp keeps both
+    // engines off sqrt(<0), where IEEE NaN vs SQL NULL would diverge).
+    // Scale shape: one partial/final agg keyed by user + one shuffle join
+    // back on the same key — stats are |users| rows, events never collect.
+    "q_outlier_zscore" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.detSum
+        val ev = tbl(s, dir, "events")
+        val n = count($"value").cast("double")
+        val s1 = detSum($"value", 6)
+        val s2 = sum(($"value" * $"value").cast(
+          org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+        val stats = ev.groupBy($"user_id")
+          .agg(n.as("n"), s1.as("s1"), s2.as("s2"))
+          .filter($"n" >= 2)
+          .select($"user_id", ($"s1" / $"n").as("mu"),
+            sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1.0)),
+              lit(0.0))).as("sd"))
+        ev.join(stats, "user_id")
+          .select($"event_id", $"user_id", $"value",
+            (abs($"value" - $"mu") > lit(2.0) * $"sd").as("is_outlier"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH st AS (
+             |  SELECT user_id,
+             |    CAST(COUNT(value) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+             |  FROM events GROUP BY user_id
+             |  HAVING CAST(COUNT(value) AS DOUBLE) >= 2)
+             |SELECT e.event_id, e.user_id, e.value,
+             |  abs(e.value - s1 / n) >
+             |    2.0 * sqrt(greatest((s2 - s1*s1/n) / (n - 1.0), 0.0))
+             |    AS is_outlier
+             |FROM events e JOIN st USING (user_id)
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

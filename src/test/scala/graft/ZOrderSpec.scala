@@ -129,6 +129,63 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("compact rewrites a many-small-file table into few full files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      val src = s"$dir/small"
+      val out = s"$dir/compacted"
+      tblHelper("lineitem").repartition(64).write.parquet(src)
+      def parquetFiles(d: String) =
+        new java.io.File(d).listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+      val smallFiles = parquetFiles(src)
+      assert(smallFiles.size == 64)
+      val totalBytes = smallFiles.map(_.length).sum
+      // the scan's file packing would fold 64 KB-scale files into one read
+      // partition (openCost packing) and compact would rightly take the
+      // repartition path; shrink maxPartitionBytes so the scan yields many
+      // partitions and the shuffle-free coalesce branch is what's on trial
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+      val reread = spark.read.parquet(src)
+      // target a quarter of the input (ceil, so n lands exactly on 4)
+      val compacted = Layout.compact(reread, (totalBytes + 3) / 4)
+      assert(compacted.rdd.getNumPartitions == 4)
+      compacted.write.parquet(out)
+      assert(parquetFiles(out).size == 4)
+      // a rewrite, not a transformation: contents unchanged
+      assert(compacted.count() == reread.count())
+      assert(spark.read.parquet(out).select("l_orderkey", "l_linenumber")
+        .except(reread.select("l_orderkey", "l_linenumber")).isEmpty)
+      // shrink path must be shuffle-free: the logical node is a
+      // non-shuffling Repartition (coalesce) — checked on the LOGICAL
+      // plan, which the AQE wrapper can't vacuate
+      val shuffling = compacted.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.shuffle => r
+      }
+      assert(shuffling.isEmpty, "compaction shrink must not shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+      graft.queries.Streaming.deleteRecursively(dir)
+    }
+  }
+
+  test("compact grows the partition count when files exceed the target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_grow")
+    try {
+      val src = s"$dir/big"
+      tblHelper("lineitem").coalesce(1).write.parquet(src)
+      val total = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val grown = Layout.compact(spark.read.parquet(src), total / 8 + 1)
+      assert(grown.rdd.getNumPartitions == 8)
+    } finally {
+      graft.queries.Streaming.deleteRecursively(dir)
+    }
+  }
+
   private def tblHelper(name: String) =
     graft.queries.tbl(spark, sf0001, name)
 
