@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join (record linkage / fuzzy dedup) via
+  * deletion-neighborhood blocking — the SymSpell / FastSS family (Bocek et
+  * al. 2007, "Fast Similarity Search in Large Dictionaries"): two strings
+  * within edit distance 1 necessarily share a member of their
+  * deletion-1 neighborhoods (equal → the string itself; substitution at p →
+  * both delete-p variants coincide; insert/delete → the shorter string IS a
+  * deletion variant of the longer). The neighborhood is therefore a
+  * COMPLETE blocking key: candidate generation is an equi-join on it, and
+  * an exact `levenshtein` verify prunes the false positives the pigeonhole
+  * admits (e.g. "ab"/"ba" share deletion residues at distance 2).
+  *
+  * Scale shape (the reason this beats a θ-join): the index is O(n·(L+1))
+  * rows of (64-bit key hash, id) — the raw text never enters the candidate
+  * shuffle (variants are hashed with xxhash64 in-row; collisions only ADD
+  * candidates, which the verify removes). The candidate equi-join shuffles
+  * longs, pairs dedup by (id1, id2), and only the surviving pair list joins
+  * text back (two id-keyed joins) for the verify. A Levenshtein θ-join
+  * would be a cartesian BNLJ — quadratic and forbidden by PlanGuardSpec;
+  * this plan is three hash joins, all linear in index + candidate size.
+  *
+  * Reference analog: fletcher's string surface ends at exact kernels
+  * (reference fletcher/algorithms/string.py); fuzzy matching is the
+  * standard data-cleaning step layered above it, included here as a
+  * beyond-parity pipeline component.
+  */
+object Fuzzy {
+
+  /** All deletion-1 variants of `s` hashed to 64-bit keys: element 0 is the
+    * string itself, element i (1-based) the string with char i removed.
+    * Pure column expressions (transform over a sequence generator) — no UDF,
+    * stays inside codegen. */
+  private def delKeyHashes(s: Column): Column =
+    transform(
+      sequence(lit(0), length(s)),
+      i => xxhash64(
+        when(i === 0, s).otherwise(
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s) - i)))))
+
+  /** Pairs (id1 < id2) from `df` whose `strCol` values are within edit
+    * distance 1, with the exact distance. Output: (id1, id2, ed).
+    *
+    * `idCol` must be unique and non-null; `strCol` non-null. */
+  def edSelfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__fz_id"), col(strCol).as("__fz_s"))
+    // (key, id) index — text stays out of the widest shuffle.
+    val keys = base.select(col("__fz_id"),
+      explode(delKeyHashes(col("__fz_s"))).as("__fz_k"))
+    val cands = keys.as("a")
+      .join(keys.as("b"), col("a.__fz_k") === col("b.__fz_k"))
+      .where(col("a.__fz_id") < col("b.__fz_id"))
+      .select(col("a.__fz_id").as("id1"), col("b.__fz_id").as("id2"))
+      .distinct()
+    cands
+      .join(base.select(col("__fz_id").as("id1"), col("__fz_s").as("__s1")),
+        "id1")
+      .join(base.select(col("__fz_id").as("id2"), col("__fz_s").as("__s2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__s1"), col("__s2")).as("ed"))
+      .where(col("ed") <= 1)
+  }
+}

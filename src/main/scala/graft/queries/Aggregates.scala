@@ -342,6 +342,55 @@ object Aggregates {
              |    2.0 * sqrt(greatest((s2 - s1*s1/n) / (n - 1.0), 0.0))
              |    AS is_outlier
              |FROM events e JOIN st USING (user_id)
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Beyond-parity CUBE (all 2^k grouping sets — the OLAP dashboard
+    // materialization q_rollup's hierarchy is a subset of). Spark plans one
+    // Expand (4 replicas per row) + one hash aggregate: a single shuffle
+    // regardless of how many grouping sets, which is why CUBE beats 4
+    // separate GROUP BYs at 100 TB (one fact-table pass, not four).
+    "q_cube" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(detSum($"o_totalprice").as("sum_price"), count(lit(1)).as("cnt"))
+          .orderBy($"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+             |  COUNT(*) AS cnt
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Beyond-parity equi-width histogram (data profiling / quality-report
+    // primitive): literal [0, 60000) domain in 12 bins of 5000, outliers
+    // clamped into the edge bins. floor(x / width) is one IEEE divide both
+    // engines evaluate identically; a single partial/final hash aggregate,
+    // |bins| rows out — the profile-100-TB-in-one-pass shape. Empty bins
+    // are absent by construction (deterministic both sides).
+    "q_histogram" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val bin = least(greatest(floor($"l_extendedprice" / lit(5000.0)),
+          lit(0.0)), lit(11.0)).cast("long")
+        tbl(s, dir, "lineitem")
+          .groupBy(bin.as("bin"))
+          .agg(count(lit(1)).as("n"),
+            detSum($"l_extendedprice").as("sum_price"))
+          .select($"bin", ($"bin" * lit(5000.0)).as("lo_edge"), $"n",
+            $"sum_price")
+          .orderBy($"bin")
+      },
+      Some("""SELECT bin, CAST(bin * 5000.0 AS DOUBLE) AS lo_edge, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS sum_price
+             |FROM (SELECT
+             |        CAST(least(greatest(floor(l_extendedprice / 5000.0),
+             |                            0.0), 11.0) AS BIGINT) AS bin,
+             |        l_extendedprice
+             |      FROM lineitem)
+             |GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

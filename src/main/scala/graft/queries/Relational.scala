@@ -747,6 +747,123 @@ object Relational {
            |      (((${pm("l_suppkey")} >> j) & 1) << (j * 2 + 1)))),
            |    (a, x) -> a | x) AS zval
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-      })
+      }),
+
+    // §2.3 beyond-parity fuzzy join (record linkage): edit-distance ≤ 1
+    // self-join on supplier names via deletion-neighborhood blocking
+    // (operators.Fuzzy — complete candidate generation, exact levenshtein
+    // verify). The oracle brute-forces the θ-join (DuckDB is the single-node
+    // referee; the Spark plan is the linear blocked shape — three hash
+    // joins, text out of the wide shuffle, no BNLJ).
+    "q_fuzzy_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Fuzzy.edSelfJoin(
+            tbl(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+            "s_suppkey", "s_name")
+          .select($"id1".as("k1"), $"id2".as("k2"), $"ed".cast("long").as("ed"))
+          .orderBy($"k1", $"k2")
+      },
+      Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+             |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS ed
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // §2.5 beyond-parity time-series resample (pandas resample().mean() +
+    // ffill() parity): hourly buckets per user, densified per-user grid via
+    // a sequence generator, gap buckets at count 0 with the mean
+    // forward-filled. Decimal bucket sums keep the mean engine-identical;
+    // buckets are exact 64-bit floors (see operators.Resample).
+    "q_resample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Resample.resample(
+            tbl(s, dir, "events").select($"user_id", $"ts", $"value"),
+            "user_id", "ts", stepNs = 3600L * 1000 * 1000 * 1000, "value")
+          .select($"user_id",
+            timestamp_micros(expr("bucket_ns div 1000")).as("bucket"),
+            $"n_events", $"v_mean", $"v_ffill")
+          .orderBy($"user_id", $"bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) * 1000 AS tns, value FROM events),
+             |b AS (
+             |  SELECT user_id, tns - tns % 3600000000000 AS bucket_ns,
+             |         count(*) AS n_events,
+             |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |           / count(*) AS v_mean
+             |  FROM e GROUP BY 1, 2),
+             |g AS (
+             |  SELECT user_id,
+             |         unnest(generate_series(min(bucket_ns), max(bucket_ns),
+             |                                3600000000000)) AS bucket_ns
+             |  FROM b GROUP BY user_id)
+             |SELECT g.user_id, make_timestamp(g.bucket_ns // 1000) AS bucket,
+             |       coalesce(b.n_events, 0) AS n_events, b.v_mean,
+             |       last_value(b.v_mean IGNORE NULLS) OVER (
+             |         PARTITION BY g.user_id ORDER BY g.bucket_ns
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS v_ffill
+             |FROM g LEFT JOIN b USING (user_id, bucket_ns)
+             |ORDER BY user_id, bucket""".stripMargin)),
+
+    // §2.5 beyond-parity OHLC downsample (pandas resample().ohlc() parity,
+    // the market-data/sensor rollup shape): per (user, hour) first/max/min/
+    // last of `value`, order pinned by (ts, event_id) so open/close are
+    // engine-deterministic. Both row_number windows share one hash
+    // partitioning with the final aggregate — a single Exchange on
+    // (user_id, bucket_ns), two in-partition sorts, then the agg reuses the
+    // partitioning.
+    "q_ohlc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val step = 3600L * 1000 * 1000 * 1000
+        val keyed = tbl(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("bucket_ns", $"ts" - ($"ts" % step))
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"bucket_ns")
+          .orderBy($"ts", $"event_id")
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"bucket_ns")
+          .orderBy($"ts".desc, $"event_id".desc)
+        keyed
+          .withColumn("rn_a", row_number().over(wa))
+          .withColumn("rn_d", row_number().over(wd))
+          .groupBy($"user_id", $"bucket_ns")
+          .agg(
+            max(when($"rn_a" === 1, $"value")).as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max(when($"rn_d" === 1, $"value")).as("close"),
+            count(lit(1)).as("n_events"))
+          .select($"user_id",
+            timestamp_micros(expr("bucket_ns div 1000")).as("bucket"),
+            $"open", $"high", $"low", $"close", $"n_events")
+          .orderBy($"user_id", $"bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) * 1000 AS tns, ts, event_id,
+             |         value
+             |  FROM events),
+             |k AS (
+             |  SELECT user_id, tns - tns % 3600000000000 AS bucket_ns, ts,
+             |         value,
+             |         row_number() OVER (
+             |           PARTITION BY user_id, tns - tns % 3600000000000
+             |           ORDER BY ts, event_id) AS rn_a,
+             |         row_number() OVER (
+             |           PARTITION BY user_id, tns - tns % 3600000000000
+             |           ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM e)
+             |SELECT user_id, make_timestamp(bucket_ns // 1000) AS bucket,
+             |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |       max(value) AS high,
+             |       min(value) AS low,
+             |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             |       count(*) AS n_events
+             |FROM k GROUP BY user_id, bucket_ns
+             |ORDER BY user_id, bucket""".stripMargin))
   )
 }

@@ -167,7 +167,24 @@ object DumpPlans {
       "q_sim_knn_classify" -> ("kNN label vote: the k·|queries| candidate " +
         "set from the brute scan BROADCASTS into the label join (corpus " +
         "side never shuffles); the vote window partitions by query_id — " +
-        "state bounded by |queries|·|labels|"))
+        "state bounded by |queries|·|labels|"),
+      "q_fuzzy_join" -> ("deletion-neighborhood ED join: the candidate " +
+        "equi-join shuffles (xxhash64, id) longs only — text re-joins by " +
+        "id for the levenshtein verify; three linear hash joins, no " +
+        "CartesianProduct/BNLJ anywhere (FuzzyResampleSpec pins it)"),
+      "q_resample" -> ("resample+ffill: one partial/final agg on (user, " +
+        "bucket); the dense grid is a sequence GENERATOR (executor-side), " +
+        "grid join and ffill window both hash by user — no driver loop, " +
+        "no unpartitioned window"),
+      "q_ohlc" -> ("OHLC: both row_number windows and the final agg share " +
+        "ONE Exchange on (user, bucket) — two in-partition sorts, " +
+        "then the aggregate reuses the partitioning"),
+      "q_cube" -> ("CUBE: single Expand (4 grouping-set replicas) + " +
+        "partial/final HashAggregate — all 2^k rollups in one fact-table " +
+        "pass and one shuffle of already-reduced rows"),
+      "q_histogram" -> ("equi-width histogram: narrow clamp/floor bin " +
+        "projection in codegen over a 1-column pruned scan, partial " +
+        "agg below the single |bins|-row exchange"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

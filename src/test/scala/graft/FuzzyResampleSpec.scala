@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Fuzzy, Resample}
+
+/** Fuzzy edit-distance join (deletion-neighborhood blocking) and
+  * time-series resample/ffill semantics. */
+class FuzzyResampleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("edSelfJoin finds every ED<=1 pair class and rejects ED=2") {
+    // equal / substitution / deletion / insertion / transposition (=2) /
+    // unrelated — one representative per deletion-neighborhood case.
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitten"), // equal
+      (3L, "sitten"),                 // substitution vs 1
+      (4L, "kiten"),                  // deletion vs 1
+      (5L, "kittens"),                // insertion vs 1
+      (6L, "ikttne"),                 // scrambled, far
+      (7L, "itkten")                  // transposition vs 1: ED=2, must NOT match
+    ).toDF("id", "s")
+    val got = Fuzzy.edSelfJoin(df, "id", "s")
+      .select($"id1", $"id2", $"ed").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .where($"a.id" < $"b.id" && levenshtein($"a.s", $"b.s") <= 1)
+      .select($"a.id", $"b.id", levenshtein($"a.s", $"b.s"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    // One representative per neighborhood case is really in there:
+    assert(Set((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 1))
+      .subsetOf(got))
+    // ED-2 transposition must be excluded by the verify:
+    assert(!got.exists { case (a, b, _) => (a, b) == (1L, 7L) })
+  }
+
+  test("edSelfJoin plan has no cartesian/BNLJ") {
+    val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "s")
+    val plan = Fuzzy.edSelfJoin(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("edSelfJoin on supplier matches brute force at sf0.001") {
+    val sup = queries.tbl(spark, sf0001, "supplier")
+      .select($"s_suppkey", $"s_name")
+    val got = Fuzzy.edSelfJoin(sup, "s_suppkey", "s_name")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val brute = sup.as("a").crossJoin(sup.as("b"))
+      .where($"a.s_suppkey" < $"b.s_suppkey" &&
+        levenshtein($"a.s_name", $"b.s_name") <= 1)
+      .select($"a.s_suppkey", $"b.s_suppkey").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("resample densifies gaps, zero-counts them, and forward-fills") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // user 1: buckets 0 and 3 occupied (gap at 1, 2); user 2: single bucket.
+    val df = Seq(
+      (1L, 0L * h + 5L, 10.0), (1L, 0L * h + 6L, 20.0),
+      (1L, 3L * h + 1L, 7.0),
+      (2L, 2L * h + 9L, 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Resample.resample(df, "user_id", "ts", h, "value")
+      .orderBy($"user_id", $"bucket_ns")
+      .select($"user_id", $"bucket_ns", $"n_events", $"v_mean", $"v_ffill")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 2L, Some(15.0), Some(15.0)),
+      (1L, h, 0L, None, Some(15.0)),
+      (1L, 2 * h, 0L, None, Some(15.0)),
+      (1L, 3 * h, 1L, Some(7.0), Some(7.0)),
+      (2L, 2 * h, 1L, Some(1.0), Some(1.0))))
+  }
+
+  test("resample grid never extends beyond a key's [min, max] span") {
+    val h = 100L
+    val df = Seq((1L, 250L, 1.0), (1L, 999L, 2.0)).toDF("user_id", "ts", "value")
+    val buckets = Resample.resample(df, "user_id", "ts", h, "value")
+      .select($"bucket_ns").as[Long].collect().sorted
+    assert(buckets.head === 200L && buckets.last === 900L)
+    assert(buckets.length === 8)
+  }
+}
