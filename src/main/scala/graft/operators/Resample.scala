@@ -54,4 +54,34 @@ object Resample {
         col("v_mean"),
         last(col("v_mean"), ignoreNulls = true).over(w).as("v_ffill"))
   }
+
+  /** [[resample]] plus `v_interp`: gap buckets linearly interpolated between
+    * the surrounding occupied buckets (pandas `interpolate(method="linear")`
+    * on the resampled frame). Every gap is interior by construction — the
+    * grid spans exactly [min, max] OCCUPIED buckets per key — so both
+    * neighbors always exist and no edge-extrapolation policy is needed.
+    *
+    * The backward scan is a second window frame over the SAME partitioning
+    * and ordering as the ffill, so it adds a Window operator but no new
+    * Exchange or Sort. The interpolation weight divides bucket deltas cast
+    * to double — deltas are small multiples of `stepNs` (< 2^53), so the
+    * cast is exact and the arithmetic engine-identical. */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      stepNs: Long, valueCol: String): DataFrame = {
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val occupiedBucket = when(col("v_mean").isNotNull, col("bucket_ns"))
+    resample(df, keyCol, tsCol, stepNs, valueCol)
+      .withColumn("__b_prev", last(occupiedBucket, ignoreNulls = true).over(back))
+      .withColumn("__b_next", first(occupiedBucket, ignoreNulls = true).over(fwd))
+      .withColumn("__v_next", first(col("v_mean"), ignoreNulls = true).over(fwd))
+      .withColumn("v_interp",
+        when(col("v_mean").isNotNull, col("v_mean"))
+          .otherwise(col("v_ffill") + (col("__v_next") - col("v_ffill")) *
+            ((col("bucket_ns") - col("__b_prev")).cast("double") /
+              (col("__b_next") - col("__b_prev")).cast("double"))))
+      .drop("__b_prev", "__b_next", "__v_next")
+  }
 }

@@ -391,6 +391,67 @@ object Aggregates {
              |                            0.0), 11.0) AS BIGINT) AS bin,
              |        l_extendedprice
              |      FROM lineitem)
-             |GROUP BY bin ORDER BY bin""".stripMargin))
+             |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Beyond-parity correlation/covariance (pandas .corr()/.cov() parity,
+    // the feature-analysis reduction): per-group Pearson r and sample
+    // covariance of (quantity, price). Spark's built-in corr/covar_samp
+    // stream doubles in partition order (run-to-run nondeterministic in the
+    // last ulp) — this is the cluster-stable spelling: both engines
+    // evaluate the identical IEEE formula over EXACT power sums.
+    //
+    // Exactness nuance beyond q_stats, measured the hard way: (a) squaring
+    // in double and casting the product to DECIMAL(38,6) breaks — price² ≈
+    // 1e10 has double-ulp ≈ 2e-6, and DuckDB's double→decimal conversion
+    // scales in double space, disagreeing with exact half-up rounding on
+    // ~6% of such products; (b) even pure-decimal sums break at the final
+    // double cast — a DECIMAL(38,4) sum ≈ 7e12 stores a scaled integer
+    // > 2^53, which DuckDB converts int→double→÷10⁴ (two roundings) while
+    // the JVM rounds the exact value once. Both round-trips die; integers
+    // don't: work in CENTS (exact BIGINT per row since the columns carry
+    // ≤ 2 decimals), sum as DECIMAL(38,0) (scale-0 → double is ONE
+    // correctly-rounded conversion in both engines), and evaluate the
+    // formula on the scaled sums — Pearson r is scale-invariant, and the
+    // covariance unscales by one exact-power-of-ten division at the end.
+    "q_corr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val xi = round($"l_quantity" * 100).cast("long")
+        val yi = round($"l_extendedprice" * 100).cast("long")
+        def isum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 0))).cast("double")
+        tbl(s, dir, "lineitem")
+          .select($"l_returnflag", xi.as("xi"), yi.as("yi"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            isum($"xi").as("sx"), isum($"yi").as("sy"),
+            isum($"xi" * $"xi").as("sxx"), isum($"yi" * $"yi").as("syy"),
+            isum($"xi" * $"yi").as("sxy"))
+          .select($"l_returnflag",
+            (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - lit(1.0)) / lit(1.0e4))
+              .as("cov_samp"),
+            (($"sxy" - $"sx" * $"sy" / $"n") /
+              (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+                sqrt($"syy" - $"sy" * $"sy" / $"n"))).as("corr"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  (sxy - sx*sy/n) / (n - 1.0) / 1e4 AS cov_samp,
+             |  (sxy - sx*sy/n)
+             |    / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr
+             |FROM (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(xi*xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(yi*yi AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(xi*yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             |  FROM (SELECT l_returnflag,
+             |          CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+             |          CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+             |        FROM lineitem)
+             |  GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

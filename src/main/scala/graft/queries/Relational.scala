@@ -864,6 +864,95 @@ object Relational {
              |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
              |       count(*) AS n_events
              |FROM k GROUP BY user_id, bucket_ns
-             |ORDER BY user_id, bucket""".stripMargin))
+             |ORDER BY user_id, bucket""".stripMargin)),
+
+    // §2.5 beyond-parity linear gap interpolation on the resampled grid
+    // (pandas interpolate(method="linear") parity). Every gap is interior
+    // (grid spans exactly the occupied [min, max]), so no edge policy; the
+    // backward/forward neighbor scans share the ffill window's Exchange.
+    "q_interpolate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Resample.resampleInterp(
+            tbl(s, dir, "events").select($"user_id", $"ts", $"value"),
+            "user_id", "ts", stepNs = 3600L * 1000 * 1000 * 1000, "value")
+          .select($"user_id",
+            timestamp_micros(expr("bucket_ns div 1000")).as("bucket"),
+            $"n_events", $"v_interp")
+          .orderBy($"user_id", $"bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) * 1000 AS tns, value FROM events),
+             |b AS (
+             |  SELECT user_id, tns - tns % 3600000000000 AS bucket_ns,
+             |         count(*) AS n_events,
+             |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |           / count(*) AS v_mean
+             |  FROM e GROUP BY 1, 2),
+             |g AS (
+             |  SELECT user_id,
+             |         unnest(generate_series(min(bucket_ns), max(bucket_ns),
+             |                                3600000000000)) AS bucket_ns
+             |  FROM b GROUP BY user_id),
+             |r AS (
+             |  SELECT g.user_id, g.bucket_ns,
+             |         coalesce(b.n_events, 0) AS n_events, b.v_mean,
+             |         last_value(b.v_mean IGNORE NULLS) OVER wb AS v_ffill,
+             |         last_value(CASE WHEN b.v_mean IS NOT NULL
+             |                         THEN g.bucket_ns END IGNORE NULLS)
+             |           OVER wb AS b_prev,
+             |         first_value(CASE WHEN b.v_mean IS NOT NULL
+             |                          THEN g.bucket_ns END IGNORE NULLS)
+             |           OVER wf AS b_next,
+             |         first_value(b.v_mean IGNORE NULLS) OVER wf AS v_next
+             |  FROM g LEFT JOIN b USING (user_id, bucket_ns)
+             |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket_ns
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wf AS (PARTITION BY g.user_id ORDER BY g.bucket_ns
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, make_timestamp(bucket_ns // 1000) AS bucket,
+             |       n_events,
+             |       CASE WHEN v_mean IS NOT NULL THEN v_mean
+             |            ELSE v_ffill + (v_next - v_ffill) *
+             |                 (CAST(bucket_ns - b_prev AS DOUBLE)
+             |                  / CAST(b_next - b_prev AS DOUBLE)) END
+             |         AS v_interp
+             |FROM r ORDER BY user_id, bucket""".stripMargin)),
+
+    // §2.5 beyond-parity rolling time-window aggregate (pandas
+    // rolling("1h") parity): per event, the count/sum/mean of the user's
+    // trailing hour, inclusive. A RANGE frame over the canonical nanos-long
+    // ts — ONE Exchange by user + one Sort; Spark evaluates the running
+    // frame with a sliding accumulator, not a per-row rescan. Decimal
+    // window sums are order-free, so segment-tree (DuckDB) and sliding
+    // (Spark) evaluation agree exactly; RANGE (not ROWS) makes equal-ts
+    // peers symmetric, so tie order can't change any row's answer.
+    "q_rolling" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val hourMinus1 = 3600L * 1000 * 1000 * 1000 - 1
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts")
+          .rangeBetween(-hourMinus1, 0L)
+        tbl(s, dir, "events")
+          .select($"event_id", $"user_id",
+            timestamp_micros(expr("ts div 1000")).as("event_time"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum($"value".cast(DecimalType(38, 6))).over(w).cast("double")
+              .as("sum_1h"))
+          .withColumn("mean_1h", $"sum_1h" / $"n_1h")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, ts AS event_time,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    AS sum_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    / count(*) OVER w AS mean_1h
+             |FROM (SELECT event_id, user_id, ts, epoch_us(ts) * 1000 AS tns,
+             |        value FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tns
+             |  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }

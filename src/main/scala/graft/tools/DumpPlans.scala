@@ -184,7 +184,17 @@ object DumpPlans {
         "pass and one shuffle of already-reduced rows"),
       "q_histogram" -> ("equi-width histogram: narrow clamp/floor bin " +
         "projection in codegen over a 1-column pruned scan, partial " +
-        "agg below the single |bins|-row exchange"))
+        "agg below the single |bins|-row exchange"),
+      "q_rolling" -> ("rolling 1h window: ONE Exchange by user + one Sort; " +
+        "the RANGE frame evaluates as a sliding accumulator (decimal sums " +
+        "are order-free), never a per-row rescan"),
+      "q_interpolate" -> ("linear interpolation: backward (ffill/b_prev) " +
+        "and forward (b_next/v_next) scans are window frames over the SAME " +
+        "partitioning+ordering — extra Window operators, no extra " +
+        "Exchange/Sort beyond q_resample's"),
+      "q_corr" -> ("correlation: single partial/final HashAggregate of " +
+        "six pure-decimal power sums over a 3-column pruned scan; the " +
+        "formula is a driver-free scalar projection on |groups| rows"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

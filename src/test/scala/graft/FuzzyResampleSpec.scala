@@ -77,6 +77,42 @@ class FuzzyResampleSpec extends SparkTestBase {
       (2L, 2 * h, 1L, Some(1.0), Some(1.0))))
   }
 
+  test("resampleInterp linearly fills interior gaps, keeps occupied means") {
+    val h = 3600L * 1000 * 1000 * 1000
+    val df = Seq(
+      (1L, 0L * h + 1L, 10.0), (1L, 3L * h + 1L, 40.0), // gap at 1, 2
+      (2L, 5L * h + 2L, 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.operators.Resample
+      .resampleInterp(df, "user_id", "ts", h, "value")
+      .orderBy($"user_id", $"bucket_ns")
+      .select($"user_id", $"bucket_ns", $"v_interp")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 10.0), (1L, h, 20.0), (1L, 2 * h, 30.0), (1L, 3 * h, 40.0),
+      (2L, 5 * h, 9.0)))
+  }
+
+  test("rolling 1h frame is (t-1h, t]: exactly-1h-old rows fall out") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val G = 1000L * 1000 * 1000
+    val df = Seq(
+      (1L, 0L, 1.0), (2L, 1800L * G, 2.0), (3L, 3600L * G, 4.0),
+      (4L, 9000L * G, 8.0)
+    ).toDF("event_id", "ts", "value").withColumn("user_id", lit(7L))
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rangeBetween(-(3600L * G - 1), 0L)
+    val got = df.select($"event_id",
+        count(lit(1)).over(w).as("n"),
+        sum($"value".cast(DecimalType(38, 6))).over(w).cast("double").as("s"))
+      .orderBy($"event_id").as[(Long, Long, Double)].collect().toSeq
+    // at t=3600s the t=0 row is exactly 1h old -> excluded (pandas
+    // rolling("1h") closed-right semantics)
+    assert(got === Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 2L, 6.0),
+      (4L, 1L, 8.0)))
+  }
+
   test("resample grid never extends beyond a key's [min, max] span") {
     val h = 100L
     val df = Seq((1L, 250L, 1.0), (1L, 999L, 2.0)).toDF("user_id", "ts", "value")
