@@ -953,6 +953,75 @@ object Relational {
              |        value FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY tns
              |  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // §2.5 full ranking-function surface (rank/dense_rank/percent_rank/
+    // cume_dist/ntile — the remaining window kinds q_window doesn't touch).
+    // rank-family results are PEER-INVARIANT (ties share a value), so the
+    // quantity-only order is already deterministic; ntile assigns by row
+    // position, so IT gets a total order. Both windows share one hash
+    // partitioning — one Exchange, two in-partition sorts.
+    "q_rank_ntile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag").orderBy($"l_quantity")
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag")
+          .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+        tbl(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            rank().over(w).cast("long").as("rk"),
+            dense_rank().over(w).cast("long").as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(wt).cast("long").as("nt"))
+          // (l_orderkey, l_linenumber) is NOT unique in this data — and
+          // duplicates can sit in DIFFERENT returnflag partitions, so every
+          // window column can differ between them. Sort by ALL output
+          // columns: fully-tied rows are identical, so order can't matter.
+          .orderBy($"l_orderkey", $"l_linenumber", $"rk", $"nt", $"prk",
+            $"cd", $"drk")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  rank() OVER w AS rk, dense_rank() OVER w AS drk,
+             |  percent_rank() OVER w AS prk, cume_dist() OVER w AS cd,
+             |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT)
+             |    AS nt
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+             |ORDER BY l_orderkey, l_linenumber, rk, nt, prk, cd, drk""".stripMargin)),
+
+    // §2.8.5 array scalar surface (beyond the explode path): per-order
+    // sorted line-number list + size/membership/element access/join. The
+    // collect_list state is bounded (≤ 7 lines per order) and the sort
+    // makes the content layout-invariant. The list itself leaves the gate
+    // as array_join text — the driver's row comparer is scalar-typed; the
+    // array OPS are what's under test, not the container encoding.
+    "q_array_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_list($"l_linenumber")).as("lines"),
+            min($"l_quantity").as("min_qty"))
+          .select($"l_orderkey",
+            array_join($"lines", ",").as("lines_str"),
+            size($"lines").cast("long").as("n_lines"),
+            array_contains($"lines", 3).as("has3"),
+            element_at($"lines", 1).as("first_line"),
+            $"min_qty")
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |  array_to_string(list(l_linenumber ORDER BY l_linenumber),
+             |                  ',') AS lines_str,
+             |  len(list(l_linenumber)) AS n_lines,
+             |  list_contains(list(l_linenumber), 3) AS has3,
+             |  (list(l_linenumber ORDER BY l_linenumber))[1] AS first_line,
+             |  min(l_quantity) AS min_qty
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin))
   )
 }

@@ -193,8 +193,11 @@ object DumpPlans {
         "partitioning+ordering — extra Window operators, no extra " +
         "Exchange/Sort beyond q_resample's"),
       "q_corr" -> ("correlation: single partial/final HashAggregate of " +
-        "six pure-decimal power sums over a 3-column pruned scan; the " +
-        "formula is a driver-free scalar projection on |groups| rows"))
+        "six pure-integer power sums over a 3-column pruned scan; the " +
+        "formula is a driver-free scalar projection on |groups| rows"),
+      "q_rank_ntile" -> ("ranking surface: rank-family and ntile windows " +
+        "share one hash partitioning by returnflag — one Exchange, two " +
+        "in-partition sorts, no single-partition window"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
