@@ -452,6 +452,44 @@ object Aggregates {
              |          CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
              |        FROM lineitem)
              |  GROUP BY l_returnflag)
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Beyond-parity EQUI-DEPTH histogram (exact quantile buckets — the
+    // profiling complement of q_histogram's fixed-width bins): bucket i
+    // holds rows with global sort position in [i·n/k, (i+1)·n/k). Exact
+    // global positions come from the sampled-splits machinery
+    // (Positional.withGlobalPos) — per-bucket windows over driver-pinned
+    // split points, never a single-partition ORDER BY window — so this is
+    // the 100 TB-safe spelling of ntile-over-everything; the oracle IS
+    // ntile-style (DuckDB referees single-node). The bucket index is pure
+    // 64-bit integer division (pos·k div n) — no float boundary to disagree
+    // on. Ties across all three sort columns would make pos assignment
+    // arbitrary, but fully-tied rows are interchangeable in every output
+    // stat, so the result is still deterministic. The row count n is one
+    // bounded driver long (same class as the split-point collect inside).
+    "q_equidepth" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = tbl(s, dir, "lineitem")
+          .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        val n = li.count()
+        graft.operators.Positional.withGlobalPos(li,
+            Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"), "pos")
+          .select(expr(s"pos * 8 div $n").as("bucket"), $"l_extendedprice")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"l_extendedprice").as("lo"),
+            max($"l_extendedprice").as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH p AS (
+             |  SELECT l_extendedprice,
+             |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+             |                       l_linenumber) - 1 AS pos,
+             |    count(*) OVER () AS n
+             |  FROM lineitem)
+             |SELECT (pos * 8) // n AS bucket, count(*) AS n_rows,
+             |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -197,7 +197,11 @@ object DumpPlans {
         "formula is a driver-free scalar projection on |groups| rows"),
       "q_rank_ntile" -> ("ranking surface: rank-family and ntile windows " +
         "share one hash partitioning by returnflag — one Exchange, two " +
-        "in-partition sorts, no single-partition window"))
+        "in-partition sorts, no single-partition window"),
+      "q_equidepth" -> ("equi-depth histogram: global positions via " +
+        "sampled-splits buckets (driver-pinned split literals + per-bucket " +
+        "windows + broadcast offsets) — no single-reducer ORDER BY window; " +
+        "bucketing is integer codegen; final agg is |k| rows"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
