@@ -149,6 +149,16 @@ package object accessor {
           maxOverlap: Long = 0L): org.apache.spark.sql.DataFrame =
         graft.operators.Quality.cleanCorpus(df, textCol, idCol, isEval, k,
           minTokens, maxTokens, minStopRatio, keepLang, maxOverlap)
+      def resample(keyCol: String, tsCol: String, stepNs: Long,
+          valueCol: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Resample.resample(df, keyCol, tsCol, stepNs, valueCol)
+      def resampleInterp(keyCol: String, tsCol: String, stepNs: Long,
+          valueCol: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Resample.resampleInterp(df, keyCol, tsCol, stepNs,
+          valueCol)
+      def fuzzySelfJoin(idCol: String,
+          strCol: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Fuzzy.edSelfJoin(df, idCol, strCol)
     }
   }
 }

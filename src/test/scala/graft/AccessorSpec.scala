@@ -79,4 +79,17 @@ class AccessorSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     assert(rec === Map(1L -> true, 2L -> false))
   }
+
+  test("DataFrame-level accessors forward to resample and fuzzy join") {
+    val ev = Seq((1L, 0L, 2.0), (1L, 250L, 4.0)).toDF("u", "t", "v")
+    val rs = ev.resample("u", "t", stepNs = 100L, "v")
+    assert(rs.count() === 3) // buckets 0, 100 (gap), 200
+    assert(ev.resampleInterp("u", "t", 100L, "v")
+      .where($"bucket_ns" === 100L).select($"v_interp")
+      .head().getDouble(0) === 3.0)
+    val names = Seq((1L, "abc"), (2L, "abd"), (3L, "zzz")).toDF("id", "s")
+    val pairs = names.fuzzySelfJoin("id", "s")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }
