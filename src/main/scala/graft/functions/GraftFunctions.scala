@@ -121,11 +121,17 @@ object GraftFunctions {
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-  /** Backward-fill (reference `method='bfill'`). */
+  /** Backward-fill (reference `method='bfill'`). Spelled as a RUNNING
+    * `last(ignoreNulls)` frame over the REVERSED sort, not
+    * `first(ignoreNulls)` over [current, unbounded following]: identical
+    * value, but Spark evaluates running frames with an O(n) sliding
+    * accumulator while unbounded-following frames re-aggregate the whole
+    * partition tail per row — O(n²) per key (see Resample.resampleInterp,
+    * where the difference measured 16×). */
   def bfill(c: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
-    first(c, ignoreNulls = true).over(
-      Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    last(c, ignoreNulls = true).over(
+      Window.partitionBy(partitionBy: _*).orderBy(orderBy.map(_.desc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** Forward-fill with a limit: only nulls within `limit` rows of the last
     * non-null are filled (reference `fillna(method='ffill', limit=n)`,

@@ -61,22 +61,28 @@ object Resample {
     * grid spans exactly [min, max] OCCUPIED buckets per key — so both
     * neighbors always exist and no edge-extrapolation policy is needed.
     *
-    * The backward scan is a second window frame over the SAME partitioning
-    * and ordering as the ffill, so it adds a Window operator but no new
-    * Exchange or Sort. The interpolation weight divides bucket deltas cast
-    * to double — deltas are small multiples of `stepNs` (< 2^53), so the
-    * cast is exact and the arithmetic engine-identical. */
+    * The forward scan is spelled as a RUNNING frame over the DESCENDING
+    * bucket order — `last(ignoreNulls)` over [unbounded preceding, current]
+    * — NOT as `first(ignoreNulls)` over [current, unbounded following]:
+    * the two are value-identical, but Spark evaluates running frames with
+    * an O(n) sliding accumulator while an unbounded-FOLLOWING frame
+    * re-aggregates the whole partition tail per row — O(span²) per key,
+    * measured 14.4 s vs 0.9 s for the plain resample at the sf0.1 gate and
+    * a scale-killer at real span lengths. Cost of the spelling: one extra
+    * in-partition Sort on the shared Exchange. The interpolation weight
+    * divides bucket deltas cast to double — deltas are small multiples of
+    * `stepNs` (< 2^53), so the cast is exact and engine-identical. */
   def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
       stepNs: Long, valueCol: String): DataFrame = {
     val back = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwdDesc = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val occupiedBucket = when(col("v_mean").isNotNull, col("bucket_ns"))
     resample(df, keyCol, tsCol, stepNs, valueCol)
       .withColumn("__b_prev", last(occupiedBucket, ignoreNulls = true).over(back))
-      .withColumn("__b_next", first(occupiedBucket, ignoreNulls = true).over(fwd))
-      .withColumn("__v_next", first(col("v_mean"), ignoreNulls = true).over(fwd))
+      .withColumn("__b_next", last(occupiedBucket, ignoreNulls = true).over(fwdDesc))
+      .withColumn("__v_next", last(col("v_mean"), ignoreNulls = true).over(fwdDesc))
       .withColumn("v_interp",
         when(col("v_mean").isNotNull, col("v_mean"))
           .otherwise(col("v_ffill") + (col("__v_next") - col("v_ffill")) *

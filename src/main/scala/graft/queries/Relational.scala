@@ -1022,6 +1022,45 @@ object Relational {
              |  (list(l_linenumber ORDER BY l_linenumber))[1] AS first_line,
              |  min(l_quantity) AS min_qty
              |FROM lineitem GROUP BY l_orderkey
-             |ORDER BY l_orderkey""".stripMargin))
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // §2.3 composed star join (the TPC-H Q5 shape): fact ⨝ orders on the
+    // shuffle key, then three broadcast dimension hops up the
+    // customer→nation→region hierarchy, filter pushed to the orders scan,
+    // partial/final decimal revenue agg. The one real shuffle is
+    // lineitem⨝orders (SMJ at scale; Catalyst may broadcast orders at gate
+    // scale — both are the right call at their statistics); dimensions
+    // broadcast explicitly so the 100 TB plan is pinned, not
+    // stats-dependent.
+    "q_star_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = tbl(s, dir, "lineitem")
+        val ord = tbl(s, dir, "orders").filter($"o_orderstatus" === "O")
+        val cust = tbl(s, dir, "customer")
+        val nat = tbl(s, dir, "nation")
+        val reg = tbl(s, dir, "region")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(detSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE o_orderstatus = 'O'
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin))
   )
 }

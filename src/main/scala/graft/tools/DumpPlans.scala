@@ -201,7 +201,11 @@ object DumpPlans {
       "q_equidepth" -> ("equi-depth histogram: global positions via " +
         "sampled-splits buckets (driver-pinned split literals + per-bucket " +
         "windows + broadcast offsets) — no single-reducer ORDER BY window; " +
-        "bucketing is integer codegen; final agg is |k| rows"))
+        "bucketing is integer codegen; final agg is |k| rows"),
+      "q_star_join" -> ("star join: ONE fact-side shuffle join " +
+        "(lineitem⨝orders), three BroadcastHashJoin dimension hops, " +
+        "status filter in the orders scan's PushedFilters, partial " +
+        "HashAggregate below the final |nations|-row exchange"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
