@@ -113,6 +113,50 @@ class FuzzyResampleSpec extends SparkTestBase {
       (4L, 1L, 8.0)))
   }
 
+  test("edSelfJoin equals brute force on seeded random dense strings") {
+    // short strings over a 3-letter alphabet maximize ED<=1 structure:
+    // every class of neighborhood overlap (and near-miss) occurs.
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 60L).map { id =>
+      val len = 3 + rnd.nextInt(5)
+      (id, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    val got = Fuzzy.edSelfJoin(df, "id", "s")
+      .select($"id1", $"id2", $"ed").as[(Long, Long, Int)].collect().toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .where($"a.id" < $"b.id" && levenshtein($"a.s", $"b.s") <= 1)
+      .select($"a.id", $"b.id", levenshtein($"a.s", $"b.s"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // seed produces real matches, not a vacuous pass
+  }
+
+  test("resample equals a driver-computed reference on seeded random events") {
+    val rnd = new scala.util.Random(7)
+    val step = 500L
+    val rows = for (_ <- 1 to 300) yield
+      (rnd.nextInt(5).toLong, rnd.nextInt(5000).toLong,
+        (rnd.nextInt(100) + 1).toDouble)
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = graft.operators.Resample
+      .resample(df, "user_id", "ts", step, "value")
+      .select($"user_id", $"bucket_ns", $"n_events", $"v_ffill")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val ref = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val byBucket = evs.groupBy(e => e._2 - e._2 % step)
+      val lo = byBucket.keys.min; val hi = byBucket.keys.max
+      var fill = 0.0
+      (lo to hi by step).map { b =>
+        val bucket = byBucket.getOrElse(b, Seq.empty)
+        if (bucket.nonEmpty)
+          fill = bucket.map(e => BigDecimal(e._3)).sum.toDouble / bucket.size
+        (u, b, bucket.size.toLong, fill)
+      }
+    }.toSet
+    assert(got === ref)
+  }
+
   test("resample grid never extends beyond a key's [min, max] span") {
     val h = 100L
     val df = Seq((1L, 250L, 1.0), (1L, 999L, 2.0)).toDF("user_id", "ts", "value")
