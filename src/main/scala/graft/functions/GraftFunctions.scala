@@ -130,7 +130,8 @@ object GraftFunctions {
     * where the difference measured 16×). */
   def bfill(c: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
     last(c, ignoreNulls = true).over(
-      Window.partitionBy(partitionBy: _*).orderBy(orderBy.map(_.desc): _*)
+      Window.partitionBy(partitionBy: _*)
+        .orderBy(orderBy.map(org.apache.spark.sql.GraftSortShim.reverse): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** Forward-fill with a limit: only nulls within `limit` rows of the last

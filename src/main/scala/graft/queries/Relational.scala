@@ -922,11 +922,17 @@ object Relational {
     // §2.5 beyond-parity rolling time-window aggregate (pandas
     // rolling("1h") parity): per event, the count/sum/mean of the user's
     // trailing hour, inclusive. A RANGE frame over the canonical nanos-long
-    // ts — ONE Exchange by user + one Sort; Spark evaluates the running
-    // frame with a sliding accumulator, not a per-row rescan. Decimal
-    // window sums are order-free, so segment-tree (DuckDB) and sliding
-    // (Spark) evaluation agree exactly; RANGE (not ROWS) makes equal-ts
-    // peers symmetric, so tie order can't change any row's answer.
+    // ts — ONE Exchange by user + one Sort. Cost model, honestly: Spark's
+    // bounded sliding frames have NO retraction — each row re-aggregates
+    // the rows currently IN the frame — so the per-row cost is the frame
+    // POPULATION (events in the trailing hour), not the partition length.
+    // That is the right trade when the window population is bounded (as
+    // here); for keys dense enough that the trailing window holds
+    // thousands of rows, pre-bucket with Resample.resample and roll over
+    // bucket aggregates instead. Decimal window sums are order-free, so
+    // segment-tree (DuckDB) and re-aggregating (Spark) evaluation agree
+    // exactly; RANGE (not ROWS) makes equal-ts peers symmetric, so tie
+    // order can't change any row's answer.
     "q_rolling" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -1025,13 +1031,14 @@ object Relational {
              |ORDER BY l_orderkey""".stripMargin)),
 
     // §2.3 composed star join (the TPC-H Q5 shape): fact ⨝ orders on the
-    // shuffle key, then three broadcast dimension hops up the
-    // customer→nation→region hierarchy, filter pushed to the orders scan,
-    // partial/final decimal revenue agg. The one real shuffle is
-    // lineitem⨝orders (SMJ at scale; Catalyst may broadcast orders at gate
-    // scale — both are the right call at their statistics); dimensions
-    // broadcast explicitly so the 100 TB plan is pinned, not
-    // stats-dependent.
+    // shuffle key, dimension hops up the customer→nation→region hierarchy,
+    // filter pushed to the orders scan, partial/final decimal revenue agg.
+    // Broadcast hints go ONLY on the genuinely bounded dimensions (nation
+    // 25 rows, region 5 — constant at every SF). Customer and orders scale
+    // WITH the data, so their joins are deliberately left stats-driven:
+    // Catalyst broadcasts them at gate scale and shuffle-joins them at
+    // 100 TB, both correct — hinting customer would pin a driver-OOM plan
+    // at scale.
     "q_star_join" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -1041,7 +1048,7 @@ object Relational {
         val nat = tbl(s, dir, "nation")
         val reg = tbl(s, dir, "region")
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")

@@ -185,9 +185,10 @@ object DumpPlans {
       "q_histogram" -> ("equi-width histogram: narrow clamp/floor bin " +
         "projection in codegen over a 1-column pruned scan, partial " +
         "agg below the single |bins|-row exchange"),
-      "q_rolling" -> ("rolling 1h window: ONE Exchange by user + one Sort; " +
-        "the RANGE frame evaluates as a sliding accumulator (decimal sums " +
-        "are order-free), never a per-row rescan"),
+      "q_rolling" -> ("rolling 1h window: ONE Exchange by user + one Sort. " +
+        "Spark's bounded sliding frames re-aggregate the frame POPULATION " +
+        "per row (no retraction) — cost follows events-per-trailing-hour, " +
+        "not partition length; pre-bucket via Resample for dense keys"),
       "q_interpolate" -> ("linear interpolation: backward (ffill/b_prev) " +
         "and forward (b_next/v_next) scans are window frames over the SAME " +
         "partitioning+ordering — extra Window operators, no extra " +
@@ -202,10 +203,16 @@ object DumpPlans {
         "sampled-splits buckets (driver-pinned split literals + per-bucket " +
         "windows + broadcast offsets) — no single-reducer ORDER BY window; " +
         "bucketing is integer codegen; final agg is |k| rows"),
-      "q_star_join" -> ("star join: ONE fact-side shuffle join " +
-        "(lineitem⨝orders), three BroadcastHashJoin dimension hops, " +
-        "status filter in the orders scan's PushedFilters, partial " +
-        "HashAggregate below the final |nations|-row exchange"))
+      "q_star_join" -> ("star join: fact⨝orders and ⨝customer are " +
+        "stats-driven (broadcast here, shuffle at scale — hinting the " +
+        "SF-proportional customer would pin a driver-OOM plan at 100 TB); " +
+        "only constant-size nation/region carry broadcast hints; status " +
+        "filter in the orders scan's PushedFilters, partial HashAggregate " +
+        "below the final |nations|-row exchange"),
+      "q_array_ops" -> ("array scalars: single partial/final " +
+        "collect_list aggregate (group state bounded at <= 7 lines), " +
+        "narrow sort/size/contains/join projections on the aggregated " +
+        "row — one exchange before the gate's ORDER BY"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

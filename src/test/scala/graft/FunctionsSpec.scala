@@ -88,6 +88,22 @@ class FunctionsSpec extends SparkTestBase {
       Seq(5.0, 5.0, 7.0, 7.0, null))
   }
 
+  test("bfill accepts directional order columns (flip, not double-wrap)") {
+    // bfill along DESCENDING seq = fill each null from the next non-null
+    // at a SMALLER seq. The running-frame rewrite must flip an explicit
+    // SortOrder's direction and null ordering, not append another .desc
+    // (which double-wraps the node and fails analysis).
+    val df = Seq(
+      (1, 1L, null: java.lang.Double),
+      (1, 2L, java.lang.Double.valueOf(5.0)),
+      (1, 3L, null: java.lang.Double)).toDF("k", "seq", "v")
+    val out = df.select($"seq",
+        bfill($"v", Seq($"k"), Seq($"seq".desc)).as("b"))
+      .orderBy($"seq").collect()
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ===
+      Seq(null, 5.0, 5.0))
+  }
+
   test("textStrip strips the reference's unicode space set") {
     val df = Seq("   hi \t ", "ok").toDF("s")
     assert(df.select(textStrip($"s")).as[String].collect().toSeq ===
