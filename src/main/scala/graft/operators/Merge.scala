@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed merge utilities — the batch CDC layer (upsert, snapshot diff)
+  * every incrementally-maintained corpus needs once it lives as parquet
+  * snapshots rather than a mutable store. Spark-first spellings: an upsert
+  * is updates ∪ (base ⟕anti updates); a diff is one full-outer join
+  * classified row-by-row. Both shuffle by the merge key only — payload
+  * columns ride along, nothing collects, no iteration.
+  *
+  * Reference analog: fletcher frames are immutable pandas snapshots;
+  * merging day N into day N−1 is exactly this composition at cluster
+  * scale.
+  */
+object Merge {
+
+  /** Last-writer-wins upsert: every key in `updates` replaces its row in
+    * `base`; keys only in `base` survive unchanged. Schemas must match.
+    * Plan: one left-anti hash join on the key + a zero-shuffle union —
+    * at scale both sides hash by `key` once (AQE broadcasts a small
+    * update batch, the common CDC case). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(col(key)), Seq(key), "left_anti"))
+
+  /** Snapshot diff: classify every key as 'added' (only in `next`),
+    * 'removed' (only in `prev`), or 'changed' (in both, any compared
+    * column differs — null-safe). Unchanged keys are dropped. Output:
+    * key, change, and the prev_/next_ value of each compared column.
+    * ONE full-outer hash join on the key; side presence rides as a
+    * literal-true flag on each input (a missing side leaves it null), so
+    * payload nulls can't masquerade as absence; the change column is a
+    * narrow null-safe comparison — no second pass. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(key) +: compareCols.map(c =>
+      col(c).as(s"prev_$c")) :+ lit(true).as("__in_prev"): _*)
+    val n = next.select(col(key) +: compareCols.map(c =>
+      col(c).as(s"next_$c")) :+ lit(true).as("__in_next"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"prev_$c") <=> col(s"next_$c")))
+      .reduce(_ || _)
+    p.join(n, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_next").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .drop("__in_prev", "__in_next")
+  }
+}

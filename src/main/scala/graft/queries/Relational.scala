@@ -1068,6 +1068,82 @@ object Relational {
              |JOIN region   ON n_regionkey = r_regionkey
              |WHERE o_orderstatus = 'O'
              |GROUP BY r_name, n_name
-             |ORDER BY r_name, n_name""".stripMargin))
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Beyond-parity keyed upsert (batch CDC merge): updates replace their
+    // base rows, untouched keys survive — updates ∪ (base ⟕anti updates),
+    // one left-anti hash join + zero-shuffle union (operators.Merge).
+    "q_upsert" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val base = tbl(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val upd = base.filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", ($"o_totalprice" * 2.0).as("o_totalprice"),
+            $"o_orderstatus")
+        graft.operators.Merge.upsert(base, upd, "o_orderkey")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey, o_totalprice * 2.0 AS o_totalprice,
+             |         o_orderstatus
+             |  FROM orders WHERE o_orderkey % 10 = 0)
+             |SELECT o_orderkey, o_totalprice, o_orderstatus FROM upd
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |WHERE o_orderkey % 10 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Beyond-parity snapshot diff (CDC change detection between two
+    // corpus snapshots): one full-outer join on the key, side presence as
+    // literal-true flags (payload nulls can't read as absence), null-safe
+    // changed comparison, unchanged keys dropped. The synthetic `next`
+    // snapshot deletes every 17th key, reprices every 13th, adds a new
+    // key per 19th — all three classes exercised.
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val prev = tbl(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val nxt = prev.filter($"o_orderkey" % 17 =!= 0)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 13 === 0, $"o_totalprice" * 1.5)
+              .otherwise($"o_totalprice").as("o_totalprice"),
+            $"o_orderstatus")
+          .unionByName(prev.filter($"o_orderkey" % 19 === 0)
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+              lit(100.0).as("o_totalprice"), lit("O").as("o_orderstatus")))
+        graft.operators.Merge.snapshotDiff(prev, nxt, "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH nxt AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.5
+             |              ELSE o_totalprice END AS o_totalprice,
+             |         o_orderstatus
+             |  FROM orders WHERE o_orderkey % 17 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, 100.0, 'O' FROM orders
+             |  WHERE o_orderkey % 19 = 0),
+             |p AS (SELECT o_orderkey, o_totalprice AS prev_o_totalprice,
+             |             o_orderstatus AS prev_o_orderstatus, TRUE AS inp
+             |      FROM orders),
+             |n AS (SELECT o_orderkey, o_totalprice AS next_o_totalprice,
+             |             o_orderstatus AS next_o_orderstatus, TRUE AS inn
+             |      FROM nxt),
+             |d AS (
+             |  SELECT o_orderkey, prev_o_totalprice, next_o_totalprice,
+             |         prev_o_orderstatus, next_o_orderstatus,
+             |    CASE WHEN inp IS NULL THEN 'added'
+             |         WHEN inn IS NULL THEN 'removed'
+             |         WHEN NOT (prev_o_totalprice IS NOT DISTINCT FROM
+             |                     next_o_totalprice
+             |               AND prev_o_orderstatus IS NOT DISTINCT FROM
+             |                     next_o_orderstatus)
+             |           THEN 'changed' END AS change
+             |  FROM p FULL OUTER JOIN n USING (o_orderkey))
+             |SELECT * FROM d WHERE change IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

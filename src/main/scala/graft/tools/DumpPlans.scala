@@ -212,7 +212,14 @@ object DumpPlans {
       "q_array_ops" -> ("array scalars: single partial/final " +
         "collect_list aggregate (group state bounded at <= 7 lines), " +
         "narrow sort/size/contains/join projections on the aggregated " +
-        "row — one exchange before the gate's ORDER BY"))
+        "row — one exchange before the gate's ORDER BY"),
+      "q_upsert" -> ("keyed upsert: one left-anti hash join on the key " +
+        "(AQE broadcasts a small update batch — the common CDC case) + " +
+        "a shuffle-free union"),
+      "q_snapshot_diff" -> ("snapshot diff: ONE full-outer hash join on " +
+        "the key; presence flags and the null-safe changed comparison " +
+        "are narrow projections — no second pass, unchanged keys drop " +
+        "before the gate's ORDER BY"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Merge
+
+/** Keyed upsert + snapshot diff semantics, incl. the null traps. */
+class MergeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("upsert replaces matched keys and keeps the rest") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val upd = Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+    val got = Merge.upsert(base, upd, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+  }
+
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val got = Merge.snapshotDiff(prev, next, "k", Seq("v"))
+      .select($"k", $"change").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshotDiff: payload nulls are values, not absence") {
+    // key 1: null -> null is UNCHANGED (null-safe compare); key 2:
+    // "x" -> null is CHANGED; neither may classify as added/removed.
+    val prev = Seq((1L, null: String), (2L, "x")).toDF("k", "v")
+    val next = Seq((1L, null: String), (2L, null: String)).toDF("k", "v")
+    val got = Merge.snapshotDiff(prev, next, "k", Seq("v"))
+      .select($"k", $"change").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "changed")))
+  }
+}
