@@ -219,7 +219,14 @@ object DumpPlans {
       "q_snapshot_diff" -> ("snapshot diff: ONE full-outer hash join on " +
         "the key; presence flags and the null-safe changed comparison " +
         "are narrow projections — no second pass, unchanged keys drop " +
-        "before the gate's ORDER BY"))
+        "before the gate's ORDER BY"),
+      "q_funnel" -> ("funnel: step-A min-ts agg keyed by user, click " +
+        "probe joins it on the same key, DISTINCT converted users — " +
+        "event rows never multiply; left join back is |users|-sized"),
+      "q_retention" -> ("retention: three small keyed aggregates (no " +
+        "countDistinct Expand) — distinct (user, week) pairs, per-user " +
+        "cohort min, per-cell counts; final join is |cohorts|x|weeks| " +
+        "rows"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
