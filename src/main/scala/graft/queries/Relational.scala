@@ -1144,6 +1144,33 @@ object Relational {
              |           THEN 'changed' END AS change
              |  FROM p FULL OUTER JOIN n USING (o_orderkey))
              |SELECT * FROM d WHERE change IS NOT NULL
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Beyond-parity triangle counting over the ED-1 similarity graph
+    // (local clustering structure of near-dup clusters): node-iterator
+    // wedge join on canonically-oriented edges, closed by an edge probe —
+    // two hash joins, each triangle exactly once (operators.Graph).
+    "q_triangles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val edges = graft.operators.Fuzzy.edSelfJoin(
+            tbl(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+            "s_suppkey", "s_name")
+          .select($"id1", $"id2")
+        graft.operators.Graph.triangleCounts(edges, "id1", "id2")
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (
+             |  SELECT a.s_suppkey AS k1, b.s_suppkey AS k2
+             |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+             |t AS (
+             |  SELECT e1.k1 AS x, e1.k2 AS y, e2.k2 AS z
+             |  FROM e e1 JOIN e e2 ON e1.k2 = e2.k1
+             |  JOIN e e3 ON e3.k1 = e1.k1 AND e3.k2 = e2.k2)
+             |SELECT node, count(*) AS n_tri FROM (
+             |  SELECT x AS node FROM t UNION ALL SELECT y FROM t
+             |  UNION ALL SELECT z FROM t)
+             |GROUP BY node ORDER BY node""".stripMargin))
   )
 }

@@ -226,7 +226,11 @@ object DumpPlans {
       "q_retention" -> ("retention: three small keyed aggregates (no " +
         "countDistinct Expand) — distinct (user, week) pairs, per-user " +
         "cohort min, per-cell counts; final join is |cohorts|x|weeks| " +
-        "rows"))
+        "rows"),
+      "q_triangles" -> ("triangles: wedge hash join on the shared " +
+        "endpoint + closing-edge hash join — two joins over (long, long) " +
+        "edges, each triangle found exactly once; explode-to-nodes is " +
+        "narrow before the count aggregate"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

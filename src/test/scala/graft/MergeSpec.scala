@@ -32,4 +32,29 @@ class MergeSpec extends SparkTestBase {
       .select($"k", $"change").as[(Long, String)].collect().toSet
     assert(got === Set((2L, "changed")))
   }
+
+  test("streaming CDC: foreachBatch upsert maintains last-writer-wins state") {
+    // The standard streaming-merge sink pattern: each micro-batch merges
+    // into the maintained snapshot via Merge.upsert. Batches replay in
+    // order; within a batch, keys are pre-deduped by the caller (here
+    // distinct by construction). End state = last write per key.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    var state = Seq.empty[(Long, String)].toDF("k", "v")
+    val q = in.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Merge.upsert(state, batch, "k").localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((2L, "B"), (3L, "c")); q.processAllAvailable()
+      in.addData((1L, "A2")); q.processAllAvailable()
+    } finally q.stop()
+    assert(state.as[(Long, String)].collect().toSet ===
+      Set((1L, "A2"), (2L, "B"), (3L, "c")))
+  }
 }
