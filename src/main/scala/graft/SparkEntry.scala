@@ -18,7 +18,7 @@ object SparkEntry {
   private def all: Map[String, Q] =
     Relational.defs ++ Aggregates.defs ++ Scalar.defs ++
       Strings.defs ++ TextPipeline.defs ++ Similarity.defs ++
-      Streaming.defs ++ Corpus.defs ++ EventAnalytics.defs
+      Streaming.defs ++ Corpus.defs ++ EventAnalytics.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

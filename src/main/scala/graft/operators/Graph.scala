@@ -34,4 +34,49 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Fixed-point integer PageRank over an UNDIRECTED canonical edge list
+    * (`src < dst` per row — the dedup/fuzzy pair shape): each edge carries
+    * rank both ways. Ranks are scaled integers (`scale` = 1 unit of total
+    * mass ≈ 10¹²), damping 0.85 applied as `(85·s) div 100` — every
+    * operation is 64-bit integer arithmetic, so the per-node contribution
+    * sums are ORDER-FREE (exact under any partitioning / AQE re-plan) and
+    * bit-identical across engines, unlike a double PageRank whose
+    * reduction order perturbs the last ulp run to run. The float algorithm
+    * converges the same way; fixed-point just rounds deterministically
+    * (truncation loses < iters·deg ulps of 10⁻¹² — noise at ranking
+    * granularity).
+    *
+    * Each iteration is one shuffle join (rank → contributions along edges)
+    * + one keyed aggregate — the standard distributed PageRank shape. The
+    * node count is ONE bounded driver long (same class as
+    * [[Positional.withGlobalPos]]'s split collect). For production
+    * many-iteration runs, persist/checkpoint `r` between iterations to
+    * truncate lineage (the 3-iteration analytic gate stays declarative).
+    * Isolated nodes (no edges) are absent by construction — every node in
+    * the edge list has degree ≥ 1, so the inner joins drop nothing. */
+  def pageRankFixedPoint(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "pageRankFixedPoint needs at least one iteration")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = e.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    // empty graph → empty ranking (flows through adversarial empty-input
+    // layouts without a driver-side divide-by-zero)
+    if (n == 0) return deg.select(col("node"), lit(scale).as("r"))
+    val r0 = scale / n
+    val teleport = (15L * r0) / 100L
+    var r = deg.select(col("node"), col("deg"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      val s = e.join(r, e("a") === r("node"))
+        .select(col("b").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = deg.join(s, "node")
+        .select(col("node"), col("deg"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+    }
+    r.select(col("node"), col("r"))
+  }
 }

@@ -63,24 +63,7 @@ object Positional {
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, key, n)
-    // NULL keys: null > s is null → otherwise(0) → bucket 0, matching the
-    // window's asc_nulls_first order below. NaN keys: every comparison is
-    // false, which would strand them in bucket 0 while Spark SORTS NaN
-    // greatest — route them to the top bucket explicitly so bucket order
-    // and sort order agree.
-    val isFloating = df.select(key).schema.head.dataType match {
-      case org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType => true
-      case _ => false
-    }
-    val bucketOf: Column =
-      if (splits.isEmpty) lit(0)
-      else {
-        val fold =
-          splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
-        if (isFloating) when(isnan(key), lit(splits.size)).otherwise(fold)
-        else fold
-      }
+    val bucketOf = bucketExpr(df, key, splits)
     // Per-bucket base offsets stay IN the plan as a broadcast subquery (a
     // key-column-pruned aggregate down to ≤ n rows, then a cumulative sum
     // over those n rows) — no extra driver action, and the counts subtree
@@ -108,6 +91,76 @@ object Positional {
       .join(broadcast(offsets), "__gp_b")
       .withColumn(posCol, col("__gp_base") + rn.cast("long") - 1L)
       .drop("__gp_b", "__gp_base")
+  }
+
+  /** Pure order-preserving bucket expression over driver-pinned `splits`:
+    * bucket = Σ [key > splitᵢ]. NULL keys: null > s is null → otherwise(0)
+    * → bucket 0, matching asc_nulls_first window order. NaN keys: every
+    * comparison is false, which would strand them in bucket 0 while Spark
+    * SORTS NaN greatest — route them to the top bucket explicitly so bucket
+    * order and sort order agree. */
+  private def bucketExpr(df: DataFrame, key: Column,
+      splits: Seq[Any]): Column = {
+    val isFloating = df.select(key).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    if (splits.isEmpty) lit(0)
+    else {
+      val fold =
+        splits.map(s => when(key > lit(s), 1).otherwise(0)).reduce(_ + _)
+      if (isFloating) when(isnan(key), lit(splits.size)).otherwise(fold)
+      else fold
+    }
+  }
+
+  /** Distributed grouped prefix (running) sum — the two-phase scan: the
+    * scale-safe spelling of `sum(v) OVER (PARTITION BY grp ORDER BY ord)`
+    * when a single group is too large for one reducer (a low-cardinality
+    * `grp` at 100 TB puts terabytes through each window partition).
+    *
+    * 1. range-bucket every row by driver-pinned split points on the LEADING
+    *    order column (same literal-splits machinery as [[withGlobalPos]] —
+    *    pure expression, every branch agrees);
+    * 2. running sum within each (grp, bucket) window partition — each
+    *    partition holds ≈ |df|/numShufflePartitions rows regardless of
+    *    group skew, because buckets split the global order-key
+    *    distribution;
+    * 3. per-(grp, bucket) totals aggregate to ≤ |groups|·(splits+1) rows;
+    *    a per-group cumulative sum over that tiny table yields each
+    *    bucket's base offset, broadcast-joined back.
+    *
+    * Requirements: `(grpCols ++ ordCols)` must be a row key (running sums
+    * over ties are order-dependent), and `grpCols` cardinality must be
+    * bounded enough that |groups|·buckets broadcast — for high-cardinality
+    * groups use a plain per-key window instead (partitions are already
+    * small there; this operator exists for the SKEWED/low-cardinality
+    * case). The prefix sum is inclusive of the current row. */
+  def groupedPrefixSum(df: DataFrame, grpCols: Seq[String],
+      ordCols: Seq[Column], valCol: Column, outCol: String): DataFrame = {
+    require(ordCols.nonEmpty, "groupedPrefixSum needs an order column")
+    val spark = df.sparkSession
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val splits = splitPoints(df, ordCols.head, n)
+    val grpC = grpCols.map(col)
+    val withB = df
+      .withColumn("__ps_v", valCol)
+      .withColumn("__ps_b", bucketExpr(df, ordCols.head, splits))
+    val runw = Window.partitionBy(grpC :+ col("__ps_b"): _*)
+      .orderBy(ordCols.map(_.asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offw = Window.partitionBy(grpC: _*)
+      .orderBy(col("__ps_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(grpC :+ col("__ps_b"): _*)
+      .agg(sum(col("__ps_v")).as("__ps_t"))
+      .select((grpC :+ col("__ps_b")) :+
+        coalesce(sum(col("__ps_t")).over(offw), lit(0L)).as("__ps_base"): _*)
+    withB
+      .join(broadcast(offsets), grpCols :+ "__ps_b")
+      .withColumn(outCol, col("__ps_base") + sum(col("__ps_v")).over(runw))
+      .drop("__ps_b", "__ps_v", "__ps_base")
   }
 
   /** Driver-pinned split points for the bucket expression. Boundary QUALITY

@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Fuzzy, Graph, Positional, Profile}
+
+/** Corpus/feature analytics beyond the reference surface: data profiling,
+  * skew-proof running totals, rank statistics, per-group regression, graph
+  * centrality, and retrieval scoring — the reductions a training-data
+  * pipeline runs to understand a corpus before and after the cleaning
+  * passes in [[TextPipeline]].
+  *
+  * Cross-engine determinism strategy (the repo-wide rules, see q_corr /
+  * q_pipe_tfidf): integer/decimal-exact wherever possible (ranks, counts,
+  * fixed-point PageRank), mirrored-IEEE-expression-tree where a float is
+  * the answer (correlations, OLS — exact DECIMAL(38,0) power sums, ONE
+  * correctly-rounded cast to double, identical formula both sides), and
+  * round-6 emission where a transcendental is intrinsic (BM25's ln), with
+  * every ORDER/ranking decision taken on exact integers only.
+  */
+object Analytics {
+
+  /** Exact integer power sum: DECIMAL(38,0) accumulation (order-free),
+    * ONE correctly-rounded cast to double (mirrors q_corr). */
+  private def isum(c: Column): Column =
+    sum(c.cast(DecimalType(38, 0))).cast("double")
+
+  val defs: Map[String, Q] = Map(
+    // Per-column corpus profile (deequ/describe shape): row count, nulls,
+    // exact distinct, min/max — one parquet-pruned aggregate per column
+    // unioned, never one k-way Expand (see operators.Profile).
+    "q_profile" -> Q(
+      (s, dir) => Profile.profile(tbl(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("column")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_v,
+             |  CAST(max($c) AS VARCHAR) AS max_v
+             |FROM documents""".stripMargin
+        Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // Running revenue per return flag — the SKEWED running-total shape: 3
+    // groups × 200k rows each would put a third of the table through one
+    // window reducer; Positional.groupedPrefixSum range-buckets on the
+    // order key instead (two-phase scan), so every window partition is
+    // ≈ |table|/shuffle-partitions rows regardless of group skew. Integer
+    // cents → the running sum is exact and order-free. A running sum is
+    // only well-defined over a TOTAL order, and the synthetic lineitem has
+    // duplicate (l_orderkey, l_linenumber) pairs — so the cents are first
+    // reduced onto that key (one keyed aggregate), making the order a key
+    // and the output engine-independent.
+    "q_prefix_sum" -> Q(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .agg(sum(col("cents")).as("cents"))
+        Positional.groupedPrefixSum(li, Seq("l_returnflag"),
+            Seq(col("l_orderkey"), col("l_linenumber")), col("cents"),
+            "run_cents")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("run_cents"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1, 2, 3)
+             |SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  CAST(sum(cents) OVER (
+             |    PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+             |FROM g
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Spearman rank correlation per group: average ranks (doubled → exact
+    // BIGINT even for tied values: r2 = 2·|smaller| + ties + 1) from
+    // grouped value counts + the distributed prefix sum — NO per-group
+    // full-table window anywhere — then Pearson on the integer ranks via
+    // the q_corr decimal machinery. rho is scale-invariant, so the rank
+    // doubling cancels. (Rank products stay < 2⁶³ up to ~3·10⁹ rows per
+    // group; past that, cast ranks to DECIMAL before squaring.)
+    "q_spearman" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("xi"),
+          round(col("l_extendedprice") * 100).cast("long").as("yi"))
+        def ranks(v: String, r: String): DataFrame = {
+          val g = d.groupBy(col("l_returnflag"), col(v))
+            .agg(count(lit(1)).as("c"))
+          Positional.groupedPrefixSum(g, Seq("l_returnflag"),
+              Seq(col(v)), col("c"), "cum")
+            .select(col("l_returnflag"), col(v),
+              (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(r))
+        }
+        d.join(ranks("xi", "rx"), Seq("l_returnflag", "xi"))
+          .join(ranks("yi", "ry"), Seq("l_returnflag", "yi"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            isum(col("rx")).as("sx"), isum(col("ry")).as("sy"),
+            isum(col("rx") * col("rx")).as("sxx"),
+            isum(col("ry") * col("ry")).as("syy"),
+            isum(col("rx") * col("ry")).as("sxy"))
+          .select(col("l_returnflag"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+                sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+              .as("rho"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH d AS (
+             |  SELECT l_returnflag,
+             |    CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag,
+             |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY xi)
+             |      + count(*) OVER (PARTITION BY l_returnflag, xi) - 1 AS rx,
+             |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY yi)
+             |      + count(*) OVER (PARTITION BY l_returnflag, yi) - 1 AS ry
+             |  FROM d),
+             |s AS (
+             |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(rx*rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(ry*ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(rx*ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             |  FROM r GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  (sxy - sx*sy/n)
+             |    / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS rho
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-group OLS (price ~ quantity): slope/intercept/r² from the same
+    // exact power sums — one keyed aggregate, formulas evaluated as the
+    // IDENTICAL IEEE expression tree in both engines. Cents cancel in the
+    // slope (both axes scaled 100×); the intercept unscales by one exact
+    // power-of-ten division.
+    "q_grouped_ols" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("xi"),
+          round(col("l_extendedprice") * 100).cast("long").as("yi"))
+        val sums = d.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            isum(col("xi")).as("sx"), isum(col("yi")).as("sy"),
+            isum(col("xi") * col("xi")).as("sxx"),
+            isum(col("yi") * col("yi")).as("syy"),
+            isum(col("xi") * col("yi")).as("sxy"))
+        val num = col("sxy") - col("sx") * col("sy") / col("n")
+        val dxx = col("sxx") - col("sx") * col("sx") / col("n")
+        val dyy = col("syy") - col("sy") * col("sy") / col("n")
+        sums.select(col("l_returnflag"), col("l_linestatus"),
+            (num / dxx).as("slope"),
+            ((col("sy") / col("n") - num / dxx * (col("sx") / col("n"))) /
+              lit(100.0)).as("intercept"),
+            (num * num / (dxx * dyy)).as("r2"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(xi*xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(yi*yi AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(xi*yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             |  FROM (SELECT l_returnflag, l_linestatus,
+             |          CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+             |          CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+             |        FROM lineitem)
+             |  GROUP BY l_returnflag, l_linestatus)
+             |SELECT l_returnflag, l_linestatus,
+             |  (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+             |  (sy / n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx / n))
+             |    / 100.0 AS intercept,
+             |  (sxy - sx*sy/n) * (sxy - sx*sy/n)
+             |    / ((sxx - sx*sx/n) * (syy - sy*sy/n)) AS r2
+             |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Fixed-point integer PageRank (3 iterations) over the ED-1 supplier
+    // similarity graph — which near-dup cluster members are most central.
+    // Integer ranks make the per-node contribution sums order-free (exact
+    // under any partitioning) and bit-identical to the oracle's unrolled
+    // iterations; a double PageRank could never hash-match cross-engine.
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        val edges = Fuzzy.edSelfJoin(
+            tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+            "s_suppkey", "s_name")
+          .select(col("id1"), col("id2"))
+        Graph.pageRankFixedPoint(edges, "id1", "id2", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val iter = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT d.node, d.deg,
+             |  (15 * (1000000000000 // (SELECT n FROM p))) // 100
+             |    + (85 * s) // 100 AS r
+             |  FROM d JOIN (
+             |    SELECT e.b AS node, CAST(sum($prev.r // $prev.deg) AS BIGINT) AS s
+             |    FROM e JOIN $prev ON e.a = $prev.node GROUP BY e.b) t
+             |  USING (node))""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT a.s_suppkey AS k1, b.s_suppkey AS k2
+           |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+           |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+           |e AS (SELECT k1 AS a, k2 AS b FROM e0
+           |      UNION ALL SELECT k2, k1 FROM e0),
+           |d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+           |      FROM e GROUP BY a),
+           |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+           |c0 AS (SELECT node, deg,
+           |       1000000000000 // (SELECT n FROM p) AS r FROM d),
+           |${iter("c0", "c1")},
+           |${iter("c1", "c2")},
+           |${iter("c2", "c3")}
+           |SELECT node, CAST(r AS BIGINT) AS r FROM c3 ORDER BY node""".stripMargin
+      }),
+
+    // BM25 relevance scoring for a fixed query over the corpus — the
+    // retrieval building block (inverted-index shape: explode → filter to
+    // query terms → per-(doc,term) tf; candidate docs only ever carry
+    // counts, never text). Scores are emitted per (doc, term), rounded to
+    // 6 decimals, ordered by exact integers only — the q_pipe_tfidf rule:
+    // a ranking must never depend on cross-engine ln() ulp, so top-k
+    // SELECTION (orderBy(score).limit(k) → TakeOrdered, scale-safe) is
+    // runtime composition, not part of the pinned gate.
+    "q_bm25" -> Q(
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val d = tbl(s, dir, "documents")
+        val dl = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          split(col("text"), " ").as("w"))
+        val tf = dl.select(col("doc_id"), col("dl"),
+            explode(col("w")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("dl"),
+            round(
+              log(lit(1.0) +
+                (col("n_docs") - col("df") + lit(0.5)) /
+                  (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") /
+                  (col("sum_dl") / col("n_docs")))), 6).as("score"))
+          .orderBy(col("doc_id"), col("tok"))
+      },
+      Some("""WITH dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf FROM toks
+             |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl)
+             |SELECT tf.doc_id, tf.tok, tf.tf, df.df, dl.dl,
+             |  ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |    * (tf * 2.2)
+             |    / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 6)
+             |    AS score
+             |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+             |ORDER BY doc_id, tok""".stripMargin)),
+
+    // Bigram language model over the corpus: adjacent-token pair counts +
+    // conditional probability P(w2|w1) = c12/c1 — the statistic LM-based
+    // quality filters score against. Pairs come from zip_with over two
+    // array slices (no per-token window, no posexplode self-join); the
+    // top-50 emission orders on exact integers (count DESC, then lexical)
+    // and the probability is one bigint→double division — bit-identical
+    // cross-engine, no rounding needed.
+    "q_pipe_bigram_lm" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val w = split(col("text"), " ")
+        val pairs = d.select(
+            explode(zip_with(
+              slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bg = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val un = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        bg.join(un, "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            (col("c12") / col("c1")).as("p_cond"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg0 AS (
+             |  SELECT w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+             |bg AS (SELECT w1, w2, count(*) AS c12 FROM bg0 GROUP BY 1, 2),
+             |un AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM bg GROUP BY 1)
+             |SELECT bg.w1, bg.w2, c12, c1, c12 / c1 AS p_cond
+             |FROM bg JOIN un USING (w1)
+             |ORDER BY c12 DESC, bg.w1, w2 LIMIT 50""".stripMargin))
+  )
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Positional, Profile}
+
+/** Unit coverage for the analytics layer: grouped prefix sum (vs the naive
+  * window), fixed-point PageRank (vs a hand-unrolled tiny graph), the
+  * profiling reduction, and the rank/regression/retrieval gate invariants.
+  * Cross-engine value equality is covered by the DuckDB oracle gates; these
+  * pin the algebra and the scale-plan shape.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("groupedPrefixSum equals the naive per-group running sum") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(100000), i, rnd.nextInt(1000).toLong)
+    }
+    // (grp, k1, k2) is a key because k2 = i is unique
+    val df = rows.toDF("grp", "k1", "k2", "v").repartition(7)
+    val got = Positional.groupedPrefixSum(df, Seq("grp"),
+        Seq(col("k1"), col("k2")), col("v"), "run")
+      .select($"grp", $"k1", $"k2", $"run")
+    val naive = df.withColumn("run",
+        sum($"v").over(Window.partitionBy($"grp").orderBy($"k1", $"k2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"grp", $"k1", $"k2", $"run")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    assert(got.count() === 500)
+  }
+
+  test("groupedPrefixSum window partitions are bucketed, not per-group") {
+    // The whole point: no window partition spec of (grp) alone anywhere in
+    // the plan — every running-sum window must include the bucket column,
+    // so one hot group can never serialize through one reducer.
+    val df = (1 to 200).map(i => ("hot", i, i.toLong)).toDF("grp", "k", "v")
+    val out = Positional.groupedPrefixSum(df, Seq("grp"), Seq(col("k")),
+      col("v"), "run")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // every window over the unreduced rows carries >= 2 partition exprs
+    // (grp + bucket); the offsets cumsum runs over the reduced aggregate
+    val overRaw = windows.filterNot(w =>
+      w.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+    assert(overRaw.forall(_.partitionSpec.size >= 2),
+      s"raw-row window partitioned by group alone:\n${overRaw.mkString("\n")}")
+  }
+
+  test("pageRankFixedPoint matches a hand-unrolled path graph") {
+    // path 1-2-3 (undirected): deg(1)=deg(3)=1, deg(2)=2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Graph.pageRankFixedPoint(edges, "id1", "id2", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same integer recurrence on the driver
+    val scale = 1000000000000L
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val nbr = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val r0v = scale / 3
+    val tele = (15L * r0v) / 100L
+    var r = Map(1L -> r0v, 2L -> r0v, 3L -> r0v)
+    for (_ <- 1 to 3)
+      r = r.map { case (nd, _) =>
+        nd -> (tele + (85L * nbr(nd).map(j => r(j) / deg(j)).sum) / 100L)
+      }
+    assert(got === r)
+    // the center of the path must out-rank the endpoints
+    assert(got(2L) > got(1L) && got(1L) === got(3L))
+  }
+
+  test("pageRankFixedPoint on an empty edge list is empty, not a crash") {
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Graph.pageRankFixedPoint(edges, "id1", "id2").count() === 0)
+  }
+
+  test("pageRank mass is conserved up to truncation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val total = Graph.pageRankFixedPoint(edges, "id1", "id2", iters = 4)
+      .agg(sum($"r")).head.getLong(0)
+    val scale = 1000000000000L
+    // each div truncates < 1 unit per node per iteration; bound is loose
+    assert(total <= scale && total > scale - 1000L)
+  }
+
+  test("profile counts nulls, distincts, and min/max per column") {
+    val df = Seq(
+      (Some(1), Some("b")), (Some(1), None), (Some(3), Some("a")),
+      (None, Some("a"))).toDF("x", "s")
+    val got = Profile.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(got("x") === ((4L, 1L, 2L, "1", "3")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+    // approx variant keeps the same shape and exact nulls
+    val approx = Profile.profile(df, Seq("x"), exact = false).head()
+    assert(approx.getLong(2) === 1L && approx.getLong(3) > 0L)
+  }
+
+  /** Driver-side reference Spearman (textbook definition: Pearson over
+    * average ranks) for the collected fixture. */
+  private def refSpearman(xs: Seq[Long], ys: Seq[Long]): Double = {
+    def avgRanks(v: Seq[Long]): Seq[Double] = {
+      val byVal = v.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (x, g) => x -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      v.map(byVal)
+    }
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val n = rx.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum
+    val syy = ry.map(a => a * a).sum
+    (sxy - sx * sy / n) /
+      (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+  }
+
+  test("q_spearman matches a driver-side textbook Spearman per group") {
+    val got = SparkEntry.queries("q_spearman")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    val data = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long"),
+        round($"l_extendedprice" * 100).cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+    for ((g, rows) <- data) {
+      val want = refSpearman(rows.map(_.getLong(1)).toSeq,
+        rows.map(_.getLong(2)).toSeq)
+      assert(math.abs(got(g) - want) < 1e-9,
+        s"group $g: got ${got(g)}, reference $want")
+      assert(got(g) >= -1.0 && got(g) <= 1.0)
+    }
+  }
+
+  test("q_grouped_ols matches a driver-side least-squares fit") {
+    val got = SparkEntry.queries("q_grouped_ols")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val data = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("double"), $"l_extendedprice".cast("double"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+    for ((k, rows) <- data) {
+      val xs = rows.map(_.getDouble(2)); val ys = rows.map(_.getDouble(3))
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxy = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sxx = xs.map(a => (a - mx) * (a - mx)).sum
+      val syy = ys.map(a => (a - my) * (a - my)).sum
+      val slope = sxy / sxx
+      val intercept = my - slope * mx
+      val r2 = sxy * sxy / (sxx * syy)
+      val (gs, gi, gr2) = got(k)
+      assert(math.abs(gs - slope) < 1e-6 * math.max(1, math.abs(slope)),
+        s"$k slope: got $gs want $slope")
+      assert(math.abs(gi - intercept) <
+        1e-6 * math.max(1, math.abs(intercept)),
+        s"$k intercept: got $gi want $intercept")
+      assert(math.abs(gr2 - r2) < 1e-9 && gr2 >= 0.0 && gr2 <= 1.0)
+    }
+  }
+
+  test("q_bm25: positive scores; rarer term out-scores common term at " +
+      "equal tf and dl") {
+    val rows = SparkEntry.queries("q_bm25")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(5) > 0.0))
+    // group rows by (tf, dl): within one, score must rise as df falls —
+    // the idf monotonicity that makes BM25 a retrieval score
+    val byKey = rows.groupBy(r => (r.getLong(2), r.getLong(4)))
+      .filter(_._2.map(_.getLong(3)).distinct.size > 1)
+    assert(byKey.nonEmpty, "fixture should have comparable (tf, dl) pairs")
+    for ((_, g) <- byKey) {
+      val sorted = g.sortBy(_.getLong(3)).map(_.getDouble(5)).toSeq // df asc
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        "score must be non-increasing in df at fixed (tf, dl)")
+    }
+  }
+
+  test("q_pipe_bigram_lm: conditional probabilities are consistent") {
+    val rows = SparkEntry.queries("q_pipe_bigram_lm")(spark, sf0001).collect()
+    assert(rows.size <= 50 && rows.nonEmpty)
+    for (r <- rows) {
+      val (c12, c1, p) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(c12 <= c1 && p === c12.toDouble / c1)
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // top-50 emission is count-ordered
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts === counts.sortBy(-_))
+  }
+
+  test("q_profile gate: one row per column, n_rows consistent") {
+    val rows = SparkEntry.queries("q_profile")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    assert(rows.map(_.getLong(1)).distinct.size === 1) // same table
+    // doc_id is a key: distinct == rows, no nulls
+    val docId = rows.find(_.getString(0) == "doc_id").get
+    assert(docId.getLong(2) === 0L && docId.getLong(3) === docId.getLong(1))
+  }
+}

@@ -25,9 +25,12 @@ class PlanGuardSpec extends SparkTestBase {
   //     attached to every row.
   //   q_sim_knn_classify — majority vote OVER q_sim_knn_brute's output:
   //     inherits the same broadcast-query BNLJ scan.
+  //   q_bm25 — crossJoin(broadcast(stats)): a 1-row global
+  //     (n_docs, sum_dl) aggregate attached to every candidate row — the
+  //     same shape as q_pipe_tfidf's n_docs attach.
   private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
     "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf",
-    "q_sim_knn_classify")
+    "q_sim_knn_classify", "q_bm25")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to
