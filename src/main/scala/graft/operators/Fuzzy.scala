@@ -65,4 +65,51 @@ object Fuzzy {
         levenshtein(col("__s1"), col("__s2")).as("ed"))
       .where(col("ed") <= 1)
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1997 merge/purge):
+    * sort all records by the blocking key, compare each record only to the
+    * `w` records that FOLLOW it in the global order, verify candidates with
+    * exact `levenshtein` ≤ `maxEd`. The complementary blocking family to
+    * [[edSelfJoin]]'s deletion neighborhoods: SNM is lossy-but-tunable
+    * (a pair further than `w` apart in sort order is never compared — the
+    * classic recall/cost dial, usually run over several sort passes),
+    * where deletion blocking is complete for ED ≤ 1 but key-explodes by
+    * string length.
+    *
+    * Scale shape: global positions come from [[Positional.withGlobalPos]]
+    * (sampled-splits codegen buckets — no single-reducer window), and the
+    * neighbor pairing is an EQUI-join on the position block `pos div w`
+    * (each left row probes its own and the next block; the exact
+    * `0 < Δpos ≤ w` predicate filters inside the hash join) — never a
+    * position-range θ-join, which would plan a BNLJ. Pair volume is
+    * exactly n·w by construction, independent of key skew — blocking cost
+    * is a CHOSEN budget, not a data-dependent blowup.
+    *
+    * Output: (id1, id2, ed) with id1 < id2, one row per surviving pair. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+      w: Int, maxEd: Int = 1): DataFrame = {
+    require(w >= 1, "sortedNeighborhood needs a window of at least 1")
+    val base = df.select(col(idCol).as("__sn_id"), col(strCol).as("__sn_s"))
+    val pos = Positional.withGlobalPos(base,
+      Seq(col("__sn_s"), col("__sn_id")), "__sn_p")
+    // Strings ride into the pair join: SNM shuffles exactly n·(1+w)-ish
+    // short keys, and re-joining text by id would cost two more hash joins
+    // against a pair set the same size — for LONG payloads (documents),
+    // hash the key first and verify behind an id join as edSelfJoin does.
+    val a = pos.select(col("__sn_id").as("__sn_ida"),
+      col("__sn_s").as("__sn_sa"), col("__sn_p").as("__sn_pa"),
+      explode(array(expr(s"__sn_p div $w"), expr(s"__sn_p div $w + 1")))
+        .as("__sn_b"))
+    val b = pos.select(col("__sn_id").as("__sn_idb"),
+      col("__sn_s").as("__sn_sb"), col("__sn_p").as("__sn_pb"),
+      expr(s"__sn_p div $w").as("__sn_b"))
+    a.join(b, "__sn_b")
+      .where(col("__sn_pb") > col("__sn_pa") &&
+        col("__sn_pb") <= col("__sn_pa") + w)
+      .where(levenshtein(col("__sn_sa"), col("__sn_sb")) <= maxEd)
+      .select(
+        least(col("__sn_ida"), col("__sn_idb")).as("id1"),
+        greatest(col("__sn_ida"), col("__sn_idb")).as("id2"),
+        levenshtein(col("__sn_sa"), col("__sn_sb")).as("ed"))
+  }
 }

@@ -25,6 +25,24 @@ object Merge {
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
 
+  /** Event-time last-writer-wins merge: between `base` and `updates`, keep
+    * per key the single row GREATEST by the `ord` columns (descending, with
+    * `ord` ∪ {key} a row key so the winner is unique). Unlike [[upsert]],
+    * which trusts arrival order, this is the out-of-order-safe CDC merge —
+    * a late-arriving old row can never overwrite a newer one (the Delta
+    * `MERGE … WHEN MATCHED AND s.ts < u.ts` pattern). Plan: one union +
+    * one key-partitioned row_number window — state and batch hash by the
+    * key once; window state is a single row counter. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, key: String,
+      ord: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ord.map(col(_).desc): _*)
+    base.unionByName(updates)
+      .withColumn("__mg_rn", row_number().over(w))
+      .filter(col("__mg_rn") === 1)
+      .drop("__mg_rn")
+  }
+
   /** Snapshot diff: classify every key as 'added' (only in `next`),
     * 'removed' (only in `prev`), or 'changed' (in both, any compared
     * column differs — null-safe). Unchanged keys are dropped. Output:

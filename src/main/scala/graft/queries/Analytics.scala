@@ -322,6 +322,150 @@ object Analytics {
              |       FROM bg GROUP BY 1)
              |SELECT bg.w1, bg.w2, c12, c1, c12 / c1 AS p_cond
              |FROM bg JOIN un USING (w1)
-             |ORDER BY c12 DESC, bg.w1, w2 LIMIT 50""".stripMargin))
+             |ORDER BY c12 DESC, bg.w1, w2 LIMIT 50""".stripMargin)),
+
+    // PPMI word-association scores (positive pointwise mutual information,
+    // the classic distributional-semantics statistic): co-occurrence pairs
+    // within a ±2 token window via zip_with over array slices (narrow — no
+    // per-token window, no posexplode self-join), symmetrized, then
+    // PPMI = max(0, ln(c_xy·N / (r_x·r_y))) against the co-occurrence
+    // marginals. All four operands cast exactly to double (< 2⁵³) so the
+    // ratio is the identical IEEE tree both engines; ln is the one
+    // transcendental → round-6 emission, ranking on exact integers only
+    // (the q_bm25 rule).
+    "q_pipe_ppmi" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val w = split(col("text"), " ")
+        def off(k: Int) = zip_with(
+          slice(w, lit(1), greatest(size(w) - k, lit(0))),
+          slice(w, lit(1 + k), greatest(size(w) - k, lit(0))),
+          (a, b) => struct(a.as("x"), b.as("y")))
+        val p0 = d.select(explode(concat(off(1), off(2))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val p = p0.union(p0.select(col("y").as("x"), col("x").as("y")))
+        val c = p.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        val r = c.groupBy(col("x")).agg(sum(col("cxy")).as("rx"))
+        val n = c.agg(sum(col("cxy")).as("nn"))
+        c.join(r, "x")
+          .join(r.select(col("x").as("y"), col("rx").as("ry")), "y")
+          .crossJoin(broadcast(n))
+          .select(col("x"), col("y"), col("cxy"),
+            round(greatest(lit(0.0),
+              log((col("cxy").cast("double") * col("nn").cast("double")) /
+                (col("rx").cast("double") * col("ry").cast("double")))), 6)
+              .as("ppmi"))
+          .orderBy(col("cxy").desc, col("x"), col("y"))
+          .limit(100)
+      },
+      Some("""WITH wd AS (
+             |  SELECT string_split(text, ' ') AS w FROM documents),
+             |p0 AS (
+             |  SELECT w[i] AS x, w[i + 1] AS y
+             |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM wd)
+             |  UNION ALL
+             |  SELECT w[i], w[i + 2]
+             |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM wd)),
+             |p AS (SELECT x, y FROM p0 UNION ALL SELECT y, x FROM p0),
+             |c AS (SELECT x, y, count(*) AS cxy FROM p GROUP BY 1, 2),
+             |r AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS rx FROM c
+             |      GROUP BY 1),
+             |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS nn FROM c)
+             |SELECT c.x, c.y, cxy,
+             |  round(greatest(0.0,
+             |    ln((CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE)) /
+             |        (CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE)))), 6) AS ppmi
+             |FROM c JOIN r USING (x)
+             |JOIN (SELECT x AS y, rx AS ry FROM r) USING (y), n
+             |ORDER BY cxy DESC, x, y LIMIT 100""".stripMargin)),
+
+    // Sorted-neighborhood record linkage (see Fuzzy.sortedNeighborhood):
+    // the tunable-budget blocking family beside q_fuzzy_join's complete
+    // deletion blocking — n·w candidate pairs by construction, positions
+    // from the sampled-splits machinery, pairing as an equi-join on the
+    // position block. Window 8 on ~ambiguous supplier names; the spec pins
+    // SNM ⊆ deletion-blocking pairs (same verify predicate, lossy window).
+    "q_snm_join" -> Q(
+      (s, dir) => {
+        val got = graft.operators.Fuzzy.sortedNeighborhood(
+          tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          "s_suppkey", "s_name", w = 8)
+        got.select(col("id1").as("k1"), col("id2").as("k2"),
+            col("ed").cast("long").as("ed"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some("""WITH p AS (
+             |  SELECT s_suppkey AS id, s_name AS s,
+             |    row_number() OVER (ORDER BY s_name, s_suppkey) AS pos
+             |  FROM supplier),
+             |c AS (
+             |  SELECT a.id AS ida, b.id AS idb, a.s AS sa, b.s AS sb
+             |  FROM p a JOIN p b
+             |    ON b.pos > a.pos AND b.pos <= a.pos + 8)
+             |SELECT least(ida, idb) AS k1, greatest(ida, idb) AS k2,
+             |  CAST(levenshtein(sa, sb) AS BIGINT) AS ed
+             |FROM c WHERE levenshtein(sa, sb) <= 1
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // Data-quality constraint report (the deequ-style verification suite a
+    // pipeline runs before trusting a corpus drop): completeness,
+    // key uniqueness, referential integrity, value domain, and minimum
+    // length — each check ONE tiny aggregate (the referential check is one
+    // left hash join + aggregate; nothing fans out), unioned into a
+    // 5-row report. All counts exact integers; `ok` is a pure comparison.
+    "q_quality_checks" -> Q(
+      (s, dir) => {
+        def report(name: String, d: DataFrame, bad: Column): DataFrame =
+          d.agg(bad.as("n_bad"), count(lit(1)).as("n_rows"))
+            .select(lit(name).as("check_name"), col("n_bad"), col("n_rows"))
+        val li = tbl(s, dir, "lineitem")
+        val sup = tbl(s, dir, "supplier")
+        val ev = tbl(s, dir, "events")
+        val docs = tbl(s, dir, "documents")
+        val refJoin = tbl(s, dir, "orders").select(col("o_custkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+        Seq(
+          report("lineitem.l_orderkey.complete", li,
+            count(lit(1)) - count(col("l_orderkey"))),
+          report("supplier.s_suppkey.unique", sup,
+            count(lit(1)) - countDistinct(col("s_suppkey"))),
+          report("orders.o_custkey.referential", refJoin,
+            count(lit(1)) - count(col("c_custkey"))),
+          report("events.event_type.domain", ev,
+            sum(when(!col("event_type").isin(
+              "view", "click", "purchase", "signup"), 1L).otherwise(0L))),
+          report("documents.text.min_length_200", docs,
+            sum(when(length(col("text")) < 200, 1L).otherwise(0L))))
+          .reduce(_ unionByName _)
+          .select(col("check_name"), col("n_bad"), col("n_rows"),
+            (col("n_bad") === 0).as("ok"))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT check_name, n_bad, n_rows, n_bad = 0 AS ok FROM (
+             |  SELECT 'lineitem.l_orderkey.complete' AS check_name,
+             |    count(*) - count(l_orderkey) AS n_bad,
+             |    count(*) AS n_rows FROM lineitem
+             |  UNION ALL
+             |  SELECT 'supplier.s_suppkey.unique',
+             |    count(*) - count(DISTINCT s_suppkey), count(*)
+             |  FROM supplier
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey.referential',
+             |    count(*) - count(c.c_custkey), count(*)
+             |  FROM orders o LEFT JOIN customer c
+             |    ON o.o_custkey = c.c_custkey
+             |  UNION ALL
+             |  SELECT 'events.event_type.domain',
+             |    CAST(sum(CASE WHEN event_type NOT IN
+             |      ('view', 'click', 'purchase', 'signup')
+             |      THEN 1 ELSE 0 END) AS BIGINT), count(*)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'documents.text.min_length_200',
+             |    CAST(sum(CASE WHEN len(text) < 200 THEN 1 ELSE 0 END)
+             |      AS BIGINT), count(*)
+             |  FROM documents) t
+             |ORDER BY check_name""".stripMargin))
   )
 }

@@ -46,6 +46,42 @@ object EventAnalytics {
              |       a.user_id IN (SELECT user_id FROM c) AS converted
              |FROM a ORDER BY a.user_id""".stripMargin)),
 
+    // Markov transition matrix over per-user event sequences (clickstream
+    // path analysis): consecutive (current → next) event-type pairs from a
+    // lead() window PARTITIONED BY USER (parallel — per-user sequences are
+    // bounded, so no single-reducer window), then pair counts and
+    // P(next|current) = n_pair/n_from as one exact bigint→double division.
+    // (user_id, ts, event_id) is a row key, so the sequence order — and
+    // therefore every count — is engine-independent.
+    "q_transitions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = tbl(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("nxt", lead($"event_type", 1).over(w))
+          .filter($"nxt".isNotNull)
+        val c = pairs.groupBy($"event_type".as("cur"), $"nxt")
+          .agg(count(lit(1)).as("n_pair"))
+        val tot = c.groupBy($"cur").agg(sum($"n_pair").as("n_from"))
+        c.join(tot, "cur")
+          .select($"cur", $"nxt", $"n_pair", $"n_from",
+            ($"n_pair" / $"n_from").as("p_next"))
+          .orderBy($"cur", $"nxt")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |c AS (SELECT cur, nxt, count(*) AS n_pair FROM p
+             |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT cur, CAST(sum(n_pair) AS BIGINT) AS n_from
+             |      FROM c GROUP BY 1)
+             |SELECT cur, nxt, n_pair, n_from, n_pair / n_from AS p_next
+             |FROM c JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
+
     // Cohort retention: cohort = a user's first active week; each later
     // active week lands in (cohort, offset). Spelled WITHOUT countDistinct
     // (whose mixed-distinct aggregate plans an Expand): distinct

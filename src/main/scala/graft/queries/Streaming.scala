@@ -527,6 +527,45 @@ object Streaming {
               |FROM lefts l LEFT JOIN rights r
               |  ON l.user_id = r.user_id AND r.tu > l.tu
               |  AND r.tu <= l.tu + 1800000000
-              |ORDER BY click_id, next_id""".stripMargin))
+              |ORDER BY click_id, next_id""".stripMargin)),
+
+    // Streaming CDC merge: each micro-batch upserts into a maintained
+    // per-user snapshot via the EVENT-TIME last-writer-wins merge
+    // (Merge.upsertLatest through a foreachBatch sink — the standard
+    // streaming-merge pattern over parquet/Delta-style snapshot state).
+    // The staged replay makes blind arrival-order upsert WRONG by
+    // construction: batch 3 carries the stragglers, whose event times
+    // predate rows already merged from batches 1-2 — so a hash match
+    // proves the merge keeps the event-time winner under out-of-order
+    // arrival, exactly what a 100 TB CDC pipeline faces. Oracle: latest
+    // row per user by (ts, event_id) over the whole table. State stays
+    // |users|-sized; each batch costs one union + one key-partitioned
+    // top-1 window; localCheckpoint truncates lineage between batches.
+    "q_stream_upsert_parity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+            maxFilesPerTrigger = Some(1))
+          .select(cols.map(col): _*)
+        var state = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema)
+        Streams.withStatePartitions(s, StatePartitions) {
+          Streams.runForeachBatch(stream, "stream_upsert") { (batch, _) =>
+            state = graft.operators.Merge
+              .upsertLatest(state, batch, "user_id", Seq("ts", "event_id"))
+              .localCheckpoint(eager = true)
+            ()
+          }
+        }
+        state.select(cols.map(col): _*).orderBy($"user_id")
+      },
+      Some("""SELECT user_id, ts, event_id, event_type, value FROM (
+             |  SELECT user_id, ts, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

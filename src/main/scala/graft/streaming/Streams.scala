@@ -295,6 +295,29 @@ object Streams {
   def runToTableAppend(df: DataFrame, name: String): DataFrame =
     drainTo(df, name, OutputMode.Append())
 
+  /** Drain a FINITE stream through a foreachBatch SINK (the CDC-merge
+    * pattern: each micro-batch is handed to `f` in arrival order, which
+    * merges it into caller-held state — typically via
+    * [[graft.operators.Merge.upsertLatest]]). Same AvailableNow +
+    * scratch-checkpoint plumbing as [[runToTable]]; the sink holds no
+    * state of its own, so there is nothing to return — the caller's
+    * merged state IS the result. */
+  def runForeachBatch(df: DataFrame, name: String)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val unique = s"${name}_${runSeq.incrementAndGet()}"
+    val ckpt = ScratchCkptRoot.resolve(unique)
+    val q = df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally {
+      recordBatches(q); q.stop()
+      try graft.queries.Streaming.deleteRecursively(ckpt)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count and mean value, emitted on every update — the
     * mapGroupsWithState-style escape hatch for state machines the

@@ -230,7 +230,52 @@ object DumpPlans {
       "q_triangles" -> ("triangles: wedge hash join on the shared " +
         "endpoint + closing-edge hash join — two joins over (long, long) " +
         "edges, each triangle found exactly once; explode-to-nodes is " +
-        "narrow before the count aggregate"))
+        "narrow before the count aggregate"),
+      "q_profile" -> ("per-column profile: one partial/final aggregate " +
+        "PER COLUMN unioned, each branch's scan pruned to exactly its own " +
+        "column — never one k-way Expand replicating every row k times; " +
+        "each exact distinct is itself two-stage (partial distinct per " +
+        "partition, then merge)"),
+      "q_prefix_sum" -> ("grouped running total, skew-proof: range-bucket " +
+        "literals on the order key + per-(group,bucket) windows (each ≈ " +
+        "n/partitions rows regardless of group skew) + broadcast bucket " +
+        "base offsets — no per-group single-reducer window"),
+      "q_spearman" -> ("Spearman: average ranks as exact BIGINTs from " +
+        "grouped value counts + the distributed prefix sum (no full-table " +
+        "window anywhere); rank joins hash on (group, value); final " +
+        "Pearson is one partial/final power-sum aggregate"),
+      "q_grouped_ols" -> ("per-group OLS: single partial/final " +
+        "HashAggregate of six integer power sums over a 4-column pruned " +
+        "scan; slope/intercept/r² are narrow scalar projections on " +
+        "|groups| rows"),
+      "q_pagerank" -> ("fixed-point PageRank: per iteration ONE hash join " +
+        "(rank → contributions along edges, (long,long) tuples only) + one " +
+        "keyed aggregate; integer ranks make contribution sums order-free " +
+        "under any partitioning; node count is one bounded driver long"),
+      "q_bm25" -> ("BM25: explode → filter to query terms → per-(doc," +
+        "term) tf aggregate — candidate docs carry counts, never text; " +
+        "df join hashes |terms| rows; the 1-row corpus-stats aggregate " +
+        "broadcasts (the allowed BNLJ shape)"),
+      "q_pipe_bigram_lm" -> ("bigram LM: adjacent pairs via zip_with over " +
+        "two array slices (narrow — no per-token window, no posexplode " +
+        "self-join); pair and unigram aggregates both partial below their " +
+        "exchanges; top-50 via TakeOrdered on exact integers"),
+      "q_pipe_ppmi" -> ("PPMI: ±2-window pairs via zip_with slices " +
+        "(narrow), symmetrize by union, partial/final pair counts; " +
+        "marginals join back by token; the 1-row total broadcasts (the " +
+        "allowed BNLJ shape); top-100 via TakeOrdered on exact counts"),
+      "q_transitions" -> ("transition matrix: lead() window PARTITIONED " +
+        "BY user (parallel, bounded sequences), pair counts partial below " +
+        "the exchange, |types|² probability rows — event payloads never " +
+        "fan out"),
+      "q_snm_join" -> ("sorted-neighborhood linkage: global positions " +
+        "from sampled-splits codegen buckets, neighbor pairing as an " +
+        "EQUI-join on pos div w (exact Δpos filter inside the hash join) " +
+        "— n·w pairs by construction, no θ-join, no BNLJ"),
+      "q_quality_checks" -> ("constraint report: one tiny aggregate per " +
+        "check unioned (each scan pruned to its own column); the " +
+        "referential check is one left hash join + aggregate — nothing " +
+        "fans out, output is 5 rows"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

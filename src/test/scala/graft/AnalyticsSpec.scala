@@ -206,4 +206,53 @@ class AnalyticsSpec extends SparkTestBase {
     val docId = rows.find(_.getString(0) == "doc_id").get
     assert(docId.getLong(2) === 0L && docId.getLong(3) === docId.getLong(1))
   }
+
+  test("q_transitions: rows are a stochastic matrix over observed pairs") {
+    val rows = SparkEntry.queries("q_transitions")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // P(next|cur) sums to exactly 1 per cur (n_pair partitions n_from)
+    val byCur = rows.groupBy(_.getString(0))
+    for ((cur, g) <- byCur) {
+      assert(g.map(_.getLong(2)).sum === g.head.getLong(3),
+        s"$cur: pair counts must partition n_from")
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+    // pair count conservation: Σ n_pair = Σ per-user (len-1)
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy($"user_id").count().collect()
+    assert(rows.map(_.getLong(2)).sum ===
+      ev.map(r => r.getLong(1) - 1).sum)
+  }
+
+  test("q_pipe_ppmi: scores non-negative, counts symmetric") {
+    val rows = SparkEntry.queries("q_pipe_ppmi")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.size <= 100)
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    // symmetrized counts: whenever BOTH orientations survive the top-100
+    // cut they must agree (the cut is on count, so equal counts co-survive
+    // unless the lexical tie-break splits them at the boundary — compare
+    // only pairs whose count is strictly above the boundary count)
+    val boundary = rows.map(_.getLong(2)).min
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (((x, y), c) <- m if c > boundary)
+      assert(m.get((y, x)).contains(c), s"asymmetric count for ($x,$y)")
+  }
+
+  test("q_quality_checks: clean keys pass, planted violations are counted") {
+    val rows = SparkEntry.queries("q_quality_checks")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.size === 5)
+    // structural keys of the synthetic data are clean
+    assert(rows("lineitem.l_orderkey.complete")._1 === 0L)
+    assert(rows("supplier.s_suppkey.unique")._1 === 0L)
+    assert(rows("orders.o_custkey.referential")._1 === 0L)
+    // 'error' events sit outside the allowed domain -> non-trivial check
+    val (badDomain, nEv, okDomain) = rows("events.event_type.domain")
+    assert(badDomain > 0L && badDomain < nEv && !okDomain)
+    // every check: ok <=> n_bad == 0
+    rows.values.foreach { case (bad, _, ok) => assert(ok === (bad == 0L)) }
+  }
 }

@@ -165,4 +165,61 @@ class FuzzyResampleSpec extends SparkTestBase {
     assert(buckets.head === 200L && buckets.last === 900L)
     assert(buckets.length === 8)
   }
+
+  test("sortedNeighborhood is a subset of deletion blocking; equal when " +
+      "the window covers everything") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitten"), (3L, "sitten"), (4L, "kiten"),
+      (5L, "kittens"), (6L, "zebra"), (7L, "zebr"), (8L, "aardvark")
+    ).toDF("id", "s")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id1", $"id2", $"ed").as[(Long, Long, Int)].collect().toSet
+    val complete = pairs(Fuzzy.edSelfJoin(df, "id", "s"))
+    // SNM with any window only ever finds true ED<=1 pairs
+    val narrow = pairs(Fuzzy.sortedNeighborhood(df, "id", "s", w = 2))
+    assert(narrow.subsetOf(complete))
+    // window >= n-1 compares every pair: SNM becomes complete too
+    val wide = pairs(Fuzzy.sortedNeighborhood(df, "id", "s", w = 8))
+    assert(wide === complete)
+  }
+
+  test("sortedNeighborhood pairs each neighborhood exactly once (no " +
+      "double-count across the block boundary) on seeded random strings") {
+    val rnd = new scala.util.Random(11)
+    val strs = (1L to 120L).map { i =>
+      i -> (1 to 4).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s").repartition(5)
+    val w = 6
+    val got = Fuzzy.sortedNeighborhood(df, "id", "s", w)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toList
+    assert(got.size === got.toSet.size, "pair emitted more than once")
+    // driver reference: sort, compare each to the next w, verify ED<=1
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = strs.sortBy { case (id, s) => (s, id) }
+    val ref = (for {
+      i <- sorted.indices
+      j <- (i + 1) to math.min(i + w, sorted.size - 1)
+      if ed(sorted(i)._2, sorted(j)._2) <= 1
+    } yield {
+      val (a, b) = (sorted(i)._1, sorted(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(got.toSet === ref)
+  }
+
+  test("sortedNeighborhood plan has no cartesian/BNLJ") {
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "bb")).toDF("id", "s")
+    val plan = Fuzzy.sortedNeighborhood(df, "id", "s", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -33,6 +33,27 @@ class MergeSpec extends SparkTestBase {
     assert(got === Set((2L, "changed")))
   }
 
+  test("upsertLatest keeps the event-time winner under out-of-order arrival") {
+    // base holds (k=1, t=10); a LATE batch carries an OLDER t=5 row — blind
+    // arrival-order upsert would regress the key, event-time merge must not
+    val base = Seq((1L, 10L, 100L, "new"), (2L, 3L, 101L, "b"))
+      .toDF("k", "t", "seq", "v")
+    val late = Seq((1L, 5L, 99L, "old"), (3L, 1L, 102L, "c"))
+      .toDF("k", "t", "seq", "v")
+    val got = Merge.upsertLatest(base, late, "k", Seq("t", "seq"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 10L, 100L, "new"), (2L, 3L, 101L, "b"),
+      (3L, 1L, 102L, "c")))
+  }
+
+  test("upsertLatest breaks event-time ties on the remaining order columns") {
+    val base = Seq((1L, 10L, 1L, "first")).toDF("k", "t", "seq", "v")
+    val upd = Seq((1L, 10L, 2L, "second")).toDF("k", "t", "seq", "v")
+    val got = Merge.upsertLatest(base, upd, "k", Seq("t", "seq"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 10L, 2L, "second")))
+  }
+
   test("streaming CDC: foreachBatch upsert maintains last-writer-wins state") {
     // The standard streaming-merge sink pattern: each micro-batch merges
     // into the maintained snapshot via Merge.upsert. Batches replay in
