@@ -25,6 +25,34 @@ object Merge {
     updates.unionByName(
       base.join(updates.select(col(key)), Seq(key), "left_anti"))
 
+  /** SCD2 (slowly-changing-dimension type 2) build: turn a CHANGE LOG —
+    * one row per version of a key, stamped with an integral change time —
+    * into validity intervals [valid_from, valid_to] (inclusive both ends,
+    * the BETWEEN convention [[graft.operators.RangeJoin]] consumes): each
+    * version is valid from its own change time until one tick before the
+    * key's next change, the last version until `horizon`. Point-in-time
+    * enrichment of a fact stream is then exactly
+    * `RangeJoin.pointInInterval(facts, scd2(dim), key, ts, …)` — the
+    * classic warehouse dimension pattern, with the bin-blocked join
+    * keeping it linear at scale.
+    *
+    * One lead() window PARTITIONED BY KEY — parallel, state is one row.
+    * `tieBreak` must make (key, tsCol, tieBreak…) a total order; two
+    * versions at the SAME change time yield an empty interval
+    * [t, t−1] for the earlier one (deterministically the lesser tieBreak),
+    * which BETWEEN — and RangeJoin's `end >= start` pre-filter — drop:
+    * last-writer-wins within a timestamp tick. */
+  def scd2(changes: DataFrame, key: String, tsCol: String,
+      tieBreak: Seq[String], horizon: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy((tsCol +: tieBreak).map(col(_).asc): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(tsCol), 1).over(w) - 1, lit(horizon)))
+  }
+
   /** Event-time last-writer-wins merge: between `base` and `updates`, keep
     * per key the single row GREATEST by the `ord` columns (descending, with
     * `ord` ∪ {key} a row key so the winner is unique). Unlike [[upsert]],

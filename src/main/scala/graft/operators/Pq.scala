@@ -70,7 +70,7 @@ object Pq {
   /** Per-query ADC table: array[m][k] of squared L2 distances from the
     * query's subvectors to every subspace centroid. Computed once per
     * query row (the broadcast side). */
-  private def qtabFor(qv: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
+  private[operators] def qtabFor(qv: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
     val subDim = cbs.head.head.length
     val lit3 = cbLit(cbs)
     transform(sequence(lit(0), lit(cbs.size - 1)), s =>

@@ -240,7 +240,7 @@ object Similarity {
   /** Top-`p` centroid cells by cosine, as an array of cids — the nProbe
     * probe list. Same literal centroid array as [[cellFor]]; the sort is a
     * per-row array_sort over ≤ |cents| scored structs. */
-  private def cellsFor(v: Column, nrm: Column, cents: Seq[Cent],
+  private[operators] def cellsFor(v: Column, nrm: Column, cents: Seq[Cent],
       p: Int): Column = {
     val sorted = cents.sortBy(_.cid)
     val centArr = typedLit(sorted.map(c => (c.cid, c.cv.toSeq, c.cnrm)))

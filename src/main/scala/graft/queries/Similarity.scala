@@ -40,6 +40,32 @@ object Similarity {
   private val IvfSeedProbe = 2
   private val IvfLearnedProbe = 2
 
+  /** IVF-PQ composite operating point (operators.Ivfpq): 8 coarse cells ×
+    * residual PQ with exact re-rank, sized on the 40-query RecallPanel
+    * like every other ANN gate. The residual codebook is FINER than the
+    * plain-PQ gate's deliberately-coarse m=4/k=8 (which measured ADC-alone
+    * recall ≈ 0.06): at m=8/k=32 the ADC ordering is good enough that a
+    * 200-wide re-rank recovers most of the nProbe=3 cell recall — the
+    * production tradeoff IVF-PQ exists for (finer codes cost bytes, probe
+    * breadth costs scan, re-rank costs exact distances). Panel recall
+    * 0.705 at sf0.01 (= the cell-recall bound: the probed pool is under
+    * the re-rank breadth there) and 0.555 at sf0.1 — above both plain-IVF
+    * gates, as the composite should be. Ladder floors in SimilaritySpec. */
+  private val IvfPqCells = 8
+  private val IvfPqProbe = 3
+  private val IvfPqRerank = 200
+  private val IvfPqM = 8
+  private val IvfPqK = 32
+  private val IvfPqSubDim = Dim / IvfPqM
+
+  /** Side-table pair handing the IVF-PQ index to the oracle (same contract
+    * as [[CentroidDumpBase]]): the coarse centroids and the residual
+    * codebooks the plan scored with. */
+  private val IvfPqCentDumpBase =
+    "/root/repo/target/oracle_aux/ivfpq_centroids_"
+  private val IvfPqCbDumpBase =
+    "/root/repo/target/oracle_aux/ivfpq_codebooks_"
+
   /** Side-table handing the LEARNED k-means|| centroids to the oracle: the
     * query fn dumps the exact centroid set its plan scores with, and the
     * oracle recomputes assign+probe+top-k in DuckDB from that parquet — so
@@ -110,6 +136,40 @@ object Similarity {
       }.toDF("sub", "cid", "cv"),
       pqDump(dir))
     (corpus, cbs)
+  }
+
+  /** IVF-PQ training without the dump (same contract as [[pqTrainOnly]];
+    * training is deterministic, so the recall panel, the gate, and the
+    * oracle all score the identical index). */
+  private def ivfpqTrainOnly(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[Sim.Cent],
+        Seq[Seq[Array[Double]]]) = {
+    val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
+        "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cents, cbs) = try graft.operators.Ivfpq.train(corpus, IvfPqCells,
+        IvfPqM, IvfPqK, lloydIters = 3)
+      finally corpus.unpersist()
+    (corpus, cents, cbs)
+  }
+
+  /** [[ivfpqTrainOnly]] + the two oracle side-tables (coarse centroids and
+    * residual codebooks). */
+  private def ivfpqTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[Sim.Cent],
+        Seq[Seq[Array[Double]]]) = {
+    val (corpus, cents, cbs) = ivfpqTrainOnly(s, dir)
+    import s.implicits._
+    val sfx = new java.io.File(dir).getName
+    writeTableAtomically(
+      cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+      IvfPqCentDumpBase + sfx)
+    writeTableAtomically(
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (cv, cid) => (sub, cid, cv.toSeq) }
+      }.toDF("sub", "cid", "cv"),
+      IvfPqCbDumpBase + sfx)
+    (corpus, cents, cbs)
   }
 
   /** Learned-IVF training without the dump (same contract as
@@ -237,6 +297,11 @@ object Similarity {
       val (corpus, cbs) = pqTrainOnly(s, dir)
       graft.operators.Pq.knnPqFrom(corpus, cbs, q, K)
     }),
+    "q_sim_knn_ivfpq" -> ((s, dir, q) => {
+      val (corpus, cents, cbs) = ivfpqTrainOnly(s, dir)
+      graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, q, K,
+        IvfPqProbe, IvfPqRerank)
+    }),
     "q_sim_knn_pq_rerank" -> ((s, dir, q) => {
       val (corpus, cbs) = pqTrainOnly(s, dir)
       graft.operators.Pq.knnPqFrom(corpus, cbs, q, K, rerank = PqRerank)
@@ -267,7 +332,8 @@ object Similarity {
   def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
       annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_pq",
-        "q_sim_knn_pq_rerank", "q_sim_knn_sq8")): Map[String, Double] = {
+        "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq", "q_sim_knn_sq8"))
+      : Map[String, Double] = {
     def sets(name: String): Map[Long, Set[Long]] =
       AnnCores(name)(s, dir, RecallPanel)
         .select("query_id", "neighbor_id").collect()
@@ -484,6 +550,112 @@ object Similarity {
               |  FROM ex)
               |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // IVF-PQ composite (operators.Ivfpq — the faiss-IVFPQ production
+    // operating point): coarse cells prune WHICH rows are scored, residual
+    // PQ compresses WHAT is scored, exact re-rank repairs the metric. The
+    // oracle re-derives cell assignment, unit residuals, codes, per-probe
+    // ADC tables, candidate ranking, and the exact re-rank fold-for-fold
+    // from the two dumped side-tables (coarse centroids + residual
+    // codebooks).
+    "q_sim_knn_ivfpq" -> Q(
+      (s, dir) => {
+        val (corpus, cents, cbs) = ivfpqTrained(s, dir)
+        graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, QueryIds, K,
+            IvfPqProbe, IvfPqRerank)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some {
+        val u = (v: String, nrm: String, i: String) =>
+          s"(CASE WHEN $nrm > 0 THEN $v[$i] / $nrm ELSE $v[$i] END)"
+        val rSub = s"list_slice(r.rv, cb.sub*$IvfPqSubDim + 1, " +
+          s"cb.sub*$IvfPqSubDim + $IvfPqSubDim)"
+        val qSub = s"list_slice(r.rq, cb.sub*$IvfPqSubDim + 1, " +
+          s"cb.sub*$IvfPqSubDim + $IvfPqSubDim)"
+        s"""$preparedCte,
+           |cc AS (
+           |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
+           |  FROM read_parquet('${IvfPqCentDumpBase}sf0.01/*.parquet')),
+           |cb AS (
+           |  SELECT sub, cid, CAST(cv AS DOUBLE[]) AS cv
+           |  FROM read_parquet('${IvfPqCbDumpBase}sf0.01/*.parquet')),
+           |asg AS (
+           |  SELECT id, cid AS cell, cu FROM (
+           |    SELECT n.id, cc.cid,
+           |      list_transform(cc.cv, x ->
+           |        CASE WHEN cc.cnrm > 0 THEN x / cc.cnrm ELSE x END) AS cu,
+           |      row_number() OVER (PARTITION BY n.id
+           |        ORDER BY ${DuckFrag.dotSql("n.v", "cc.cv")}
+           |          / (n.nrm * cc.cnrm) DESC, cc.cid) AS rk
+           |    FROM n, cc) WHERE rk = 1),
+           |res AS (
+           |  SELECT n.id, a.cell,
+           |    list_transform(range(1, $Dim + 1), i ->
+           |      ${u("n.v", "n.nrm", "i")} - a.cu[i]) AS rv
+           |  FROM n JOIN asg a USING (id)),
+           |dist AS (
+           |  SELECT r.id, cb.sub, cb.cid,
+           |         ${DuckFrag.l2sqSql(rSub, "cb.cv")} AS d
+           |  FROM res r, cb),
+           |codes AS (
+           |  SELECT id, list(cid ORDER BY sub) AS codes FROM (
+           |    SELECT id, sub, cid, row_number() OVER (
+           |      PARTITION BY id, sub ORDER BY d, cid) AS rk FROM dist)
+           |  WHERE rk = 1 GROUP BY id),
+           |qp AS (
+           |  SELECT query_id, cell, cu FROM (
+           |    SELECT n.id AS query_id, cc.cid AS cell,
+           |      list_transform(cc.cv, x ->
+           |        CASE WHEN cc.cnrm > 0 THEN x / cc.cnrm ELSE x END) AS cu,
+           |      row_number() OVER (PARTITION BY n.id
+           |        ORDER BY ${DuckFrag.dotSql("n.v", "cc.cv")}
+           |          / (n.nrm * cc.cnrm) DESC, cc.cid) AS rk
+           |    FROM n, cc WHERE n.id IN $queryIdList) t
+           |  WHERE rk <= $IvfPqProbe),
+           |qres AS (
+           |  SELECT q.query_id, q.cell,
+           |    list_transform(range(1, $Dim + 1), i ->
+           |      ${u("n.v", "n.nrm", "i")} - q.cu[i]) AS rq
+           |  FROM qp q JOIN n ON n.id = q.query_id),
+           |qdist AS (
+           |  SELECT r.query_id, r.cell, cb.sub, cb.cid,
+           |         ${DuckFrag.l2sqSql(qSub, "cb.cv")} AS d
+           |  FROM qres r, cb),
+           |qt AS (
+           |  SELECT query_id, cell, sub, list(d ORDER BY cid) AS tab
+           |  FROM qdist GROUP BY 1, 2, 3),
+           |qtab AS (
+           |  SELECT query_id, cell, list(tab ORDER BY sub) AS qtab
+           |  FROM qt GROUP BY 1, 2),
+           |adc AS (
+           |  SELECT q.query_id, cd.id AS neighbor_id,
+           |    list_reduce(list_prepend(0.0, list_transform(
+           |      range(1, $PqM + 1), s -> q.qtab[s][cd.codes[s] + 1])),
+           |      (acc, x) -> acc + x) AS adc_dist
+           |  FROM codes cd JOIN asg a USING (id)
+           |  JOIN qtab q ON a.cell = q.cell
+           |  WHERE cd.id <> q.query_id),
+           |radc AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) rn
+           |  FROM adc),
+           |cand AS (
+           |  SELECT query_id, neighbor_id FROM radc
+           |  WHERE rn <= $IvfPqRerank),
+           |ex AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |         ${DuckFrag.dotSql("q.v", "b.v")} / (q.nrm * b.nrm)
+           |           AS cosine
+           |  FROM cand c
+           |  JOIN n b ON b.id = c.neighbor_id
+           |  JOIN n q ON q.id = c.query_id),
+           |rex AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+           |  FROM ex)
+           |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
+           |ORDER BY query_id, neighbor_id""".stripMargin
+      }),
 
     // Int8 scalar-quantization ANN: per-dim [min,max] ranges over the
     // NORMALIZED corpus, 0..255 codes, integer squared-L2 ranking — the

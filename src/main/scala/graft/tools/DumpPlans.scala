@@ -275,7 +275,26 @@ object DumpPlans {
       "q_quality_checks" -> ("constraint report: one tiny aggregate per " +
         "check unioned (each scan pruned to its own column); the " +
         "referential check is one left hash join + aggregate — nothing " +
-        "fans out, output is 5 rows"))
+        "fans out, output is 5 rows"),
+      "q_scd2_join" -> ("SCD2 enrichment: dimension intervals from ONE " +
+        "user-partitioned lead() window; the point-in-time join is the " +
+        "bin-blocked (user, bin) equi-join + exact BETWEEN filter — no " +
+        "per-key cross product, interval explode ≤ a few 2-day bins"),
+      "q_attribution" -> ("attribution: one as-of union+window shuffle " +
+        "by user (no row multiplication), then one keyed aggregate over " +
+        "|touches| groups; revenue sums through DECIMAL"),
+      "q_islands" -> ("islands: distinct (user, day) reduces first, " +
+        "row_number window partitioned by user, final agg keyed by " +
+        "(user, island) — event volume dies at the distinct"),
+      "q_robust_outlier" -> ("median/MAD outliers: two exact-percentile " +
+        "aggregates keyed by user + two hash joins back — all shuffles " +
+        "carry (long, long) tuples; the flag is a narrow int64 projection"),
+      "q_sim_knn_ivfpq" -> ("IVF-PQ: cell assignment + residual encoding " +
+        "are ONE narrow literal-fold projection over the corpus scan; " +
+        "probe expansion and per-(query,cell) ADC tables on the broadcast " +
+        "side; candidate join is an equi-join on cell carrying only " +
+        "(id, cell, codes); exact re-rank fetches rerank·|queries| " +
+        "vectors by id-join"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

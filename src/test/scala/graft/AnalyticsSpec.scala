@@ -239,6 +239,66 @@ class AnalyticsSpec extends SparkTestBase {
       assert(m.get((y, x)).contains(c), s"asymmetric count for ($x,$y)")
   }
 
+  test("q_islands: streaks are maximal consecutive day runs") {
+    val rows = SparkEntry.queries("q_islands")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((_, s, e, n) <- rows) assert(e - s + 1 === n) // consecutive run
+    // maximality: adjacent streaks of one user never touch
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ => ()
+      }
+    }
+    // coverage: total streak days == distinct active (user, day) pairs
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val distinctDays = graft.queries
+      .canonicalizeTime(spark.read.parquet(s"$sf0001/events.parquet"))
+      .select($"user_id", expr(s"ts div ${dayNs}L").as("day"))
+      .distinct().count()
+    assert(rows.map(_._4).sum === distinctDays)
+  }
+
+  test("q_attribution: revenue conserves over touches incl. the -1 bucket") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_.getLong(1)).sum
+    val totalRev = rows.map(r => BigDecimal(r.getDouble(2))).sum
+    val p = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter($"event_type" === "purchase")
+    assert(totalN === p.count())
+    val want = p.agg(sum($"value".cast("decimal(38,6)"))).head
+      .getDecimal(0)
+    // per-touch sums are exact decimals cast once to double; their sum
+    // re-accumulates in BigDecimal so only the per-bucket cast rounds
+    assert((totalRev - BigDecimal(want)).abs < 1e-3)
+  }
+
+  test("q_robust_outlier: flags exactly the driver-computed MAD outliers") {
+    val got = SparkEntry.queries("q_robust_outlier")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val p = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def med2(v: Seq[Long]): Long = { // median on a doubled scale: integer
+      val s = v.sorted.map(_ * 2)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val want = p.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val m2 = med2(rows.map(_._3).toSeq)
+      val devs2 = rows.map(r => math.abs(r._3 * 2 - m2))
+      val mad4 = med2(devs2.toSeq) // doubles again inside: the ×4 scale
+      rows.zip(devs2).collect {
+        case ((id, _, _), d2) if d2 * 20000L > 3L * 14826L * mad4 => id
+      }.toSeq
+    }.toSet
+    assert(got === want)
+  }
+
   test("q_quality_checks: clean keys pass, planted violations are counted") {
     val rows = SparkEntry.queries("q_quality_checks")(spark, sf0001)
       .collect()

@@ -54,6 +54,32 @@ class MergeSpec extends SparkTestBase {
     assert(got === Set((1L, 10L, 2L, "second")))
   }
 
+  test("scd2 builds non-overlapping inclusive intervals that tile to the " +
+      "horizon; same-tick duplicates collapse to last-writer") {
+    val changes = Seq(
+      (1L, 10L, 100L, "v1"), (1L, 20L, 101L, "v2"), (1L, 20L, 102L, "v2b"),
+      (2L, 5L, 103L, "w1")).toDF("k", "t", "seq", "v")
+    val got = Merge.scd2(changes, "k", "t", Seq("seq"), horizon = 99L)
+      .select($"k", $"seq", $"valid_from", $"valid_to")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 100L, 10L, 19L),  // v1 valid until one tick before the change
+      (1L, 101L, 20L, 19L),  // same-tick earlier writer: EMPTY interval
+      (1L, 102L, 20L, 99L),  // same-tick last writer wins, capped at horizon
+      (2L, 103L, 5L, 99L)))
+    // non-empty intervals per key are disjoint and cover [first, horizon]
+    val live = got.filter { case (_, _, f, t) => t >= f }
+    for ((k, ivs0) <- live.groupBy(_._1)) {
+      val ivs = ivs0.toSeq.sortBy(_._3)
+      assert(ivs.head._3 === ivs.map(_._3).min)
+      assert(ivs.last._4 === 99L)
+      ivs.sliding(2).foreach {
+        case Seq((_, _, _, t1), (_, _, f2, _)) => assert(f2 === t1 + 1)
+        case _ => ()
+      }
+    }
+  }
+
   test("streaming CDC: foreachBatch upsert maintains last-writer-wins state") {
     // The standard streaming-merge sink pattern: each micro-batch merges
     // into the maintained snapshot via Merge.upsert. Batches replay in

@@ -102,4 +102,33 @@ class PqSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Pq.knnPqFrom(corpus, huge, queryIds, k = 5))
   }
+
+  test("IVF-PQ with full probe + full re-rank degenerates to brute force") {
+    // nProbe = |cells| probes every cell (every corpus row is a candidate)
+    // and rerank >= |corpus| re-scores them all exactly — the composed
+    // approximation must then vanish entirely
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+      .persist()
+    val k = 5
+    val (cents, cbs) = graft.operators.Ivfpq.train(corpus, nCells = 4,
+      m = 4, kSub = 4, lloydIters = 1)
+    val got = graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs,
+        queryIds, k, nProbe = cents.size, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.knnBrute(emb, "embedding", "vec_id", queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    corpus.unpersist()
+    assert(got === brute)
+  }
+
+  test("IVF-PQ on an empty corpus short-circuits to an empty result") {
+    val empty = Similarity.prepared(emb, "embedding", "vec_id")
+      .filter(lit(false))
+    val (cents, cbs) = graft.operators.Ivfpq.train(empty, 4, 4, 4, 1)
+    assert(cents.isEmpty && cbs.isEmpty)
+    val out = graft.operators.Ivfpq.knnIvfPqFrom(empty, cents, cbs,
+      queryIds, k = 5, nProbe = 1, rerank = 5)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "cosine"))
+    assert(out.count() === 0)
+  }
 }

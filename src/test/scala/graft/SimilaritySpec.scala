@@ -200,12 +200,18 @@ class SimilaritySpec extends SparkTestBase {
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8",
-        "q_sim_knn_pq", "q_sim_knn_pq_rerank"))
+        "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq"))
     assert(rec("q_sim_knn_brute") === 1.0)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
     for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
-        "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank"))
+        "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq"))
       assert(rec(ann) >= 0.3, s"$ann below the 0.3 recall floor: $rec")
+    // the IVF-PQ composite must out-recall the plain-IVF gates it extends
+    // (it probes one more cell and re-ranks exactly; if the residual ADC
+    // ordering ever degrades enough to lose that edge, the operating
+    // point is broken)
+    assert(rec("q_sim_knn_ivfpq") >= rec("q_sim_knn_ivf_learned"),
+      s"IVF-PQ below plain learned IVF: $rec")
     // pure ADC is the deliberately-coarse memory-compression rung; its only
     // bars are "nonzero" and "the re-rank repairs it" (the pair's point)
     assert(rec("q_sim_knn_pq") > 0.0, rec.toString)

@@ -25,6 +25,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # other scale's stale side-table — a guaranteed spurious diff — so they are
 # reported as SKIP outside their pinned scale.
 PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01",
+                "q_sim_knn_ivfpq": "sf0.01",
                 "q_sim_knn_pq": "sf0.01",
                 "q_sim_knn_pq_rerank": "sf0.01",
                 "q_sim_semdedup": "sf0.01"}
