@@ -48,9 +48,11 @@ object Similarity {
     * 200-wide re-rank recovers most of the nProbe=3 cell recall — the
     * production tradeoff IVF-PQ exists for (finer codes cost bytes, probe
     * breadth costs scan, re-rank costs exact distances). Panel recall
-    * 0.705 at sf0.01 (= the cell-recall bound: the probed pool is under
-    * the re-rank breadth there) and 0.555 at sf0.1 — above both plain-IVF
-    * gates, as the composite should be. Ladder floors in SimilaritySpec. */
+    * 0.700 at sf0.01 (≈ the cell-recall bound: the probed pool is under
+    * the re-rank breadth there) and 0.560 at sf0.1 — above both plain-IVF
+    * gates, as the composite should be; 2 Lloyd rounds measured within
+    * 0.005 recall of 3 at ~half the training jobs. Ladder floors in
+    * SimilaritySpec. */
   private val IvfPqCells = 8
   private val IvfPqProbe = 3
   private val IvfPqRerank = 200
@@ -148,7 +150,7 @@ object Similarity {
         "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cents, cbs) = try graft.operators.Ivfpq.train(corpus, IvfPqCells,
-        IvfPqM, IvfPqK, lloydIters = 3)
+        IvfPqM, IvfPqK, lloydIters = 2)
       finally corpus.unpersist()
     (corpus, cents, cbs)
   }
