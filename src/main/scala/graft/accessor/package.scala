@@ -159,6 +159,28 @@ package object accessor {
       def fuzzySelfJoin(idCol: String,
           strCol: String): org.apache.spark.sql.DataFrame =
         graft.operators.Fuzzy.edSelfJoin(df, idCol, strCol)
+      def sortedNeighborhoodJoin(idCol: String, strCol: String, w: Int,
+          maxEd: Int = 1): org.apache.spark.sql.DataFrame =
+        graft.operators.Fuzzy.sortedNeighborhood(df, idCol, strCol, w, maxEd)
+      def profile(cols: Seq[String],
+          exact: Boolean = true): org.apache.spark.sql.DataFrame =
+        graft.operators.Profile.profile(df, cols, exact)
+      def groupedPrefixSum(grpCols: Seq[String], ordCols: Seq[Column],
+          valCol: Column, outCol: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Positional.groupedPrefixSum(df, grpCols, ordCols,
+          valCol, outCol)
+      def upsert(updates: org.apache.spark.sql.DataFrame,
+          key: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Merge.upsert(df, updates, key)
+      def upsertLatest(updates: org.apache.spark.sql.DataFrame, key: String,
+          ord: Seq[String]): org.apache.spark.sql.DataFrame =
+        graft.operators.Merge.upsertLatest(df, updates, key, ord)
+      def scd2(key: String, tsCol: String, tieBreak: Seq[String],
+          horizon: Long): org.apache.spark.sql.DataFrame =
+        graft.operators.Merge.scd2(df, key, tsCol, tieBreak, horizon)
+      def snapshotDiff(next: org.apache.spark.sql.DataFrame, key: String,
+          compareCols: Seq[String]): org.apache.spark.sql.DataFrame =
+        graft.operators.Merge.snapshotDiff(df, next, key, compareCols)
     }
   }
 }

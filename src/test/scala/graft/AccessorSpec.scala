@@ -92,4 +92,35 @@ class AccessorSpec extends SparkTestBase {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("DataFrame-level accessors forward to SNM, profile, prefix sum, " +
+      "and the CDC merges") {
+    val names = Seq((1L, "abc"), (2L, "abd"), (3L, "zzz")).toDF("id", "s")
+    assert(names.sortedNeighborhoodJoin("id", "s", w = 2)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)))
+    val prof = names.profile(Seq("id")).head()
+    assert(prof.getLong(1) === 3L && prof.getLong(3) === 3L)
+    val run = Seq(("a", 1L, 10L), ("a", 2L, 5L)).toDF("g", "o", "v")
+      .groupedPrefixSum(Seq("g"), Seq($"o"), $"v", "run")
+      .orderBy($"o").select($"run").as[Long].collect().toSeq
+    assert(run === Seq(10L, 15L))
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val upd = Seq((2L, "B")).toDF("k", "v")
+    assert(base.upsert(upd, "k").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B")))
+    val b2 = Seq((1L, 10L, "new")).toDF("k", "t", "v")
+    val late = Seq((1L, 5L, "old")).toDF("k", "t", "v")
+    assert(b2.upsertLatest(late, "k", Seq("t"))
+      .as[(Long, Long, String)].head() === ((1L, 10L, "new")))
+    val scd = Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("k", "t", "v")
+      .scd2("k", "t", Seq("v"), horizon = 99L)
+      .select($"v", $"valid_from", $"valid_to")
+      .as[(String, Long, Long)].collect().toSet
+    assert(scd === Set(("v1", 10L, 19L), ("v2", 20L, 99L)))
+    assert(base.snapshotDiff(upd.unionByName(Seq((1L, "a")).toDF("k", "v")),
+        "k", Seq("v"))
+      .select($"k", $"change").as[(Long, String)].collect().toSet ===
+      Set((2L, "changed")))
+  }
 }
