@@ -379,6 +379,70 @@ object Analytics {
              |JOIN (SELECT x AS y, rx AS ry FROM r) USING (y), n
              |ORDER BY cxy DESC, x, y LIMIT 100""".stripMargin)),
 
+    // Expanding (cumulative) mean — pandas expanding().mean() at scale:
+    // BOTH running sums (value cents and row count) come from the same
+    // skew-proof two-phase prefix sum, so no per-group single-reducer
+    // window exists anywhere; the mean is one exact-int → double division,
+    // bit-identical cross-engine.
+    "q_expanding" -> Q(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+        val run = Positional.groupedPrefixSum(li, Seq("l_returnflag"),
+          Seq(col("l_orderkey"), col("l_linenumber")), col("cents"),
+          "run_cents")
+        Positional.groupedPrefixSum(run, Seq("l_returnflag"),
+            Seq(col("l_orderkey"), col("l_linenumber")), col("n"), "run_n")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            (col("run_cents") / col("run_n")).as("exp_mean_cents"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1, 2, 3)
+             |SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  CAST(sum(cents) OVER w AS BIGINT)
+             |    / CAST(sum(n) OVER w AS BIGINT) AS exp_mean_cents
+             |FROM g
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Fixed-size deterministic stratified sample: EXACTLY min(n, |stratum|)
+    // docs per source, selected by md5 order — the "give me 50 audit docs
+    // per source" sampler beside q_pipe_sample's rate-based hash filter.
+    // The md5 hex string is identical in both engines (lowercase, same
+    // int→string rendering), the per-stratum window is keyed by source
+    // (parallel), and WindowGroupLimit prunes rows past n before the sort
+    // materializes a full stratum.
+    "q_pipe_fixed_sample" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+            col("doc_id"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 50 ORDER BY source, rk""".stripMargin)),
+
     // Sorted-neighborhood record linkage (see Fuzzy.sortedNeighborhood):
     // the tunable-budget blocking family beside q_fuzzy_join's complete
     // deletion blocking — n·w candidate pairs by construction, positions

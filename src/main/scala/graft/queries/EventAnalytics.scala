@@ -254,6 +254,37 @@ object EventAnalytics {
              |FROM g GROUP BY user_id, grp
              |ORDER BY user_id, streak_start""".stripMargin)),
 
+    // Exponentially-weighted mean (pandas ewm(alpha=.5, adjust=False)
+    // parity): per user, the recursion s₁=x₁, sₜ=(sₜ₋₁+xₜ)/2 folded over
+    // the (ts, event_id)-ordered value list. The fold is SEQUENTIAL in
+    // both engines (Spark `aggregate` seeded with element 1 over the tail;
+    // DuckDB `list_reduce`, which seeds with the first element) — same
+    // order, each op correctly rounded, division by 2 exact — so the
+    // smoothed double is BIT-identical with no rounding step. Per-user
+    // lists are bounded (events/user); the aggregate is keyed — for
+    // unbounded streams use the resample buckets first.
+    "q_ewm" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val vals = transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"value"))),
+          e => e.getField("value"))
+        tbl(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), vals.as("vals"))
+          .select($"user_id", $"n_events",
+            aggregate(expr("slice(vals, 2, size(vals) - 1)"),
+              element_at($"vals", 1),
+              (acc, x) => (acc + x) / 2.0).as("ewm"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  list_reduce(list(value ORDER BY ts, event_id),
+             |    (acc, x) -> (acc + x) / 2.0) AS ewm
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Robust per-user anomaly detection: median/MAD outliers on purchase
     // values, spelled EXACTLY in integers — values become cents, medians
     // compute on DOUBLED scales so every interpolated midpoint is an

@@ -294,7 +294,16 @@ object DumpPlans {
         "probe expansion and per-(query,cell) ADC tables on the broadcast " +
         "side; candidate join is an equi-join on cell carrying only " +
         "(id, cell, codes); exact re-rank fetches rerank·|queries| " +
-        "vectors by id-join"))
+        "vectors by id-join"),
+      "q_ewm" -> ("EWM: one keyed aggregate collecting bounded per-user " +
+        "value lists (sorted in-group), the recursion is a narrow " +
+        "sequential fold — no window, no second shuffle"),
+      "q_expanding" -> ("expanding mean: two prefix sums over the SAME " +
+        "(group, bucket) windows — both running quantities share the " +
+        "bucketed exchange; no per-group single-reducer window"),
+      "q_pipe_fixed_sample" -> ("fixed-size sample: source-keyed " +
+        "row_number window over md5 order with WindowGroupLimit pruning " +
+        "rows past n=50 map-side; scan prunes to (doc_id, source)"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

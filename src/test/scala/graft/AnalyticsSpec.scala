@@ -299,6 +299,60 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("q_ewm matches the driver-side pandas ewm(alpha=.5, adjust=False) " +
+      "recursion bit-for-bit") {
+    val got = SparkEntry.queries("q_ewm")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val ref = graft.queries
+      .canonicalizeTime(spark.read.parquet(s"$sf0001/events.parquet"))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+        u -> xs.tail.foldLeft(xs.head)((s, x) => (s + x) / 2.0)
+      }
+    // exact equality: the fold is sequential and identically ordered
+    assert(got === ref)
+  }
+
+  test("q_expanding equals the naive per-group expanding mean") {
+    val got = SparkEntry.queries("q_expanding")(spark, sf0001)
+    val li = graft.queries.tbl(spark, sf0001, "lineitem")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .agg(sum($"cents").as("cents"), count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = li.select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+      (sum($"cents").over(w) / sum($"n").over(w)).as("exp_mean_cents"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
+  test("q_pipe_fixed_sample: exactly min(50, |stratum|) per source, " +
+      "deterministic") {
+    val rows = SparkEntry.queries("q_pipe_fixed_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val strata = graft.queries.tbl(spark, sf0001, "documents")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = rows.groupBy(_._2)
+    assert(bySource.keySet === strata.keySet)
+    for ((src, g) <- bySource) {
+      assert(g.length === math.min(50L, strata(src)))
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length).toSeq)
+    }
+    // determinism: re-run yields the identical sample
+    val again = SparkEntry.queries("q_pipe_fixed_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q_quality_checks: clean keys pass, planted violations are counted") {
     val rows = SparkEntry.queries("q_quality_checks")(spark, sf0001)
       .collect()
