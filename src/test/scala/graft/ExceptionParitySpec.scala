@@ -82,4 +82,42 @@ class ExceptionParitySpec extends SparkTestBase {
         dim = 2, probes = 5))
     assert(e.getMessage.contains("probes"))
   }
+
+  test("sortedNeighborhood with a non-positive window fails fast") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Fuzzy.sortedNeighborhood(df, "id", "s", w = 0))
+    assert(e.getMessage.contains("window"))
+  }
+
+  test("groupedPrefixSum without an order column fails fast") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Positional.groupedPrefixSum(df, Seq("g"), Seq.empty,
+        $"v", "run"))
+    assert(e.getMessage.contains("order column"))
+  }
+
+  test("IVF-PQ fails fast on rerank < k and nProbe outside [1, |cells|]") {
+    val emb = Seq((0L, Seq.fill(8)(1.0)), (1L, Seq.fill(8)(0.5)))
+      .toDF("vec_id", "embedding")
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id")
+    val (cents, cbs) = graft.operators.Ivfpq.train(corpus, nCells = 2,
+      m = 2, kSub = 2, lloydIters = 1)
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, Seq(0L),
+        k = 5, nProbe = 1, rerank = 3))
+    assert(e1.getMessage.contains("rerank"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, Seq(0L),
+        k = 1, nProbe = 99, rerank = 5))
+    assert(e2.getMessage.contains("nProbe"))
+  }
+
+  test("pageRankFixedPoint with zero iterations fails fast") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Graph.pageRankFixedPoint(edges, "a", "b", iters = 0))
+    assert(e.getMessage.contains("iteration"))
+  }
 }
