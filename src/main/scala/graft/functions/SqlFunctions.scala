@@ -47,7 +47,18 @@ object SqlFunctions {
     "graft_zfill" -> { case Seq(s, w) => Zfill(s, int(w)) },
     "graft_wrap" -> { case Seq(s, w) => WrapText(s, int(w)) },
     "graft_swapcase" -> { case Seq(s) => SwapCase(s) },
-    "graft_polyhash" -> { case Seq(s) => PolyHash(s) })
+    "graft_polyhash" -> { case Seq(s) => PolyHash(s) },
+    // Bloom membership surface (Spark's internal runtime-filter aggregate,
+    // exposed as a first-class SQL pair — see Dedup.ngramContaminationBloom
+    // for the operator-level use): build with
+    //   graft_bloom_agg(xxhash64(col), estimatedItems, numBits)
+    // probe with graft_might_contain(bf, xxhash64(col)).
+    "graft_bloom_agg" -> { case Seq(c, n, b) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c, n, b).toAggregateExpression() },
+    "graft_might_contain" -> { case Seq(bf, v) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(bf, v) })
 
   /** Register all graft_* SQL functions into this session. */
   def register(spark: SparkSession): Unit =

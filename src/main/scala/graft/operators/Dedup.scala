@@ -446,6 +446,48 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** [[ngramContamination]]'s beyond-broadcast scale path: the eval gram
+    * set is compressed into ONE Bloom filter (Spark's own
+    * BloomFilterAggregate — the runtime-filter machinery of SPARK-32268,
+    * reused as a first-class operator) and shipped as a single binary
+    * scalar, so train-side grams are probed with NO join at all — a narrow
+    * `might_contain` filter in the scan pipeline. This is the shape that
+    * survives an eval set whose distinct gram table is itself too large to
+    * broadcast-hash-join comfortably: the filter costs `numBits/8` bytes
+    * REGARDLESS of eval cardinality.
+    *
+    * Contract: Bloom filters have NO false negatives, so per doc
+    * `n_flagged ≥` the exact `n_overlap` (DedupSpec pins the superset
+    * property), and the overshoot is bounded by the false-positive rate
+    * set by `numBits/expectedGrams` (~10 bits/item ≈ 1% FP). Use the exact
+    * join when the decision must be exact; use this to PRE-PRUNE at scale
+    * (drop the provably-clean 99% cheaply, then exact-check the rest). */
+  def ngramContaminationBloom(docs: DataFrame, textCol: String,
+      idCol: String, isEval: Column, k: Int, expectedGrams: Long,
+      numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{toCol, toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = docs.select(col(idCol).as("id"), isEval.as("__is_eval"),
+        col(textCol).as("__text"))
+      .filter(size(tokens(col("__text"))) >= k)
+      .select(col("id"), col("__is_eval"),
+        explode(shingleHashes(col("__text"), k)).as("h"))
+    val bloom = sh.filter(col("__is_eval")).select(col("h")).distinct()
+      .agg(toCol(new BloomFilterAggregate(toExpr(col("h")),
+        Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+    // might_contain requires its filter side as a CONSTANT or scalar
+    // subquery (the runtime-filter contract) — which is also the better
+    // plan: no join node at all, the probe is a narrow filter whose
+    // subquery result broadcasts once per executor
+    val bfSub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bloom.queryExecution.analyzed)
+    sh.filter(!col("__is_eval")).select(col("id"), col("h"))
+      .filter(toCol(BloomFilterMightContain(bfSub, toExpr(col("h")))))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Quality-preferring keeper selection over dup groups: [[dupGroups]]
     * labels each component by its MIN id — an arbitrary survivor. Real
     * cleaning passes keep the BEST copy (near-dups differ: one has the

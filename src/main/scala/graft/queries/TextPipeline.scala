@@ -687,6 +687,22 @@ object TextPipeline {
               |FROM t JOIN e USING (hh)
               |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-compressed decontamination pre-prune (the beyond-broadcast
+    // scale path — see Dedup.ngramContaminationBloom): the eval gram set
+    // travels as ONE binary scalar whatever its cardinality; train grams
+    // probe it with a narrow might_contain filter, no join. Rows-only
+    // gate: the Bloom bit layout is Spark-internal, so no cross-engine
+    // hash is possible — the correctness contract (superset of the exact
+    // overlap, FP-bounded) is spec-pinned in DedupSpec instead.
+    "q_pipe_decontam_bloom" -> Q(
+      (s, dir) => graft.operators.Dedup
+        .ngramContaminationBloom(docs(s, dir), "text", "doc_id",
+          col("doc_id") % 20 === 0, k = 3,
+          expectedGrams = 100000L, numBits = 1000000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      None),
+
     // Sequence chunking: each doc split into 8-token windows every 6
     // tokens (2-token overlap), short tail kept — the packing step that
     // turns cleaned text into model-ready chunks. Oracle mirrors the

@@ -303,7 +303,11 @@ object DumpPlans {
         "bucketed exchange; no per-group single-reducer window"),
       "q_pipe_fixed_sample" -> ("fixed-size sample: source-keyed " +
         "row_number window over md5 order with WindowGroupLimit pruning " +
-        "rows past n=50 map-side; scan prunes to (doc_id, source)"))
+        "rows past n=50 map-side; scan prunes to (doc_id, source)"),
+      "q_pipe_decontam_bloom" -> ("bloom pre-prune: the eval gram set " +
+        "reduces to ONE binary scalar (BloomFilterAggregate subquery); " +
+        "train grams probe via a narrow might_contain FILTER — no join " +
+        "node anywhere, the only exchange is the per-doc count aggregate"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

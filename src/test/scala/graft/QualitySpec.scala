@@ -205,4 +205,41 @@ class QualitySpec extends SparkTestBase {
       broadcastEval = false).orderBy("id").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("bloom decontamination pre-prune: no false negatives vs the exact " +
+      "join, FP-bounded with honest sizing") {
+    val df = (0L until 200L).map { i =>
+      // eval docs (i%20==0) share trigrams with i%20==1 neighbors only
+      val base = if (i % 20 <= 1) s"sh${i / 20}a sh${i / 20}b sh${i / 20}c"
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val isEval = col("doc_id") % 20 === 0
+    val exact = Dedup.ngramContamination(df, "text", "doc_id", isEval, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.ngramContaminationBloom(df, "text", "doc_id", isEval,
+        3, expectedGrams = 10000L, numBits = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // superset: every exactly-contaminated doc is flagged at >= its exact
+    // overlap (Bloom filters have no false negatives)
+    for ((id, n) <- exact)
+      assert(bloom.getOrElse(id, 0L) >= n, s"false negative on doc $id")
+    // bounded overshoot: at 10 bits/item the FP rate is ~1%; allow the
+    // flagged DOC set to exceed the exact one by at most a few docs
+    assert(bloom.size - exact.size <= 5,
+      s"FP overshoot: ${bloom.size} flagged vs ${exact.size} exact")
+  }
+
+  test("graft_bloom_agg / graft_might_contain round-trip through SQL text") {
+    graft.functions.SqlFunctions.register(spark)
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bloom_t")
+    val flags = spark.sql(
+      """WITH bf AS (SELECT graft_bloom_agg(xxhash64(x), 100L, 8192L) AS b
+        |            FROM bloom_t)
+        |SELECT x, graft_might_contain((SELECT b FROM bf), xxhash64(x)),
+        |       graft_might_contain((SELECT b FROM bf), xxhash64(x + 100))
+        |FROM bloom_t ORDER BY x""".stripMargin).collect()
+    assert(flags.forall(_.getBoolean(1)))   // members always hit
+    assert(flags.exists(!_.getBoolean(2)))  // non-members mostly miss
+  }
 }
