@@ -443,6 +443,38 @@ object Analytics {
              |  FROM documents) t
              |WHERE rk <= 50 ORDER BY source, rk""".stripMargin)),
 
+    // Benford leading-digit audit — the forensic data-quality check for
+    // fabricated numeric columns: observed leading-digit frequency of
+    // l_extendedprice vs the Benford expectation log10(1+1/d). The digit
+    // comes from the integer CENTS string (scaling by 100 never changes
+    // the leading significand digit), so extraction is exact; observed
+    // freq is one bigint→double division (bit-identical, no rounding);
+    // only the expected curve (a transcendental) rounds to 6. The 1-row
+    // total broadcasts (allowed BNLJ shape).
+    "q_benford" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "lineitem")
+          .select(substring(round(col("l_extendedprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        val c = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum(col("n")).as("total"))
+        c.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n") / col("total")).as("freq"),
+            round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)),
+              6).as("benford"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+             |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM lineitem),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT digit, n, n / total AS freq,
+             |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+             |FROM c, t ORDER BY digit""".stripMargin)),
+
     // Sorted-neighborhood record linkage (see Fuzzy.sortedNeighborhood):
     // the tunable-budget blocking family beside q_fuzzy_join's complete
     // deletion blocking — n·w candidate pairs by construction, positions

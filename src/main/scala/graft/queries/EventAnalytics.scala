@@ -285,6 +285,42 @@ object EventAnalytics {
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Behavioral entropy: Shannon entropy of each user's event-type
+    // distribution (the "does this account do one thing or many"
+    // feature). Per-user term lists are tiny (≤ |event types|) and folded
+    // SEQUENTIALLY in event-type order — a grouped float sum would be
+    // partition-order-dependent, a sorted fold is engine-identical (the
+    // q_ewm rule); ln is the one transcendental → round-6.
+    "q_entropy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val byType = tbl(s, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("c"))
+        byType.groupBy($"user_id")
+          .agg(sum($"c").as("n"),
+            array_sort(collect_list(struct($"event_type", $"c")))
+              .as("cs"))
+          .select($"user_id", $"n",
+            round(aggregate($"cs", lit(0.0), (acc, t) => {
+              val p = t.getField("c").cast("double") / $"n"
+              acc - p * log(p)
+            }), 6).as("entropy"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS c FROM events
+             |  GROUP BY 1, 2),
+             |a AS (
+             |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             |         list(c ORDER BY event_type) AS cs
+             |  FROM c GROUP BY 1)
+             |SELECT user_id, n,
+             |  round(list_reduce(list_prepend(0.0,
+             |    list_transform(cs, x -> -(x / n) * ln(x / n))),
+             |    (acc, y) -> acc + y), 6) AS entropy
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Robust per-user anomaly detection: median/MAD outliers on purchase
     // values, spelled EXACTLY in integers — values become cents, medians
     // compute on DOUBLED scales so every interpolated midpoint is an

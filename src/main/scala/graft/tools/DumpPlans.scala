@@ -307,7 +307,13 @@ object DumpPlans {
       "q_pipe_decontam_bloom" -> ("bloom pre-prune: the eval gram set " +
         "reduces to ONE binary scalar (BloomFilterAggregate subquery); " +
         "train grams probe via a narrow might_contain FILTER — no join " +
-        "node anywhere, the only exchange is the per-doc count aggregate"))
+        "node anywhere, the only exchange is the per-doc count aggregate"),
+      "q_entropy" -> ("behavioral entropy: two keyed aggregates (type " +
+        "counts, then per-user fold over a <=|types| sorted list) — no " +
+        "window, no float sum whose order the partitioning could flip"),
+      "q_benford" -> ("Benford audit: narrow digit projection, 9-row " +
+        "partial/final count aggregate, 1-row total broadcast (allowed " +
+        "BNLJ); expected curve is a scalar projection"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

@@ -353,6 +353,29 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("q_entropy: bounded by ln(|event types|), zero iff one type") {
+    val rows = SparkEntry.queries("q_entropy")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nTypes = graft.queries.tbl(spark, sf0001, "events")
+      .select($"event_type").distinct().count()
+    for (r <- rows) {
+      val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(nTypes.toDouble) + 1e-6,
+        s"user ${r.getLong(0)}: entropy $h outside [0, ln($nTypes)]")
+    }
+  }
+
+  test("q_benford: digits 1-9, frequencies sum to 1, expectation sums " +
+      "to 1") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf0001).collect()
+    val digits = rows.map(_.getInt(0)).toSet
+    assert(digits.subsetOf((1 to 9).toSet) && digits.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // full Benford curve sums to 1 when all nine digits are present
+    if (digits === (1 to 9).toSet)
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+  }
+
   test("q_quality_checks: clean keys pass, planted violations are counted") {
     val rows = SparkEntry.queries("q_quality_checks")(spark, sf0001)
       .collect()

@@ -30,9 +30,11 @@ class PlanGuardSpec extends SparkTestBase {
   //     same shape as q_pipe_tfidf's n_docs attach.
   //   q_pipe_ppmi — crossJoin(broadcast(n)): the 1-row total-cooccurrence
   //     aggregate attached to every surviving pair — same shape again.
+  //   q_benford — crossJoin(broadcast(total)): a 1-row count attached to
+  //     the 9-row digit table.
   private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
     "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf",
-    "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi")
+    "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi", "q_benford")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to
