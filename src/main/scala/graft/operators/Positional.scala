@@ -138,15 +138,27 @@ object Positional {
     * small there; this operator exists for the SKEWED/low-cardinality
     * case). The prefix sum is inclusive of the current row. */
   def groupedPrefixSum(df: DataFrame, grpCols: Seq[String],
-      ordCols: Seq[Column], valCol: Column, outCol: String): DataFrame = {
+      ordCols: Seq[Column], valCol: Column, outCol: String): DataFrame =
+    groupedPrefixSums(df, grpCols, ordCols, Seq(valCol -> outCol))
+
+  /** N running sums over ONE bucket/offsets/window pass — running totals
+    * over the same order share everything but the summed value, so
+    * computing them together costs one split-point job, one offsets
+    * aggregate (N sums wide), and one Window operator evaluating N frames
+    * over a single Exchange+Sort, instead of N full passes. */
+  def groupedPrefixSums(df: DataFrame, grpCols: Seq[String],
+      ordCols: Seq[Column], vals: Seq[(Column, String)]): DataFrame = {
     require(ordCols.nonEmpty, "groupedPrefixSum needs an order column")
+    require(vals.nonEmpty, "groupedPrefixSums needs at least one value")
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, ordCols.head, n)
     val grpC = grpCols.map(col)
-    val withB = df
-      .withColumn("__ps_v", valCol)
-      .withColumn("__ps_b", bucketExpr(df, ordCols.head, splits))
+    val vcols = vals.indices.map(i => s"__ps_v$i")
+    val withB = vals.zip(vcols).foldLeft(
+        df.withColumn("__ps_b", bucketExpr(df, ordCols.head, splits))) {
+      case (d, ((v, _), vc)) => d.withColumn(vc, v)
+    }
     val runw = Window.partitionBy(grpC :+ col("__ps_b"): _*)
       .orderBy(ordCols.map(_.asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -154,13 +166,19 @@ object Positional {
       .orderBy(col("__ps_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy(grpC :+ col("__ps_b"): _*)
-      .agg(sum(col("__ps_v")).as("__ps_t"))
-      .select((grpC :+ col("__ps_b")) :+
-        coalesce(sum(col("__ps_t")).over(offw), lit(0L)).as("__ps_base"): _*)
-    withB
-      .join(broadcast(offsets), grpCols :+ "__ps_b")
-      .withColumn(outCol, col("__ps_base") + sum(col("__ps_v")).over(runw))
-      .drop("__ps_b", "__ps_v", "__ps_base")
+      .agg(sum(col(vcols.head)).as("__ps_t0"),
+        vcols.tail.zipWithIndex.map { case (vc, i) =>
+          sum(col(vc)).as(s"__ps_t${i + 1}") }: _*)
+      .select((grpC :+ col("__ps_b")) ++ vcols.indices.map(i =>
+        coalesce(sum(col(s"__ps_t$i")).over(offw), lit(0L))
+          .as(s"__ps_base$i")): _*)
+    val joined = withB.join(broadcast(offsets), grpCols :+ "__ps_b")
+    val withRuns = vals.zip(vcols).zipWithIndex.foldLeft(joined) {
+      case (d, (((_, out), vc), i)) =>
+        d.withColumn(out, col(s"__ps_base$i") + sum(col(vc)).over(runw))
+    }
+    withRuns.drop(
+      "__ps_b" +: (vcols ++ vcols.indices.map(i => s"__ps_base$i")): _*)
   }
 
   /** Driver-pinned split points for the bucket expression. Boundary QUALITY

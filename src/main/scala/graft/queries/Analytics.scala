@@ -392,11 +392,9 @@ object Analytics {
           .groupBy(col("l_returnflag"), col("l_orderkey"),
             col("l_linenumber"))
           .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
-        val run = Positional.groupedPrefixSum(li, Seq("l_returnflag"),
-          Seq(col("l_orderkey"), col("l_linenumber")), col("cents"),
-          "run_cents")
-        Positional.groupedPrefixSum(run, Seq("l_returnflag"),
-            Seq(col("l_orderkey"), col("l_linenumber")), col("n"), "run_n")
+        Positional.groupedPrefixSums(li, Seq("l_returnflag"),
+            Seq(col("l_orderkey"), col("l_linenumber")),
+            Seq(col("cents") -> "run_cents", col("n") -> "run_n"))
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             (col("run_cents") / col("run_n")).as("exp_mean_cents"))
           .orderBy(col("l_returnflag"), col("l_orderkey"),

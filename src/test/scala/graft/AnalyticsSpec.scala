@@ -32,6 +32,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.count() === 500)
   }
 
+  test("groupedPrefixSums: N running sums share ONE raw-row window and " +
+      "equal N single passes") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 300).map { i =>
+      (s"g${rnd.nextInt(3)}", i, rnd.nextInt(100).toLong, rnd.nextInt(9) + 1L)
+    }.toDF("grp", "o", "a", "b").repartition(5)
+    val both = Positional.groupedPrefixSums(df, Seq("grp"), Seq(col("o")),
+      Seq(col("a") -> "ra", col("b") -> "rb"))
+    val sa = Positional.groupedPrefixSum(df, Seq("grp"), Seq(col("o")),
+      col("a"), "ra").select($"grp", $"o", $"ra")
+    val sb = Positional.groupedPrefixSum(df, Seq("grp"), Seq(col("o")),
+      col("b"), "rb").select($"grp", $"o", $"rb")
+    val joined = sa.join(sb, Seq("grp", "o"))
+    val bothP = both.select($"grp", $"o", $"ra", $"rb")
+    assert(bothP.except(joined).isEmpty && joined.except(bothP).isEmpty)
+    // one Window node over the raw rows carries BOTH running frames
+    val wins = both.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val overRaw = wins.filterNot(_.child.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+    assert(overRaw.size === 1, s"expected one raw-row window:\n$wins")
+    assert(overRaw.head.windowExpressions.size === 2)
+  }
+
   test("groupedPrefixSum window partitions are bucketed, not per-group") {
     // The whole point: no window partition spec of (grp) alone anywhere in
     // the plan — every running-sum window must include the bucket column,
