@@ -181,6 +181,9 @@ package object accessor {
       def snapshotDiff(next: org.apache.spark.sql.DataFrame, key: String,
           compareCols: Seq[String]): org.apache.spark.sql.DataFrame =
         graft.operators.Merge.snapshotDiff(df, next, key, compareCols)
+      def joinStats(right: org.apache.spark.sql.DataFrame, leftKey: String,
+          rightKey: String): org.apache.spark.sql.DataFrame =
+        graft.operators.Profile.joinStats(df, leftKey, right, rightKey)
     }
   }
 }

@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
   * shape, sketch-sized state — which [[profile]] exposes via `exact`. */
 object Profile {
 
+  /** Join pre-flight report: the EXACT statistics that decide how a keyed
+    * join should run BEFORE running it — row/distinct counts per side,
+    * matched-key count, the exact output cardinality
+    * (Σ over matched keys of cl·cr), and the worst single key's output
+    * (max cl·cr, the skew indicator that says "salt this"). At 100 TB this
+    * one-row report is the difference between discovering an exploding or
+    * skewed join in planning versus in a dead executor: output rows far
+    * above both inputs ⇒ the key is not what you thought; one key
+    * dominating ⇒ salt or pre-aggregate.
+    *
+    * Cost: one keyed count aggregate per side (map-side partial) + one
+    * full-outer join of the two COUNT tables (distinct-key-sized, never
+    * row-sized) + a 1-row reduce. All counts are exact BIGINTs. */
+  def joinStats(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val cl = left.groupBy(col(leftKey).as("__js_k"))
+      .agg(count(lit(1)).as("__js_cl"))
+    val cr = right.groupBy(col(rightKey).as("__js_k"))
+      .agg(count(lit(1)).as("__js_cr"))
+    cl.join(cr, Seq("__js_k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__js_cl")), lit(0L)).as("n_left"),
+        coalesce(sum(col("__js_cr")), lit(0L)).as("n_right"),
+        count(col("__js_cl")).as("nd_left"),
+        count(col("__js_cr")).as("nd_right"),
+        count(when(col("__js_cl").isNotNull && col("__js_cr").isNotNull,
+          lit(1))).as("n_matched_keys"),
+        coalesce(sum(col("__js_cl") * col("__js_cr")), lit(0L))
+          .as("join_rows"),
+        coalesce(max(col("__js_cl") * col("__js_cr")), lit(0L))
+          .as("max_key_rows"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame =
     cols.map { c =>

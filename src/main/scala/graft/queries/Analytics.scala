@@ -441,6 +441,32 @@ object Analytics {
              |  FROM documents) t
              |WHERE rk <= 50 ORDER BY source, rk""".stripMargin)),
 
+    // Join pre-flight report (operators.Profile.joinStats): exact
+    // row/distinct/matched counts, the exact output cardinality
+    // Σ cl·cr, and the worst single key's cl·cr — the planning-time
+    // numbers that decide broadcast vs shuffle vs salt before a 100 TB
+    // join runs. Cost is two keyed count aggregates + one key-sized join.
+    "q_join_stats" -> Q(
+      (s, dir) => graft.operators.Profile.joinStats(
+        tbl(s, dir, "lineitem"), "l_orderkey",
+        tbl(s, dir, "orders"), "o_orderkey"),
+      Some("""WITH cl AS (
+             |  SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+             |  GROUP BY 1),
+             |cr AS (
+             |  SELECT o_orderkey AS k, count(*) AS cr FROM orders
+             |  GROUP BY 1)
+             |SELECT
+             |  CAST(coalesce(sum(cl), 0) AS BIGINT) AS n_left,
+             |  CAST(coalesce(sum(cr), 0) AS BIGINT) AS n_right,
+             |  count(cl) AS nd_left,
+             |  count(cr) AS nd_right,
+             |  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+             |  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS join_rows,
+             |  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_rows
+             |FROM cl FULL OUTER JOIN cr USING (k)""".stripMargin)),
+
     // Benford leading-digit audit — the forensic data-quality check for
     // fabricated numeric columns: observed leading-digit frequency of
     // l_extendedprice vs the Benford expectation log10(1+1/d). The digit

@@ -313,7 +313,11 @@ object DumpPlans {
         "window, no float sum whose order the partitioning could flip"),
       "q_benford" -> ("Benford audit: narrow digit projection, 9-row " +
         "partial/final count aggregate, 1-row total broadcast (allowed " +
-        "BNLJ); expected curve is a scalar projection"))
+        "BNLJ); expected curve is a scalar projection"),
+      "q_join_stats" -> ("join pre-flight: per-side keyed count " +
+        "aggregates (partial below each exchange), ONE full-outer join " +
+        "of the distinct-key-sized count tables, 1-row reduce — row data " +
+        "never joins"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

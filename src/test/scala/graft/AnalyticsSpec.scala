@@ -401,6 +401,20 @@ class AnalyticsSpec extends SparkTestBase {
       assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
   }
 
+  test("joinStats predicts the exact join output and flags the hot key") {
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"),
+      (3L, "f")).toDF("k", "v")
+    val right = Seq((1L, "x"), (3L, "y"), (3L, "z"), (9L, "w"))
+      .toDF("k", "w")
+    val st = Profile.joinStats(left, "k", right, "k").head()
+    assert(st.getLong(0) === 6L && st.getLong(1) === 4L) // rows
+    assert(st.getLong(2) === 3L && st.getLong(3) === 3L) // distinct keys
+    assert(st.getLong(4) === 2L)                         // matched keys
+    // the prediction IS the real inner-join cardinality
+    assert(st.getLong(5) === left.join(right, "k").count())
+    assert(st.getLong(6) === 6L) // hot key 3: 3 left x 2 right
+  }
+
   test("q_quality_checks: clean keys pass, planted violations are counted") {
     val rows = SparkEntry.queries("q_quality_checks")(spark, sf0001)
       .collect()
