@@ -106,10 +106,12 @@ object Fuzzy {
     a.join(b, "__sn_b")
       .where(col("__sn_pb") > col("__sn_pa") &&
         col("__sn_pb") <= col("__sn_pa") + w)
-      .where(levenshtein(col("__sn_sa"), col("__sn_sb")) <= maxEd)
+      // project the distance ONCE, filter on the alias — levenshtein is
+      // O(len²) per pair and Spark does not CSE across Filter and Project
       .select(
         least(col("__sn_ida"), col("__sn_idb")).as("id1"),
         greatest(col("__sn_ida"), col("__sn_idb")).as("id2"),
         levenshtein(col("__sn_sa"), col("__sn_sb")).as("ed"))
+      .where(col("ed") <= maxEd)
   }
 }

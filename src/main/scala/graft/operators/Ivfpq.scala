@@ -97,13 +97,18 @@ object Ivfpq {
     val coded = residuals(corpus, sorted)
       .select(col("id"), col("cell"), Pq.codesFor(col("rv"), cbs).as("codes"))
     val cuLit = cuDense(sorted)
+    // ONE query-row projection feeds both the probe/ADC-table side and
+    // the exact re-rank join below — two verbatim filter+select copies
+    // would each re-scan the corpus lineage (recomputing norms when the
+    // caller did not persist)
+    val qrows = corpus.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
     // broadcast side: per query, the nProbe nearest cells — ranked by the
     // SAME raw-vector cosine expression the corpus assignment folds, so
     // probe and assignment can never disagree in an ulp — each probe with
     // its own residual ADC table (the residual depends on the probed cell)
-    val queries = corpus.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
+    val queries = qrows
       .withColumn("qu", unit(col("qv"), col("qn")))
       .withColumn("qcell",
         explode(Similarity.cellsFor(col("qv"), col("qn"), sorted, nProbe)))
@@ -125,11 +130,8 @@ object Ivfpq {
       .filter(col("rn") <= rerank).drop("rn", "adc_dist")
     val nb = corpus.select(col("id").as("neighbor_id"),
       col("v").as("nv"), col("nrm").as("nn"))
-    val qv = corpus.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
     val exact = cand.join(nb, "neighbor_id")
-      .join(broadcast(qv), "query_id")
+      .join(broadcast(qrows), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("qn"), col("nv"), col("nn"))
           .as("cosine"))

@@ -165,14 +165,24 @@ object Positional {
     val offw = Window.partitionBy(grpC: _*)
       .orderBy(col("__ps_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy(grpC :+ col("__ps_b"): _*)
+    val offsets0 = withB.groupBy(grpC :+ col("__ps_b"): _*)
       .agg(sum(col(vcols.head)).as("__ps_t0"),
         vcols.tail.zipWithIndex.map { case (vc, i) =>
           sum(col(vc)).as(s"__ps_t${i + 1}") }: _*)
       .select((grpC :+ col("__ps_b")) ++ vcols.indices.map(i =>
         coalesce(sum(col(s"__ps_t$i")).over(offw), lit(0L))
           .as(s"__ps_base$i")): _*)
-    val joined = withB.join(broadcast(offsets), grpCols :+ "__ps_b")
+    // disambiguate the group columns for the join-condition build below
+    val offsets = grpCols.foldLeft(offsets0)(
+      (d, c) => d.withColumnRenamed(c, s"__ps_g_$c"))
+    // NULL-SAFE equality on the group keys: groupBy treats NULL as a real
+    // group, and the naive window this operator replaces keeps NULL-group
+    // rows — a null-unsafe equi-join here would silently drop them
+    val joinCond = (grpCols.map(c => withB(c) <=> offsets(s"__ps_g_$c")) :+
+      (withB("__ps_b") === offsets("__ps_b"))).reduce(_ && _)
+    val joined = withB.join(broadcast(offsets), joinCond)
+      .drop(offsets("__ps_b"))
+      .drop(grpCols.map(c => s"__ps_g_$c"): _*)
     val withRuns = vals.zip(vcols).zipWithIndex.foldLeft(joined) {
       case (d, (((_, out), vc), i)) =>
         d.withColumn(out, col(s"__ps_base$i") + sum(col(vc)).over(runw))

@@ -55,7 +55,8 @@ object Profile {
   }
 
   def profile(df: DataFrame, cols: Seq[String],
-      exact: Boolean = true): DataFrame =
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
       val nd =
         if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
@@ -68,4 +69,5 @@ object Profile {
         .select(lit(c).as("column"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
+  }
 }

@@ -632,7 +632,7 @@ object Similarity {
            |adc AS (
            |  SELECT q.query_id, cd.id AS neighbor_id,
            |    list_reduce(list_prepend(0.0, list_transform(
-           |      range(1, $PqM + 1), s -> q.qtab[s][cd.codes[s] + 1])),
+           |      range(1, $IvfPqM + 1), s -> q.qtab[s][cd.codes[s] + 1])),
            |      (acc, x) -> acc + x) AS adc_dist
            |  FROM codes cd JOIN asg a USING (id)
            |  JOIN qtab q ON a.cell = q.cell

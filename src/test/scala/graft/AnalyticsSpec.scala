@@ -57,6 +57,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(overRaw.head.windowExpressions.size === 2)
   }
 
+  test("groupedPrefixSum keeps NULL-group rows (null-safe offsets join)") {
+    val df = Seq((Some("g"), 1, 10L), (None, 2, 5L), (None, 3, 7L),
+      (Some("g"), 4, 1L)).toDF("grp", "o", "v").repartition(3)
+    val got = Positional.groupedPrefixSum(df, Seq("grp"), Seq(col("o")),
+        col("v"), "run")
+      .select($"grp", $"o", $"run")
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getLong(2))).toSet
+    // the naive window keeps NULL as a real group; so must we
+    assert(got === Set((Some("g"), 1, 10L), (None, 2, 5L), (None, 3, 12L),
+      (Some("g"), 4, 11L)))
+  }
+
   test("groupedPrefixSum window partitions are bucketed, not per-group") {
     // The whole point: no window partition spec of (grp) alone anywhere in
     // the plan — every running-sum window must include the bucket column,

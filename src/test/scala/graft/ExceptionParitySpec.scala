@@ -114,6 +114,13 @@ class ExceptionParitySpec extends SparkTestBase {
     assert(e2.getMessage.contains("nProbe"))
   }
 
+  test("profile with no columns fails fast") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Profile.profile(df, Seq.empty))
+    assert(e.getMessage.contains("at least one column"))
+  }
+
   test("pageRankFixedPoint with zero iterations fails fast") {
     val edges = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException](
