@@ -15,6 +15,18 @@ Test / fork := true
 // sequentially. Pin it explicitly rather than relying on sbt's default.
 Test / parallelExecution := false
 run / fork := true
+// The driver tail-parses the LAST stdout line of `sbt runMain graft.Bench`
+// as compact JSON. Two things used to break that: sbt prefixes forked
+// output with "[info] " and appends a "[success] Total time" banner after
+// the process exits (BENCH_r10..r12 all ended with parsed:null). Emit the
+// forked process' stdout raw and drop the success banner so the compact
+// line is genuinely the final line.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// silence the false-positive unused-key lint (it prints a [warn] block
+// that would itself pollute the parsed stdout).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

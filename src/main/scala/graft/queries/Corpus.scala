@@ -24,6 +24,17 @@ object Corpus {
     s"((($idExpr % 2147483647 + 2147483647) % 2147483647) * 2654435761 + " +
       s"${seed % 2147483647L}) % 2147483647"
 
+  /** Side-table handing the per-doc DEFLATE lengths to the oracle (same
+    * contract and sf-suffix concurrency story as the ANN index dumps in
+    * [[Similarity]]): deflate is zlib-deterministic within a JVM but not a
+    * cross-engine constant, so the plan dumps the lengths it scored with
+    * and both engines derive ratio + keep from the same table. Declared
+    * BEFORE [[defs]] — the oracle string interpolates it eagerly at object
+    * init, and vals initialize in declaration order. */
+  private val DeflateDumpBase = "/root/repo/target/oracle_aux/deflate_len_"
+  private def deflateDump(dir: String): String =
+    DeflateDumpBase + new java.io.File(dir).getName
+
   val defs: Map[String, Q] = Map(
 
     // Deterministic training-order shuffle + sharding: hash order is a
@@ -252,11 +263,54 @@ object Corpus {
               |       greatest(start - pack * 128, 0) AS pack_from
               |FROM p ORDER BY doc_id, pack""".stripMargin)),
 
-    // Incompressibility signal (deflate ratio): native codegen kernel,
-    // narrow projection. No DuckDB oracle exists for deflate, so this gate
-    // takes the driver's rows-only check; CorpusOpsSpec pins the signal's
-    // ordering (boilerplate < prose < gibberish), bounds, and determinism.
+    // Incompressibility signal (deflate ratio) + the two-sided filter
+    // decision built on it. DuckDB has no deflate, so the raw compressed
+    // size can never be recomputed cross-engine; instead the gate uses the
+    // side-table replay pattern (same as the PQ codebook gates): the plan's
+    // own deflate lengths are dumped to a parquet side-table and read BACK
+    // as the plan input, and the oracle reads the same table — so deflate
+    // agreement is by construction, while everything downstream of it is a
+    // genuine cross-engine check: the raw UTF-8 byte length (Spark
+    // octet_length vs DuckDB strlen, computed independently from the text),
+    // the null-on-empty ratio arithmetic, and the two-sided keep decision
+    // (too compressible = boilerplate/spam, incompressible = noise).
+    // CorpusOpsSpec still pins the deflate signal itself (ordering
+    // boilerplate < prose < gibberish, bounds, determinism).
     "q_pipe_compress_ratio" -> Q(
-      (s, dir) => Quality.compressionSignal(docs(s, dir), "text", "doc_id")
-        .orderBy(col("doc_id"))))
+      (s, dir) => {
+        val sig = Quality.compressionSignal(docs(s, dir), "text", "doc_id")
+        writeTableAtomically(
+          sig.select(col("doc_id"),
+            col("deflate_bytes").cast("long").as("deflate_bytes")),
+          deflateDump(dir))
+        docs(s, dir)
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("raw_bytes"))
+          .join(s.read.parquet(deflateDump(dir)), "doc_id")
+          .withColumn("compress_ratio",
+            when(col("raw_bytes") === 0, lit(null).cast("double"))
+              .otherwise(col("deflate_bytes").cast("double") /
+                col("raw_bytes").cast("double")))
+          .withColumn("keep",
+            coalesce(col("compress_ratio") >= 0.25 &&
+              col("compress_ratio") <= 0.95, lit(false)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, CAST(deflate_bytes AS BIGINT) AS deflate_bytes
+              |  FROM read_parquet('${DeflateDumpBase}sf0.01/*.parquet')),
+              |r AS (
+              |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes
+              |  FROM documents),
+              |c AS (
+              |  SELECT r.doc_id AS doc_id, raw_bytes, deflate_bytes,
+              |         CASE WHEN raw_bytes = 0 THEN NULL
+              |              ELSE CAST(deflate_bytes AS DOUBLE) /
+              |                   CAST(raw_bytes AS DOUBLE) END
+              |           AS compress_ratio
+              |  FROM r JOIN d USING (doc_id))
+              |SELECT doc_id, raw_bytes, deflate_bytes, compress_ratio,
+              |       coalesce(compress_ratio >= 0.25 AND
+              |                compress_ratio <= 0.95, FALSE) AS keep
+              |FROM c ORDER BY doc_id""".stripMargin)))
 }

@@ -221,28 +221,6 @@ object Similarity {
        |  FROM adc)""".stripMargin
   }
 
-  /** Replace the parquet table at `path` via temp-dir + rename swap. Every
-    * invocation of the query (verify, bench samples, DumpPlans) rewrites
-    * the dump; a plain mode-overwrite deletes the directory before writing,
-    * so a concurrent oracle read at the SAME scale could observe a missing/
-    * partial table for the whole write. The swap shrinks the exposed window
-    * to two directory renames. */
-  private def writeTableAtomically(df: org.apache.spark.sql.DataFrame,
-      path: String): Unit = {
-    import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    def rmTree(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    val target = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp")
-    val old = Paths.get(path + ".old")
-    rmTree(tmp); rmTree(old)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (Files.exists(target)) Files.move(target, old)
-    Files.move(tmp, target)
-    rmTree(old)
-  }
-
   /** DuckDB prelude: corpus as DOUBLE[] vectors with precomputed norms —
     * mirrors Sim.prepared. */
   private val preparedCte =

@@ -50,6 +50,18 @@ object TextPipeline {
        |  JOIN sig b ON b.doc_id = c.id2
        |  WHERE ${DuckFrag.jaccardSql("a.h", "b.h")} >= $threshold)""".stripMargin
 
+  /** Side-table handing the Bloom-survivor set to the oracle (same
+    * contract and sf-suffix concurrency story as the ANN index dumps in
+    * [[Similarity]]): the Bloom bit layout is Spark-internal, so the plan
+    * dumps the (doc_id, n_flagged) set its filter produced; both engines
+    * then verify the pre-prune invariants against their OWN exact overlap
+    * computation. Declared BEFORE [[defs]] — the oracle string
+    * interpolates it eagerly at object init, and vals initialize in
+    * declaration order. */
+  private val BloomDumpBase = "/root/repo/target/oracle_aux/bloom_survivors_"
+  private def bloomDump(dir: String): String =
+    BloomDumpBase + new java.io.File(dir).getName
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -690,18 +702,70 @@ object TextPipeline {
     // Bloom-compressed decontamination pre-prune (the beyond-broadcast
     // scale path — see Dedup.ngramContaminationBloom): the eval gram set
     // travels as ONE binary scalar whatever its cardinality; train grams
-    // probe it with a narrow might_contain filter, no join. Rows-only
-    // gate: the Bloom bit layout is Spark-internal, so no cross-engine
-    // hash is possible — the correctness contract (superset of the exact
-    // overlap, FP-bounded) is spec-pinned in DedupSpec instead.
+    // probe it with a narrow might_contain filter, no join. The Bloom bit
+    // layout is Spark-internal, so DuckDB cannot replay the probe itself;
+    // the gate instead uses the side-table replay pattern: the survivor
+    // set is dumped to parquet and read BACK as the plan input, and BOTH
+    // engines independently recompute the exact n-gram overlap and derive
+    // the pre-prune invariants as DATA — per-survivor exact overlap count
+    // (0 marks a Bloom false positive), `missed` = exact-contaminated docs
+    // absent from the survivor set (no-false-negatives ⇒ must be 0), and
+    // `fp_count` = survivors with no exact overlap. Spark derives them via
+    // its shingle operators, DuckDB via SQL shingles — a Spark-side
+    // shingle/bloom common-mode miss is caught by the exact gate
+    // (q_pipe_decontam) this one is paired with. The FP-RATE bound stays
+    // spec-pinned in DedupSpec (it needs the numBits/expectedGrams model,
+    // not SQL). Gate-scale note: the exact-overlap subplan appears twice
+    // (per-row flags + 1-row invariant aggregate) — fine at gate scale; at
+    // 100 TB the operator itself (ngramContaminationBloom) is the product,
+    // not this verification harness.
     "q_pipe_decontam_bloom" -> Q(
-      (s, dir) => graft.operators.Dedup
-        .ngramContaminationBloom(docs(s, dir), "text", "doc_id",
-          col("doc_id") % 20 === 0, k = 3,
-          expectedGrams = 100000L, numBits = 1000000L)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id")),
-      None),
+      (s, dir) => {
+        val bloom = graft.operators.Dedup
+          .ngramContaminationBloom(docs(s, dir), "text", "doc_id",
+            col("doc_id") % 20 === 0, k = 3,
+            expectedGrams = 100000L, numBits = 1000000L)
+          .withColumnRenamed("id", "doc_id")
+        writeTableAtomically(bloom, bloomDump(dir))
+        val survivors = s.read.parquet(bloomDump(dir))
+        val exact = graft.operators.Dedup
+          .ngramContamination(docs(s, dir), "text", "doc_id",
+            col("doc_id") % 20 === 0, k = 3)
+          .withColumnRenamed("id", "doc_id")
+        def flags = survivors.join(exact, Seq("doc_id"), "full_outer")
+        val stats = flags.agg(
+          count(when(col("n_flagged").isNull, lit(1))).as("missed"),
+          count(when(col("n_overlap").isNull, lit(1))).as("fp_count"))
+        flags.filter(col("n_flagged").isNotNull)
+          .na.fill(0L, Seq("n_overlap"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("n_flagged"), col("n_overlap"),
+            col("missed"), col("fp_count"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${shingleCte(3)},
+              |e AS (SELECT DISTINCT unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 = 0),
+              |t AS (SELECT doc_id, unnest(h) AS hh FROM sh
+              |      WHERE doc_id % 20 <> 0),
+              |ex AS (SELECT t.doc_id AS doc_id, count(*) AS n_overlap
+              |       FROM t JOIN e USING (hh) GROUP BY 1),
+              |bl AS (SELECT doc_id, CAST(n_flagged AS BIGINT) AS n_flagged
+              |       FROM read_parquet('${BloomDumpBase}sf0.01/*.parquet')),
+              |fl AS (SELECT coalesce(bl.doc_id, ex.doc_id) AS doc_id,
+              |              bl.n_flagged, ex.n_overlap
+              |       FROM bl FULL OUTER JOIN ex ON bl.doc_id = ex.doc_id),
+              |st AS (SELECT
+              |         count(CASE WHEN n_flagged IS NULL THEN 1 END)
+              |           AS missed,
+              |         count(CASE WHEN n_overlap IS NULL THEN 1 END)
+              |           AS fp_count
+              |       FROM fl)
+              |SELECT doc_id, n_flagged, coalesce(n_overlap, 0) AS n_overlap,
+              |       missed, fp_count
+              |FROM fl CROSS JOIN st
+              |WHERE n_flagged IS NOT NULL
+              |ORDER BY doc_id""".stripMargin)),
 
     // Sequence chunking: each doc split into 8-token windows every 6
     // tokens (2-token overlap), short tail kept — the packing step that

@@ -68,4 +68,27 @@ package object queries {
     * normalized to the canonical time-column contract above. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     tableLayout(canonicalizeTime(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Write an oracle side-table with a tmp→target directory-rename swap.
+    * Every invocation of a side-table gate (verify, bench samples,
+    * DumpPlans) rewrites its dump; a plain mode-overwrite deletes the
+    * directory before writing, so a concurrent oracle read at the SAME
+    * scale could observe a missing/partial table for the whole write. The
+    * swap shrinks the exposed window to two directory renames. Shared by
+    * the ANN-index gates (Similarity) and the text-pipeline side-table
+    * gates (compress-ratio deflate lengths, bloom survivor set). */
+  private[graft] def writeTableAtomically(df: DataFrame, path: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val old = Paths.get(path + ".old")
+    rmTree(tmp); rmTree(old)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(tmp, target)
+    rmTree(old)
+  }
 }

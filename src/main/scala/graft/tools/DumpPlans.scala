@@ -306,8 +306,12 @@ object DumpPlans {
         "rows past n=50 map-side; scan prunes to (doc_id, source)"),
       "q_pipe_decontam_bloom" -> ("bloom pre-prune: the eval gram set " +
         "reduces to ONE binary scalar (BloomFilterAggregate subquery); " +
-        "train grams probe via a narrow might_contain FILTER — no join " +
-        "node anywhere, the only exchange is the per-doc count aggregate"),
+        "train grams probe via a narrow might_contain FILTER with no join " +
+        "node, dumped to the oracle side-table and read back; the gate " +
+        "then full-outer-joins the read-back survivors against the exact " +
+        "overlap counts (equi-join on doc_id) and attaches the 1-row " +
+        "(missed, fp_count) invariant aggregate via broadcast (allowed " +
+        "BNLJ) — verification harness around the no-join probe operator"),
       "q_entropy" -> ("behavioral entropy: two keyed aggregates (type " +
         "counts, then per-user fold over a <=|types| sorted list) — no " +
         "window, no float sum whose order the partitioning could flip"),

@@ -32,9 +32,13 @@ class PlanGuardSpec extends SparkTestBase {
   //     aggregate attached to every surviving pair — same shape again.
   //   q_benford — crossJoin(broadcast(total)): a 1-row count attached to
   //     the 9-row digit table.
+  //   q_pipe_decontam_bloom — crossJoin(broadcast(stats)): the 1-row
+  //     (missed, fp_count) invariant aggregate attached to every survivor
+  //     row — same shape as q_pipe_tfidf's n_docs attach.
   private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
     "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf",
-    "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi", "q_benford")
+    "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi", "q_benford",
+    "q_pipe_decontam_bloom")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to

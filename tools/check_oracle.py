@@ -28,6 +28,8 @@ PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01",
                 "q_sim_knn_ivfpq": "sf0.01",
                 "q_sim_knn_pq": "sf0.01",
                 "q_sim_knn_pq_rerank": "sf0.01",
+                "q_pipe_compress_ratio": "sf0.01",
+                "q_pipe_decontam_bloom": "sf0.01",
                 "q_sim_semdedup": "sf0.01"}
 
 
