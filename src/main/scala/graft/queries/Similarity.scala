@@ -25,37 +25,51 @@ object Similarity {
     * ~25% candidate scan — panel recall 0.45 at both sf0.01 and sf0.1. */
   private val NumTables = 4
   private val BitsPerTable = 4
-  /** Multi-probe radius for q_sim_knn_lsh_mp: all buckets within Hamming
-    * distance 2 of the query's 8-bit bucket (37 probes, broadcast side
-    * only) — panel recall 0.40 at a ~12–25% candidate scan. */
-  private val ProbeRadius = 2
+  /** Multi-probe sizing for q_sim_knn_lsh_mp, decoupled from the
+    * multi-table gate's planes: ONE 9-bit table probing every bucket
+    * within Hamming distance 3 of the query's bucket (1+9+36+84 = 130 of
+    * 512 buckets ≈ 25% expected candidate scan — the SAME scan fraction
+    * as q_sim_knn_lsh's 4×4 OR-construction). At per-bit agreement
+    * p ≈ 0.62 the collision probability is P[Binom(9, 0.38) ≤ 3] ≈ 0.53
+    * vs the table gate's 1−(1−0.62⁴)⁴ ≈ 0.47 — multi-probe's entire
+    * point is buying table-OR recall without storing L index copies, so
+    * the ladder spec pins mp ≥ lsh at equal scan cost (r12 shipped a
+    * 8-bit/radius-2 point that measured BELOW the table gate). Probe
+    * expansion stays broadcast-side only. */
+  private val MpPlanes = 9
+  private val MpProbeRadius = 3
   /** Probe breadths of the two IVF gates, chosen on the 40-query
     * [[RecallPanel]] (the 4-query gate sample is 0.05-granularity noise —
     * r12 measured random centroid placement alone moving it 0.00–0.65).
-    * Panel recall at 2-of-8 cells ≈ 25% scan: seed 0.46–0.49, learned
-    * 0.55 (learned k-means|| beats the seed heuristic, as it should —
-    * the r11 "inversion" was the 4-query sample). Seed at nProbe=1
-    * measured 0.23–0.27: below any honest floor, so the seed gate probes
-    * 2 cells too. */
-  private val IvfSeedProbe = 2
-  private val IvfLearnedProbe = 2
+    * r12 shipped 2-of-8 cells (≈ 25% scan: seed 0.46–0.49, learned
+    * 0.545–0.55) and rode a silent 16-point seed-recall drop vs r11; the
+    * r13 operating point probes 3-of-8 cells (≈ 37% scan) to hold both
+    * gates above the 0.55 floor the ladder spec now pins at both scales —
+    * on a weakly-clustered corpus (true-neighbor cosines 0.35–0.48) cell
+    * membership is diffuse, and probe breadth is the only honest recall
+    * lever plain IVF has (the learned gate still beats the seed heuristic
+    * at equal breadth, and IVF-PQ's re-rank stays above both). Seed at
+    * nProbe=1 measured 0.23–0.27: below any honest floor. */
+  private val IvfSeedProbe = 3
+  private val IvfLearnedProbe = 3
 
   /** IVF-PQ composite operating point (operators.Ivfpq): 8 coarse cells ×
     * residual PQ with exact re-rank, sized on the 40-query RecallPanel
     * like every other ANN gate. The residual codebook is FINER than the
     * plain-PQ gate's deliberately-coarse m=4/k=8 (which measured ADC-alone
     * recall ≈ 0.06): at m=8/k=32 the ADC ordering is good enough that a
-    * 200-wide re-rank recovers most of the nProbe=3 cell recall — the
+    * 400-wide re-rank recovers most of the nProbe=4 cell recall — the
     * production tradeoff IVF-PQ exists for (finer codes cost bytes, probe
-    * breadth costs scan, re-rank costs exact distances). Panel recall
-    * 0.700 at sf0.01 (≈ the cell-recall bound: the probed pool is under
-    * the re-rank breadth there) and 0.560 at sf0.1 — above both plain-IVF
-    * gates, as the composite should be; 2 Lloyd rounds measured within
-    * 0.005 recall of 3 at ~half the training jobs. Ladder floors in
-    * SimilaritySpec. */
+    * breadth costs scan, re-rank costs exact distances). The r13 sizing
+    * (probe 4-of-8, re-rank 400) keeps the composite ABOVE plain learned
+    * IVF at both scales — the r12 point (probe 3, re-rank 200) fell to
+    * 0.56 vs learned-IVF's 0.67 at sf0.1 once the plain gates widened to
+    * 3 probes. Panel recall 0.815 at sf0.01 / 0.750 at sf0.1; 2 Lloyd
+    * rounds measured within 0.005 recall of 3 at ~half the training
+    * jobs. Ladder floors in SimilaritySpec. */
   private val IvfPqCells = 8
-  private val IvfPqProbe = 3
-  private val IvfPqRerank = 200
+  private val IvfPqProbe = 4
+  private val IvfPqRerank = 400
   private val IvfPqM = 8
   private val IvfPqK = 32
   private val IvfPqSubDim = Dim / IvfPqM
@@ -265,7 +279,7 @@ object Similarity {
         K, NumTables, BitsPerTable, Dim)),
     "q_sim_knn_lsh_mp" -> ((s, dir, q) =>
       Sim.knnLsh(tbl(s, dir, "embeddings"), "embedding", "vec_id", q, K,
-        NumPlanes, Dim, probes = ProbeRadius)),
+        MpPlanes, Dim, probes = MpProbeRadius)),
     "q_sim_knn_ivf" -> ((s, dir, q) =>
       Sim.knnIvf(tbl(s, dir, "embeddings"), "embedding", "vec_id", q, K,
         numCentroids = 8, nProbe = IvfSeedProbe)),
@@ -383,19 +397,21 @@ object Similarity {
            |ORDER BY query_id, neighbor_id""".stripMargin
       }),
 
-    // Multi-probe LSH ANN: one 8-bit table, probing every bucket within
-    // Hamming distance 2 of the query's (37 probes — broadcast query side
+    // Multi-probe LSH ANN: one 9-bit table, probing every bucket within
+    // Hamming distance 3 of the query's (130 probes — broadcast query side
     // only; the corpus still joins by bucket equality). Recovers neighbors
-    // that fall just across one or two hyperplanes, the dominant recall
-    // loss of single-bucket LSH.
+    // that fall just across a few hyperplanes, the dominant recall loss of
+    // single-bucket LSH — see the MpPlanes scaladoc for the sizing vs the
+    // multi-table gate.
     "q_sim_knn_lsh_mp" -> Q(
       (s, dir) => AnnCores("q_sim_knn_lsh_mp")(s, dir, QueryIds)
         .orderBy(col("query_id"), col("neighbor_id")),
       Some {
-        val masks = Sim.probeMasks(NumPlanes, ProbeRadius)
+        val masks = Sim.probeMasks(MpPlanes, MpProbeRadius)
           .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+        val mpBucket = bucketSqlFor("v", Sim.planes(MpPlanes, Dim))
         s"""$preparedCte,
-           |b AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+           |b AS (SELECT id, v, nrm, $mpBucket AS bucket FROM n),
            |q AS (
            |  SELECT id AS query_id, v AS qv, nrm AS qn,
            |         unnest($masks) AS qbucket
@@ -471,7 +487,8 @@ object Similarity {
               |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
               |q AS (
               |  SELECT id AS query_id, v AS qv, nrm AS qn, cell AS qcell
-              |  FROM ranked WHERE rk <= 2 AND id IN $queryIdList),
+              |  FROM ranked WHERE rk <= $IvfLearnedProbe
+              |    AND id IN $queryIdList),
               |s AS (
               |  SELECT query_id, id AS neighbor_id,
               |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine

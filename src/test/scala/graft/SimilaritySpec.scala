@@ -131,7 +131,7 @@ class SimilaritySpec extends SparkTestBase {
     // values are deterministic per dataset. (Recall quality is the
     // 40-query panel's business — see recallVsBrute; on that panel the
     // learned centroids out-recall the seed heuristic at equal probe
-    // breadth, 0.55 vs 0.46 at nProbe=2.)
+    // breadth, 0.705 vs 0.580 at nProbe=3.)
     val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
     try {
       val seed = corpus.filter($"id" < 8).collect()
@@ -193,9 +193,9 @@ class SimilaritySpec extends SparkTestBase {
     //   r11's single-table LSH: recall 0.0).
     // The synthetic corpus is weakly clustered (true-neighbor cosines
     // 0.35-0.48), so these floors demand honest candidate breadth:
-    // multi-table OR-construction for lsh, Hamming<=2 probing for lsh_mp,
-    // 2-of-8-cell probing for both IVF gates, 200-wide exact re-rank for
-    // pq_rerank (panel recall 0.40–0.84 across gates and scales).
+    // multi-table OR-construction for lsh, 9-bit/Hamming<=3 probing for
+    // lsh_mp, 3-of-8-cell probing for both IVF gates, 200-wide exact
+    // re-rank for pq_rerank (panel recall 0.44–0.88 across gates/scales).
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
@@ -206,6 +206,24 @@ class SimilaritySpec extends SparkTestBase {
     for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
         "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq"))
       assert(rec(ann) >= 0.3, s"$ann below the 0.3 recall floor: $rec")
+    // Per-gate floors pinned at the r13 operating points (measured
+    // sf0.01: lsh 0.455, lsh_mp 0.525, ivf 0.580, learned 0.705, ivfpq
+    // 0.815, pq_rerank 0.840; small margin for testdata regeneration).
+    // r12 shipped a 16-point silent ivf drop (0.65 → 0.49) and an
+    // lsh_mp < lsh inversion precisely because only the 0.3 floor
+    // existed — recall regressions must fail a spec, not ride into the
+    // round artifact.
+    val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
+      "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.65,
+      "q_sim_knn_ivfpq" -> 0.75, "q_sim_knn_pq_rerank" -> 0.75)
+    for ((ann, floor) <- floors)
+      assert(rec(ann) >= floor, s"$ann below its $floor pinned floor: $rec")
+    // Multi-probe exists to buy multi-table recall without storing L
+    // index copies; at the gates' equal ~25% expected candidate scan a
+    // multi-probe that loses to the table gate is a mis-sized operating
+    // point, never a tradeoff (r12 shipped exactly that: 0.40 vs 0.445).
+    assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),
+      s"multi-probe LSH below the multi-table gate: $rec")
     // the IVF-PQ composite must out-recall the plain-IVF gates it extends
     // (it probes one more cell and re-ranks exactly; if the residual ADC
     // ordering ever degrades enough to lose that edge, the operating
