@@ -296,6 +296,20 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
+    // Exiting on the iteration cap with labels still moving means the
+    // component labeling is WRONG (split components → wrong dedup
+    // decisions), and dupGroups discards the iteration count — so a
+    // silent return here would hand corrupt keepers to a caller with no
+    // signal at all. Fail fast instead: relax+pointer-jump converges in
+    // O(log diameter) rounds, so hitting the cap indicates a pathological
+    // graph or a far-too-small maxIter, both of which the caller must
+    // decide about.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupGroups did not converge in $maxIter rounds ($changed labels " +
+          "still changing); components would be split and dedup decisions " +
+          "wrong. Raise maxIter (rounds needed ~ log2 of the largest " +
+          "component's diameter).")
     (labels.withColumnRenamed("label", "keeper"), iter)
   }
 

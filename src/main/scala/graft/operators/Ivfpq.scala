@@ -142,14 +142,26 @@ object Ivfpq {
   }
 
   /** Train-and-search entry (the recall panel's hook; training is
-    * deterministic, so panel and oracle gate score identical indexes). */
+    * deterministic, so panel and oracle gate score identical indexes).
+    *
+    * The prepared corpus stays persisted THROUGH the search: the returned
+    * plan scans it three times (residual coding, query-row fetch, exact
+    * re-rank fetch), so unpersisting right after training — the r12
+    * spelling, mirroring the pqTrainOnly gate idiom — re-derived the
+    * prepared/norm lineage on every scan. The search plan is consumed
+    * eagerly here (the result is a k·|queries|-row TakeOrdered-sized
+    * frame, localCheckpointed) so the cache can be released before
+    * returning — callers get a small materialized frame, not a lazy plan
+    * over an unpersisted cache. */
   def knnIvfPq(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, nCells: Int, m: Int, kSub: Int,
       nProbe: Int, rerank: Int, lloydIters: Int = 3): DataFrame = {
     val corpus = Similarity.prepared(emb, vecCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, cbs) = try train(corpus, nCells, m, kSub, lloydIters)
-      finally corpus.unpersist()
-    knnIvfPqFrom(corpus, cents, cbs, queryIds, k, nProbe, rerank)
+    try {
+      val (cents, cbs) = train(corpus, nCells, m, kSub, lloydIters)
+      knnIvfPqFrom(corpus, cents, cbs, queryIds, k, nProbe, rerank)
+        .localCheckpoint(true)
+    } finally corpus.unpersist()
   }
 }

@@ -81,6 +81,11 @@ object Merge {
     * narrow null-safe comparison — no second pass. */
   def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
+    // fail-fast like the other merge operators (ExceptionParitySpec
+    // convention) instead of a bare UnsupportedOperationException from the
+    // reduce below
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compared column")
     val p = prev.select(col(key) +: compareCols.map(c =>
       col(c).as(s"prev_$c")) :+ lit(true).as("__in_prev"): _*)
     val n = next.select(col(key) +: compareCols.map(c =>

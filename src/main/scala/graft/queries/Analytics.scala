@@ -470,16 +470,22 @@ object Analytics {
     // Benford leading-digit audit — the forensic data-quality check for
     // fabricated numeric columns: observed leading-digit frequency of
     // l_extendedprice vs the Benford expectation log10(1+1/d). The digit
-    // comes from the integer CENTS string (scaling by 100 never changes
-    // the leading significand digit), so extraction is exact; observed
-    // freq is one bigint→double division (bit-identical, no rounding);
-    // only the expected curve (a transcendental) rounds to 6. The 1-row
-    // total broadcasts (allowed BNLJ shape).
+    // comes from the integer |CENTS| string (scaling by 100 never changes
+    // the leading significand digit, and abs() first means a negative
+    // value can never surface '-' as the "digit" — Spark would cast that
+    // to NULL where DuckDB raises, a latent cross-engine divergence if the
+    // gate is ever retargeted at a signed column); zero amounts carry no
+    // leading digit and are excluded on both sides, per Benford
+    // convention. Observed freq is one bigint→double division
+    // (bit-identical, no rounding); only the expected curve (a
+    // transcendental) rounds to 6. The 1-row total broadcasts (allowed
+    // BNLJ shape).
     "q_benford" -> Q(
       (s, dir) => {
         val d = tbl(s, dir, "lineitem")
-          .select(substring(round(col("l_extendedprice") * 100)
-            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+          .select(substring(abs(round(col("l_extendedprice") * 100)
+            .cast("long")).cast("string"), 1, 1).cast("int").as("digit"))
+          .filter(col("digit").between(1, 9))
         val c = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
         val tot = c.agg(sum(col("n")).as("total"))
         c.crossJoin(broadcast(tot))
@@ -490,10 +496,11 @@ object Analytics {
           .orderBy(col("digit"))
       },
       Some("""WITH d AS (
-             |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
-             |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  SELECT CAST(substring(CAST(abs(CAST(round(l_extendedprice
+             |    * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS digit
              |  FROM lineitem),
-             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |c AS (SELECT digit, count(*) AS n FROM d
+             |      WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
              |SELECT digit, n, n / total AS freq,
              |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford

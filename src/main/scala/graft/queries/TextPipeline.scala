@@ -62,6 +62,60 @@ object TextPipeline {
   private def bloomDump(dir: String): String =
     BloomDumpBase + new java.io.File(dir).getName
 
+  /** Embedding width of the q_mm_embed gate. Declared BEFORE [[defs]]
+    * (the oracle builder reads it eagerly at object init). */
+  private val EmbDim = 16
+
+  /** DuckDB replay of FakeCodec.embed (operators/Multimodal.scala): h0 =
+    * FNV-1a 64 over the blob bytes, then per dim d: h_d = h_{d-1} * M + A
+    * (mod 2^64), value = (h_d >>> 40) / 2^24 − 0.5. All mod-2^64 wrapping
+    * runs in HUGEINT (every intermediate product ≤ 2^64·M < 2^127), the
+    * unsigned shift is an integer divide by 2^40, and the float steps are
+    * power-of-two scales of a < 2^24 integer — exact in float32 and
+    * float64 alike, so Spark's Array[Float] cast to double matches the
+    * DOUBLE SQL bitwise. The 16 LCG steps unroll as chained CTEs (SQL has
+    * no sequential fold that also emits intermediates cleanly), and the
+    * embedding lands as 16 scalar e0..e15 columns — the driver's
+    * comparator hashes scalars, not float arrays. */
+  private def fakeEmbedOracleSql: String = {
+    val W = "18446744073709551616" // 2^64
+    val lcg = (1 to EmbDim).map { d =>
+      val (src, prev) = if (d == 1) ("f", "h0") else (s"e${d - 1}", s"h${d - 1}")
+      s"e$d AS (SELECT *, ($prev * 6364136223846793005 + " +
+        s"1442695040888963407) % $W AS h$d FROM $src)"
+    }.mkString(",\n")
+    val emb = (1 to EmbDim)
+      .map(d => s"CAST(h$d // 1099511627776 AS DOUBLE) / 16777216.0 - 0.5" +
+        s" AS e${d - 1}")
+      .mkString(",\n  ")
+    s"""WITH bl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bin' END AS kind,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      [137,80,78,71,13,10,26,10,0,0,0,13,73,72,68,82,
+       |       0,0,CAST((doc_id % 512 + 16) // 256 AS INTEGER),
+       |           CAST((doc_id % 512 + 16) % 256 AS INTEGER),
+       |       0,0,CAST((doc_id % 384 + 16) // 256 AS INTEGER),
+       |           CAST((doc_id % 384 + 16) % 256 AS INTEGER)]
+       |    ELSE list_transform(regexp_split_to_array(md5(text), ''),
+       |           c -> unicode(c))
+       |    END AS b
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, kind,
+       |    list_reduce(
+       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+       |        list_transform(b, x -> CAST(x AS HUGEINT))),
+       |      (h, x) -> ((h - (h % 256) +
+       |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))
+       |          AS HUGEINT)) * 1099511628211) % $W) AS h0
+       |  FROM bl),
+       |$lcg
+       |SELECT doc_id AS media_id, kind,
+       |  $emb
+       |FROM e$EmbDim ORDER BY media_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -595,6 +649,48 @@ object TextPipeline {
              |            ELSE fh // 640 % 480 + 48 END AS INTEGER) AS out_height,
              |  CAST(16 AS INTEGER) AS emb_dim
              |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Multimodal EMBEDDING VALUES under the oracle — the last pillar
+    // component that was spec-pinned only. decodeAndEmbed runs end to end
+    // (typed Dataset → bounded-batch mapPartitions → MediaFeatures) with
+    // the hermetic FakeCodec, whose embedding is pure 64-bit arithmetic —
+    // an FNV-1a fold over the blob bytes seeding a per-dim LCG — which
+    // DuckDB replays EXACTLY in HUGEINT (wrapping multiply = % 2^64; every
+    // float step is a power-of-two scale of a <2^24 integer, so float and
+    // double arithmetic agree bitwise). Blobs are the same deterministic
+    // mix as q_mm_decode_dims (even docs: synthetic PNG header bytes; odd
+    // docs: md5-hex ASCII). ImageIoCodec's luminance-grid embedding stays
+    // spec-pinned (MultimodalSpec): real JDK pixel decode is exactly the
+    // part no cross-engine SQL can replay — FakeCodec under the oracle
+    // proves the decode-stage PLUMBING (schema, batching, value
+    // transport) delivers codec output unmangled.
+    "q_mm_embed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val isPng = col("doc_id") % 2 === 0
+        val be32 = (c: org.apache.spark.sql.Column) =>
+          unhex(lpad(hex(c), 8, "0"))
+        val w = (col("doc_id") % 512 + 16).cast("int")
+        val h = (col("doc_id") % 384 + 16).cast("int")
+        val png = concat(
+          unhex(lit("89504E470D0A1A0A0000000D49484452")), be32(w), be32(h))
+        val bin = encode(md5(col("text")), "UTF-8")
+        val media = docs(s, dir).select(
+            col("doc_id").as("media_id"),
+            when(isPng, "png").otherwise("bin").as("kind"),
+            when(isPng, png).otherwise(bin).as("bytes"),
+            lit(0).as("width"), lit(0).as("height"), lit(0).as("n_frames"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.Multimodal
+          .decodeAndEmbed(media, dim = EmbDim,
+            codec = graft.operators.Multimodal.FakeCodec)
+          .toDF()
+          .select(col("media_id") +: col("kind") +:
+            (0 until EmbDim).map(d =>
+              col("embedding")(d).cast("double").as(s"e$d")): _*)
+          .orderBy(col("media_id"))
+      },
+      Some(fakeEmbedOracleSql)),
 
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of

@@ -54,7 +54,7 @@ object DumpPlans {
         "as narrow literal folds over ONE scan, (table,bucket) posexplode " +
         "streamed into a broadcast hash equi-join; only candidate rows " +
         "(longs+double) reach the dedup aggregate's exchange"),
-      "q_sim_knn_lsh_mp" -> ("Hamming<=2 multi-probe: 37-mask probe " +
+      "q_sim_knn_lsh_mp" -> ("9-bit/Hamming<=3 multi-probe: 130-mask probe " +
         "expansion on the broadcast QUERY side only; corpus joins by " +
         "bucket equality, never shuffles"),
       "q_sim_knn_ivf" -> "centroid broadcast; per-id cell resolve; cell probe",
@@ -321,7 +321,53 @@ object DumpPlans {
       "q_join_stats" -> ("join pre-flight: per-side keyed count " +
         "aggregates (partial below each exchange), ONE full-outer join " +
         "of the distinct-key-sized count tables, 1-row reduce — row data " +
-        "never joins"))
+        "never joins"),
+      // r13: every gate >1s in the round bench carries an audit entry —
+      // the r12 jaccard_block regression rode in precisely because the
+      // expensive tail was unaudited.
+      "q_pipe_jaccard_block" -> ("lossless Bayardo prefix filter: token " +
+        "sets hashed once and persisted; only the short sorted PREFIX " +
+        "explodes into the (block, token) candidate equi-join (shuffle " +
+        "O(sum prefix-len)); size filter + exact verify joins fetch sets " +
+        "by id — no |block|^2 pair set ever materializes, no BNLJ"),
+      "q_sim_semdedup" -> ("SemDeDup: k-means training collects ONLY " +
+        "k*dim centroids per Lloyd round (driver-bounded); assignment is " +
+        "a broadcast-centroid narrow projection; intra-cluster pairs " +
+        "bounded by cell size via the cell equi-join; min-label " +
+        "components keyed by cell — corpus never self-joins globally"),
+      "q_sim_neardup_groups" -> ("LSH-bucketed near-dup components: " +
+        "candidate pairs form ONLY inside hash buckets (bucket equi-join " +
+        "with id< ordering), cosine verify inline, then dupGroups' " +
+        "adaptive components (bounded limit-probe -> driver union-find " +
+        "for sparse graphs, else distributed relax+pointer-jump)"),
+      "q_pipe_dup_groups" -> ("minhash dup pairs -> connected " +
+        "components: banded LSH candidates + exact verify feed " +
+        "dupGroups; the sparse path is ONE bounded limit-collect of the " +
+        "edge set (at most limit+1 rows to the driver) — the pair " +
+        "pipeline runs once, no full count before the branch"),
+      "q_pipe_gopher_struct" -> ("Gopher structural rules: line " +
+        "re-synthesis + all signals are ONE narrow per-doc projection " +
+        "pass (no token explode, no shuffle before the final sort — " +
+        "plan should show a single codegen span over the scan)"),
+      "q_stream_running_counts" -> ("streaming parity gate: the plan " +
+        "below is the post-stream batch read of the sink; the streaming " +
+        "side is micro-batch stateful agg with watermark eviction " +
+        "(numRowsRemoved > 0 spec-pinned in StreamingSpec) — cost is " +
+        "harness replay, not data movement"),
+      "q_stream_session_parity" -> ("streaming session window parity: " +
+        "sink read below; stream side = session gap aggregation with " +
+        "state eviction under watermark, keyed by user — state bounded " +
+        "by live sessions, not history"),
+      "q_stream_stream_join" -> ("stream-stream interval join: sink " +
+        "read below; stream side buffers ONLY the minimal projected " +
+        "columns per side in the join state store, watermark clears " +
+        "both sides (numRowsRemoved > 0 spec-pinned) — state bounded by " +
+        "the interval, not the stream"),
+      "q_stream_outer_join" -> ("stream-stream LEFT OUTER interval " +
+        "join: sink read below; null-side emission happens only at " +
+        "watermark expiry, so state and output are both " +
+        "watermark-bounded; same minimal-projection state discipline as " +
+        "the inner-join gate"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"

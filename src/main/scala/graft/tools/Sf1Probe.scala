@@ -1,0 +1,71 @@
+// Run with: sbt "runMain graft.tools.Sf1Probe [gate ...]"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Super-linear-tail probe: run the slow-tail gates ONCE at the scaled-up
+  * sf1 directory ([[ScaleUp]] output) and record wall time + exchange
+  * volume next to their sf0.1 baselines. The per-round bench grades sf0.1;
+  * this is the cheapest way to surface a tail that only bends at 10× —
+  * candidate-pair growth in jaccard/SNM-style blocking, state growth in
+  * stream-stream joins — before a 1000× cluster run finds it the hard way.
+  * Writes BENCH_sf1_probe.json: per gate {sf1_sec, sf01_sec, ratio,
+  * sf1_shuffle_mb, sf01_shuffle_mb, shuffle_ratio}. A time ratio ≲ ~10
+  * (per 10× data) reads as linear-ish; shuffle bytes are the noise-free
+  * cross-check (wall time on a busy sandbox is not).
+  */
+object Sf1Probe {
+  def main(args: Array[String]): Unit = {
+    val sf1 = "/root/repo/target/sf1"
+    val sf01 = "/root/testdata/sf0.1"
+    val gates = if (args.nonEmpty) args.toSeq else Seq(
+      "q_sim_knn_ivfpq", "q_spearman", "q_stream_outer_join",
+      "q_stream_stream_join", "q_stream_session_parity", "q_sim_semdedup",
+      "q_prefix_sum", "q_pipe_jaccard_block", "q_sim_knn_pq_rerank",
+      "q_join_bucketed")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(gate: String, dir: String): (Double, Double) = {
+      val fn = graft.SparkEntry.queries(gate)
+      val df = fn(spark, dir)
+      val t0 = System.nanoTime()
+      df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val vol = PlanMetrics.exchangeVolume(df)
+      (sec, vol.shuffleWritten / 1e6)
+    }
+
+    // one warmup to pay JIT/codegen before any timed run
+    try runOnce("q1_agg", sf01) catch { case _: Throwable => }
+
+    val rows = gates.map { g =>
+      val (s01, mb01) = runOnce(g, sf01)
+      val (s1, mb1) = runOnce(g, sf1)
+      println(f"[probe] $g%-26s sf0.1 $s01%6.2fs ${mb01}%8.2fMB | " +
+        f"sf1 $s1%6.2fs ${mb1}%8.2fMB | x${s1 / s01}%.1f time x${
+          if (mb01 > 0) mb1 / mb01 else 0.0}%.1f shuffle")
+      g -> (s01, s1, mb01, mb1)
+    }
+    val json = rows.map { case (g, (s01, s1, mb01, mb1)) =>
+      f"""  "$g": {"sf01_sec": $s01%.3f, "sf1_sec": $s1%.3f, "ratio": ${
+        s1 / s01}%.2f, "sf01_shuffle_mb": $mb01%.3f, "sf1_shuffle_mb": $mb1%.3f, "shuffle_ratio": ${
+        if (mb01 > 0) mb1 / mb01 else 0.0}%.2f}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val out = s"""{"sf1_dir": "$sf1", "copies": 10, "gates": $json}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_sf1_probe.json"),
+      out.getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

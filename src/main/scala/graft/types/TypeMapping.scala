@@ -93,4 +93,33 @@ object TypeMapping {
 
   def schemaToArrow(s: StructType): Schema =
     new Schema(s.fields.map(fieldToArrow).toList.asJava)
+
+  /** DDL-string dtype surface — the Spark-native analog of the
+    * reference's string round-trip (`construct_from_string` /
+    * `__str__`, reference fletcher/base.py:243-302, which parses
+    * "fletcher_continuous[int64]"-style strings via pyarrow's alias
+    * table). Spark's public type grammar is the DDL string
+    * (`DataType.fromDDL` — "bigint", "decimal(20,0)",
+    * "array<string>"), so that is the accepted spelling here.
+    *
+    * [[fromDdl]] parses any Spark DDL type string and returns the
+    * canonical Arrow type per the §1.2 table; [[toDdl]] renders the
+    * Spark type an Arrow type lands on. `fromDdl(toDdl(t))` is identity
+    * on the canonical type set; a NON-canonical Arrow type (unsigned,
+    * float16) normalizes through its documented widening, exactly like
+    * the value path. List nesting goes through the field-level pair
+    * ([[fieldFromDdl]]/[[fieldToDdl]]), mirroring
+    * fieldToSpark/fieldToArrow. Unsupported DDL (maps, structs) throws
+    * UnsupportedOperationException from the underlying mapping. */
+  def fromDdl(ddl: String): ArrowType = toArrow(DataType.fromDDL(ddl))
+
+  def toDdl(t: ArrowType): String = toSpark(t).catalogString
+
+  /** DDL → Arrow field, supporting `array<...>` nesting (nullable, like
+    * the reference's pyarrow fields). */
+  def fieldFromDdl(name: String, ddl: String): Field =
+    fieldToArrow(StructField(name, DataType.fromDDL(ddl)))
+
+  /** Arrow field → its Spark DDL type string (list nesting included). */
+  def fieldToDdl(f: Field): String = fieldToSpark(f).dataType.catalogString
 }
