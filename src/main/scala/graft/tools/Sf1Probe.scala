@@ -34,14 +34,24 @@ object Sf1Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The timer wraps the WHOLE gate fn, not just the final collect:
+    // streaming gates replay their micro-batch stream and ANN gates run
+    // their training collects eagerly INSIDE fn, and that work is
+    // exactly what the bench times too. Metrics come from the EXECUTED
+    // materialization plan (SQLMetrics live on executed nodes only);
+    // work done by eager jobs inside fn (training, stream replay) moves
+    // data outside this plan, so shuffle_mb is the final-plan volume —
+    // the right number for "does the output-producing plan's movement
+    // scale linearly", the figure PLANS.md audits.
     def runOnce(gate: String, dir: String): (Double, Double) = {
       val fn = graft.SparkEntry.queries(gate)
-      val df = fn(spark, dir)
       val t0 = System.nanoTime()
-      df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
-        .collect()
+      val df = fn(spark, dir)
+      val out = df.agg(
+        bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
+      out.collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      val vol = PlanMetrics.exchangeVolume(df)
+      val vol = PlanMetrics.exchangeVolume(out)
       (sec, vol.shuffleWritten / 1e6)
     }
 
