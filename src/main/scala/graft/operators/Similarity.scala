@@ -491,7 +491,14 @@ object Similarity {
     * is a narrow literal fold, [[assignCells]]). Everything after the
     * cosine filter moves (id, id) longs only. Cells come from the caller
     * ([[kmeansCentroidsSeq]] for learned, or any Cent seq) so a gate can
-    * hand the exact centroid table to a cross-engine oracle. */
+    * hand the exact centroid table to a cross-engine oracle.
+    *
+    * MEASURED (BENCH_sf1_probe.json): with k held FIXED at 8 while the
+    * corpus grows 10×, wall grows 8.8× — the intra-cell verify is the
+    * super-linear term exactly as this scaling argument predicts. Size k
+    * for a constant target cell size (k ≈ n / 5000) and the verify term
+    * is linear; k is the caller's knob, the probe pins it only for the
+    * DuckDB replay. */
   def semDedupDecisions(corpus: DataFrame, cents: Seq[Cent],
       threshold: Double): DataFrame = {
     val assigned = assignCells(corpus, cents)
