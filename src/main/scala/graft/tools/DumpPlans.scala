@@ -367,7 +367,24 @@ object DumpPlans {
         "join: sink read below; null-side emission happens only at " +
         "watermark expiry, so state and output are both " +
         "watermark-bounded; same minimal-projection state discipline as " +
-        "the inner-join gate"))
+        "the inner-join gate"),
+      "q_stream_window_parity" -> ("streaming tumbling-window parity: " +
+        "sink read below; stream side is watermarked windowed agg with " +
+        "state eviction per closed window — state bounded by open " +
+        "windows x keys, cost is micro-batch replay"),
+      "q_stream_late_drop" -> ("late-data drop semantics: sink read " +
+        "below; the stream side's watermark drops rows later than the " +
+        "bound BEFORE state update (numRowsDroppedByWatermark " +
+        "spec-pinned) — the plan property is the absence of unbounded " +
+        "late-row state"),
+      "q_stream_dedup_parity" -> ("streaming dropDuplicates parity: " +
+        "sink read below; dedup state keyed by (id) under watermark " +
+        "eviction — state bounded by the watermark horizon, not stream " +
+        "history"),
+      "q_stream_static_join" -> ("stream-static join parity: sink read " +
+        "below; the static side builds ONCE per micro-batch as a " +
+        "broadcast (dimension-sized), streaming side never shuffles to " +
+        "meet it — the no-state join shape"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
