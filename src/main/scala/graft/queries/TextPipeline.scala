@@ -811,10 +811,12 @@ object TextPipeline {
     // shingle/bloom common-mode miss is caught by the exact gate
     // (q_pipe_decontam) this one is paired with. The FP-RATE bound stays
     // spec-pinned in DedupSpec (it needs the numBits/expectedGrams model,
-    // not SQL). Gate-scale note: the exact-overlap subplan appears twice
-    // (per-row flags + 1-row invariant aggregate) — fine at gate scale; at
-    // 100 TB the operator itself (ngramContaminationBloom) is the product,
-    // not this verification harness.
+    // not SQL). The flags frame (survivors ∪ contaminated — one narrow
+    // row per doc with any signal) is localCheckpointed so the exact
+    // shingle pipeline runs ONCE even though both the per-row output and
+    // the 1-row invariant aggregate read it; at 100 TB the operator
+    // itself (ngramContaminationBloom) is the product, not this
+    // verification harness.
     "q_pipe_decontam_bloom" -> Q(
       (s, dir) => {
         val bloom = graft.operators.Dedup
@@ -828,7 +830,9 @@ object TextPipeline {
           .ngramContamination(docs(s, dir), "text", "doc_id",
             col("doc_id") % 20 === 0, k = 3)
           .withColumnRenamed("id", "doc_id")
-        def flags = survivors.join(exact, Seq("doc_id"), "full_outer")
+        val flags = survivors.join(exact, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("n_flagged"), col("n_overlap"))
+          .localCheckpoint(true)
         val stats = flags.agg(
           count(when(col("n_flagged").isNull, lit(1))).as("missed"),
           count(when(col("n_overlap").isNull, lit(1))).as("fp_count"))
