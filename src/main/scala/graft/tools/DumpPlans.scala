@@ -309,9 +309,11 @@ object DumpPlans {
         "train grams probe via a narrow might_contain FILTER with no join " +
         "node, dumped to the oracle side-table and read back; the gate " +
         "then full-outer-joins the read-back survivors against the exact " +
-        "overlap counts (equi-join on doc_id) and attaches the 1-row " +
-        "(missed, fp_count) invariant aggregate via broadcast (allowed " +
-        "BNLJ) — verification harness around the no-join probe operator"),
+        "overlap counts (equi-join on doc_id), localCheckpoints that tiny " +
+        "flags frame so the exact pipeline runs ONCE, and attaches the " +
+        "1-row (missed, fp_count) invariant aggregate via broadcast " +
+        "(allowed BNLJ) — verification harness around the no-join probe " +
+        "operator; the printed plan is the post-checkpoint stage"),
       "q_entropy" -> ("behavioral entropy: two keyed aggregates (type " +
         "counts, then per-user fold over a <=|types| sorted list) — no " +
         "window, no float sum whose order the partitioning could flip"),
