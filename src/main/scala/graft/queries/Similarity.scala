@@ -126,17 +126,35 @@ object Similarity {
     SemDumpBase + new java.io.File(dir).getName
   private val SemThreshold = 0.3
 
+  /** Prepared gate corpus, persisted WITHOUT an unpersist: the returned
+    * frame feeds BOTH the eager training collects inside the trainOnly
+    * helpers AND the lazy search plan the gate hands back (which scans it
+    * up to three times — coding, query fetch, re-rank fetch). The r12
+    * spelling unpersisted right after training, so every one of those
+    * search scans re-derived the prepared/norm lineage — the ADVICE
+    * finding knnIvfPq fixed for a path with no callers while the live
+    * gate path kept the bug. No unpersist is deliberate and safe here:
+    * the prepared gate corpus is ~|embeddings|·dim doubles (about a
+    * megabyte at bench scale), cached entries are evicted by Spark's
+    * unified memory manager under pressure and released by the
+    * ContextCleaner once the frame is unreachable, and re-invocations of
+    * the same gate re-find the same cached plan (the "already cached"
+    * CacheManager warning, not a second copy). Production callers sizing
+    * real corpora manage their own lifecycle (see knnIvfPq's
+    * consume-then-release pattern). */
+  private def preparedCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Sim.prepared(tbl(s, dir, "embeddings"), "embedding", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** PQ training without the oracle side-table dump — the recall panel's
     * entry (training is deterministic, so panel and gate score with
     * identical codebooks). */
   private def pqTrainOnly(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]]) = {
-    val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
-        "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cbs = try graft.operators.Pq.trainCodebooks(corpus, PqM, PqK,
-        lloydIters = 2)
-      finally corpus.unpersist()
+    val corpus = preparedCorpus(s, dir)
+    val cbs = graft.operators.Pq.trainCodebooks(corpus, PqM, PqK,
+      lloydIters = 2)
     (corpus, cbs)
   }
 
@@ -160,12 +178,9 @@ object Similarity {
   private def ivfpqTrainOnly(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Seq[Sim.Cent],
         Seq[Seq[Array[Double]]]) = {
-    val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
-        "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, cbs) = try graft.operators.Ivfpq.train(corpus, IvfPqCells,
-        IvfPqM, IvfPqK, lloydIters = 2)
-      finally corpus.unpersist()
+    val corpus = preparedCorpus(s, dir)
+    val (cents, cbs) = graft.operators.Ivfpq.train(corpus, IvfPqCells,
+      IvfPqM, IvfPqK, lloydIters = 2)
     (corpus, cents, cbs)
   }
 
@@ -192,11 +207,8 @@ object Similarity {
     * [[pqTrainOnly]]). */
   private def ivfTrainOnly(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[Sim.Cent]) = {
-    val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
-        "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = try Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 3)
-      finally corpus.unpersist()
+    val corpus = preparedCorpus(s, dir)
+    val cents = Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 3)
     (corpus, cents)
   }
 
@@ -739,12 +751,8 @@ object Similarity {
     // pair generation, and the component fold from the same cluster set.
     "q_sim_semdedup" -> Q(
       (s, dir) => {
-        val corpus = Sim.prepared(tbl(s, dir, "embeddings"), "embedding",
-            "vec_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cents =
-          try Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 2)
-          finally corpus.unpersist()
+        val corpus = preparedCorpus(s, dir)
+        val cents = Sim.kmeansCentroidsSeq(corpus, k = 8, lloydIters = 2)
         import s.implicits._
         writeTableAtomically(
           cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),

@@ -86,7 +86,11 @@ object ScaleUp {
     // lineitem + orders share the orderkey shift so joins keep resolving;
     // customer scales with the custkey shift for the same reason
     val okShift = maxOf(read("orders"), "o_orderkey")
-    val ckShift = maxOf(read("orders"), "o_custkey")
+    // shift derives from the key's OWNER table: max(o_custkey) can sit
+    // below max(c_custkey) when the highest-key customer has no orders,
+    // and an undersized shift would collide copy 1's customer keys with
+    // copy 0's tail and fan out every orders->customer join at sf1
+    val ckShift = maxOf(read("customer"), "c_custkey")
     scaled("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * okShift))
     }

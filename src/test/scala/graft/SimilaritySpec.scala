@@ -248,6 +248,30 @@ class SimilaritySpec extends SparkTestBase {
         s"full-scan sq8 below pruning/quantized $ann: $rec")
   }
 
+  test("recall floors hold at the BENCH scale (sf0.1) too") {
+    // The r12 regressions (ivf 0.65→0.49, lsh_mp < lsh, ivfpq under
+    // plain learned IVF) all manifested at sf0.1 — the scale the round
+    // bench reports — while the oracle-gate scale looked fine. One
+    // panel run at sf0.1 (~2k-row corpus, a few seconds) pins the same
+    // ordering and floors where the regression actually shipped.
+    // Measured r13 sf0.1: lsh 0.445, lsh_mp 0.540, ivf 0.605, learned
+    // 0.670, ivfpq 0.750, sq8 0.880; floors leave regeneration margin.
+    val rec = graft.queries.Similarity.recallVsBrute(spark,
+      "/root/testdata/sf0.1",
+      annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_ivfpq",
+        "q_sim_knn_sq8"))
+    val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
+      "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
+      "q_sim_knn_ivfpq" -> 0.65, "q_sim_knn_sq8" -> 0.80)
+    for ((ann, floor) <- floors)
+      assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
+    assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),
+      s"multi-probe LSH below the multi-table gate at sf0.1: $rec")
+    assert(rec("q_sim_knn_ivfpq") >= rec("q_sim_knn_ivf_learned"),
+      s"IVF-PQ composite below plain learned IVF at sf0.1: $rec")
+  }
+
   test("probeMasks: combinatorial counts, distinct ascending, no 2^n " +
       "enumeration at high plane counts") {
     assert(Similarity.probeMasks(8, 0) === Seq(0L))
