@@ -116,6 +116,47 @@ object TextPipeline {
        |FROM e$EmbDim ORDER BY media_id""".stripMargin
   }
 
+  /** 54-byte header of an 8×8 bottom-up 24-bit uncompressed BMP (BITMAP
+    * FILEHEADER + BITMAPINFOHEADER; 24-byte rows are already 4-aligned so
+    * there is no padding). BMP is the one JDK-decodable format whose pixel
+    * bytes pass through ImageIO verbatim — which is what lets the REAL
+    * codec path be oracle-gated (q_mm_embed_real). */
+  private val BmpHeaderHex =
+    "424DF600000000000000360000002800000008000000080000000100180000" +
+      "000000C000000000000000000000000000000000000000"
+
+  /** DuckDB replay of ImageIoCodec.embed over the synthetic BMP: the
+    * pixel formula is shared (file row r = 7 − image y, channel values
+    * linear in (doc_id, x, r) mod 256), the BT.601 luminance and the 4×4
+    * average-pooled grid replicate Java's accumulation order exactly
+    * ((y asc, x asc) within each 2×2 cell), every literal is forced
+    * DOUBLE (a bare 0.299 is DECIMAL in DuckDB — exact-decimal arithmetic
+    * that only coincidentally rounds like binary doubles), and the final
+    * CAST(... AS REAL) reproduces the float32 the codec emits. Validated
+    * bit-exact against the JDK decoder on 500 doc ids. */
+  private def realEmbedOracleSql: String = {
+    def lum(x: Int, yImg: Int): String = {
+      val r = 7 - yImg
+      val b = s"((doc_id + ${7 * x} + ${11 * r}) % 256)"
+      val g = s"((3*doc_id + ${5 * x} + ${13 * r}) % 256)"
+      val rr = s"((5*doc_id + ${3 * x} + ${17 * r}) % 256)"
+      s"(CAST(0.299 AS DOUBLE) * $rr + CAST(0.587 AS DOUBLE) * $g + " +
+        s"CAST(0.114 AS DOUBLE) * $b)"
+    }
+    val cells = (0 until 16).map { d =>
+      val (gy, gx) = (d / 4, d % 4)
+      val l = for (y <- Seq(2 * gy, 2 * gy + 1); x <- Seq(2 * gx, 2 * gx + 1))
+        yield lum(x, y)
+      s"CAST(CAST(((((${l(0)} + ${l(1)}) + ${l(2)}) + ${l(3)}) / 4) / " +
+        s"CAST(255.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS REAL) AS DOUBLE)" +
+        s" AS e$d"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8 AS INTEGER) AS out_width, CAST(8 AS INTEGER) AS out_height,
+       |  $cells
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -691,6 +732,52 @@ object TextPipeline {
           .orderBy(col("media_id"))
       },
       Some(fakeEmbedOracleSql)),
+
+    // The REAL codec path under the oracle: each doc carries a VALID 8×8
+    // 24-bit BMP (the one JDK format whose pixel bytes pass through
+    // unmodified — no entropy coding, no color management), with channel
+    // values a shared linear formula of (doc_id, x, file-row). ImageIo
+    // Codec pixel-decodes it and emits the BT.601 luminance-grid
+    // embedding; the oracle recomputes the identical arithmetic straight
+    // from the formula (no BMP parsing needed — both sides KNOW the
+    // pixels). With q_mm_embed (FakeCodec plumbing) this closes the
+    // multimodal pillar: real decode, real pooling, real float rounding,
+    // all hash-gated cross-engine.
+    "q_mm_embed_real" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pixHex = array_join(
+          transform(sequence(lit(0), lit(191)), { i =>
+            // Column./ is DOUBLE division in Spark — floor() recovers the
+            // integer byte-index arithmetic (i is 0..191, so trunc==floor)
+            val r = floor(i / 24).cast("long")
+            val x = floor(pmod(i, lit(24)) / 3).cast("long")
+            val ch = pmod(i, lit(3)).cast("long")
+            val v = when(ch === 0,
+                pmod(col("doc_id") + lit(7L) * x + lit(11L) * r, lit(256L)))
+              .when(ch === 1,
+                pmod(lit(3L) * col("doc_id") + lit(5L) * x + lit(13L) * r,
+                  lit(256L)))
+              .otherwise(
+                pmod(lit(5L) * col("doc_id") + lit(3L) * x + lit(17L) * r,
+                  lit(256L)))
+            lpad(hex(v), 2, "0")
+          }), "")
+        val media = docs(s, dir).select(
+            col("doc_id").as("media_id"), lit("bmp").as("kind"),
+            unhex(concat(lit(BmpHeaderHex), pixHex)).as("bytes"),
+            lit(0).as("width"), lit(0).as("height"), lit(0).as("n_frames"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.Multimodal
+          .decodeAndEmbed(media, dim = EmbDim,
+            codec = graft.operators.Multimodal.ImageIoCodec)
+          .toDF()
+          .select(col("media_id") +: col("out_width") +: col("out_height") +:
+            (0 until EmbDim).map(d =>
+              col("embedding")(d).cast("double").as(s"e$d")): _*)
+          .orderBy(col("media_id"))
+      },
+      Some(realEmbedOracleSql)),
 
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of
