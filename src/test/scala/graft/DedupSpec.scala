@@ -100,6 +100,19 @@ class DedupSpec extends SparkTestBase {
         .mkString(","))
   }
 
+  test("dupGroups fails fast when the iteration cap cuts convergence " +
+      "short (split components must never ship silently)") {
+    // a 40-vertex chain cannot converge in one relax+jump round; before
+    // r13 the loop returned the half-propagated labels anyway — corrupt
+    // keepers with no signal (ADVICE r12). Now it throws with guidance.
+    val pairs = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id1", "id2")
+    val e = intercept[IllegalStateException](
+      Dedup.dupGroups(pairs, maxIter = 1, driverEdgeLimit = 0).collect())
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("dupGroups converges in O(log diameter) rounds on a 10^4 chain") {
     // worst-case topology for label propagation: one path of 10^4 vertices
     // (diameter 10^4 - 1). Plain relaxation needs ~10^4 rounds; the
