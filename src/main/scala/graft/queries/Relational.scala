@@ -749,6 +749,39 @@ object Relational {
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
       }),
 
+    // Small-file compaction under the oracle (the last layout component
+    // that was spec-only): fragment documents into 16 small files in a
+    // staging dir, Layout.compact them to ~target size, write, read BACK,
+    // and emit every row's (doc_id, md5(text)) — so a compaction that
+    // drops, duplicates, or corrupts ANY row hash-mismatches against
+    // DuckDB reading the source of truth. The file-count invariant rides
+    // as data (q_sketches' exact-values + in-bound-boolean pattern: the
+    // oracle can't list files, so it asserts literal TRUE and Spark
+    // computes the real predicate). Staging dirs are sf-suffixed like the
+    // oracle side-tables.
+    "q_layout_compact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sfx = new java.io.File(dir).getName
+        val frag = s"/root/repo/target/staging/compact_src_$sfx"
+        val out = s"/root/repo/target/staging/compact_out_$sfx"
+        tbl(s, dir, "documents").repartition(16)
+          .write.mode("overwrite").parquet(frag)
+        val fragDf = s.read.parquet(frag)
+        val preFiles = fragDf.inputFiles.length
+        graft.operators.Layout.compact(fragDf, targetBytes = 512L << 20)
+          .write.mode("overwrite").parquet(out)
+        val post = s.read.parquet(out)
+        val postFiles = post.inputFiles.length
+        post.select($"doc_id", md5($"text").as("text_md5"),
+            lit(postFiles >= 1 && postFiles < preFiles)
+              .as("files_compacted"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+             |       TRUE AS files_compacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // §2.3 beyond-parity fuzzy join (record linkage): edit-distance ≤ 1
     // self-join on supplier names via deletion-neighborhood blocking
     // (operators.Fuzzy — complete candidate generation, exact levenshtein
