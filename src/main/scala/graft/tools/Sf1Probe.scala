@@ -23,7 +23,15 @@ object Sf1Probe {
       "q_sim_knn_ivfpq", "q_spearman", "q_stream_outer_join",
       "q_stream_stream_join", "q_stream_session_parity", "q_sim_semdedup",
       "q_prefix_sum", "q_pipe_jaccard_block", "q_sim_knn_pq_rerank",
-      "q_join_bucketed")
+      "q_join_bucketed",
+      // the two r13 additions with real I/O (BMP decode, write-compact-
+      // read cycle). The graph GATES (q_pagerank/q_triangles) are NOT
+      // probeable this way: they read supplier, which ScaleUp leaves
+      // unscaled (dimension table), so their sf1 input is byte-identical
+      // to sf0.1 and a flat ratio would be input-didn't-grow, not
+      // linearity — the graph stack is probed separately below on a
+      // supplier entity table scaled 10x in-process.
+      "q_mm_embed_real", "q_layout_compact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,14 +109,61 @@ object Sf1Probe {
       f"sf1 k=80 $sdScaled%6.2fs | x${sdScaled / sdBase}%.1f time " +
       "(vs fixed-k gate ratio above)")
 
+    // Graph-stack probe on a supplier entity table scaled in-process:
+    // the risky part at 100 TB is ED-1 deletion-neighborhood blocking
+    // (candidate-pair growth) feeding pagerank/triangles, and the gates
+    // can't show it because ScaleUp keeps supplier unscaled. Copy i gets
+    // the name suffix "~<i><i>" — any two distinct suffixes differ in 2+
+    // chars (and base-vs-suffixed in 3 appended chars), so there are NO
+    // cross-copy ED-1 edges: nodes and edges both grow exactly linearly
+    // in `copies`, making the time ratio a clean linearity read.
+    def graphStack(copies: Int): (Double, Long) = {
+      val sup = graft.queries.tbl(spark, sf01, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      val shift = sup.agg(max("s_suppkey")).head.getLong(0) + 1L
+      val scaled = (0 until copies).map { i =>
+        sup.select((col("s_suppkey") + lit(i * shift)).as("s_suppkey"),
+          (if (i == 0) col("s_name")
+           else concat(col("s_name"), lit(s"~$i$i"))).as("s_name"))
+      }.reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val edges = graft.operators.Fuzzy
+        .edSelfJoin(scaled, "s_suppkey", "s_name")
+        .select(col("id1"), col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nEdges = edges.count()
+        val pr = graft.operators.Graph
+          .pageRankFixedPoint(edges, "id1", "id2", iters = 3)
+        pr.agg(bit_xor(xxhash64(struct(
+          pr.columns.toIndexedSeq.map(col): _*)))).collect()
+        val tc = graft.operators.Graph.triangleCounts(edges, "id1", "id2")
+        tc.agg(bit_xor(xxhash64(struct(
+          tc.columns.toIndexedSeq.map(col): _*)))).collect()
+        ((System.nanoTime() - t0) / 1e9, nEdges)
+      } finally edges.unpersist()
+    }
+    graphStack(1) // warm
+    val (g1, e1) = graphStack(1)
+    val (g10, e10) = graphStack(10)
+    println(f"[probe] graph scaled-supplier: x1 $g1%6.2fs ($e1 edges) | " +
+      f"x10 $g10%6.2fs ($e10 edges) | x${g10 / g1}%.1f time " +
+      f"x${e10.toDouble / e1}%.1f edges")
+
     val json = rows.map { case (g, (s01, s1, mb01, mb1)) =>
       f"""  "$g": {"sf01_sec": $s01%.3f, "sf1_sec": $s1%.3f, "ratio": ${
         s1 / s01}%.2f, "sf01_shuffle_mb": $mb01%.3f, "sf1_shuffle_mb": $mb1%.3f, "shuffle_ratio": ${
         if (mb01 > 0) mb1 / mb01 else 0.0}%.2f}"""
     }.mkString("{\n", ",\n", "\n}")
-    val out = s"""{"sf1_dir": "$sf1", "copies": 10, "semdedup_scaled_k": {"sf01_k8_sec": ${
+    val stat = "single_run_per_scale after per-gate sf0.1 warmup (the " +
+      "first-ever run of a gate pays its codegen/JIT; timing the second " +
+      "removes the bias that flattered ratios in the first probe draft), " +
+      s"local[$cpus], timer wraps gate fn + materialization"
+    val out = s"""{"sf1_dir": "$sf1", "copies": 10, "stat": "$stat", "semdedup_scaled_k": {"sf01_k8_sec": ${
       f"$sdBase%.3f"}, "sf1_k80_sec": ${f"$sdScaled%.3f"}, "ratio": ${
-      f"${sdScaled / sdBase}%.2f"}}, "gates": $json}"""
+      f"${sdScaled / sdBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
+      f"$g1%.3f"}, "x10_sec": ${f"$g10%.3f"}, "ratio": ${
+      f"${g10 / g1}%.2f"}, "x1_edges": $e1, "x10_edges": $e10}, "gates": $json}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_sf1_probe.json"),
       out.getBytes("UTF-8"))
