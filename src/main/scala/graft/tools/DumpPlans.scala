@@ -386,7 +386,14 @@ object DumpPlans {
       "q_stream_static_join" -> ("stream-static join parity: sink read " +
         "below; the static side builds ONCE per micro-batch as a " +
         "broadcast (dimension-sized), streaming side never shuffles to " +
-        "meet it — the no-state join shape"))
+        "meet it — the no-state join shape"),
+      "q_mm_embed_real" -> ("real-codec decode+embed: BMP synthesis is " +
+        "a codegen projection over the documents scan (transform over a " +
+        "sequence literal — no explode, no shuffle); ImageIO pixel " +
+        "decode + luminance pooling is ONE MapPartitions typed boundary " +
+        "(grouped iterator pins <=64 blobs resident per step regardless " +
+        "of partition size); the only exchange is the final presentation " +
+        "sort — per-row compute, zero data movement before it"))
 
     val out = new StringBuilder
     out ++= "# PLANS - physical-plan audit (generated by graft.tools.DumpPlans)\n\n"
