@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{AsofJoin, Dedup, RangeJoin}
+import scala.util.Random
+
+/** Randomized parity: distributed operators vs brute-force in-memory
+  * references on seeded random inputs. Fixed fixtures pin the documented
+  * semantics; these sweeps hunt the edge-case classes fixtures miss —
+  * time ties at the allow-exact boundary, tolerance exactly at the gap,
+  * null payloads on matched rows, empty inputs, interval/bin alignment,
+  * self-loops and disconnected vertices. Every case derives from a pinned
+  * seed, so a failure message names the seed and replays exactly.
+  */
+class RandomizedParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- asof
+
+  private def bruteAsof(
+      left: Seq[(String, Option[Long], String)],
+      right: Seq[(String, Long, Option[Double])],
+      direction: String, tolerance: Option[Long],
+      allowExact: Boolean): Map[String, (Option[Double], Option[Long])] =
+    left.map { case (k, tOpt, tag) =>
+      val hit: Option[(String, Long, Option[Double])] = tOpt.flatMap { t =>
+        val cands = right.filter(_._1 == k)
+        def bwd = cands.filter(r => if (allowExact) r._2 <= t else r._2 < t)
+          .sortBy(_._2).lastOption
+        def fwd = cands.filter(r => if (allowExact) r._2 >= t else r._2 > t)
+          .sortBy(_._2).headOption
+        val best = direction match {
+          case "backward" => bwd
+          case "forward"  => fwd
+          case "nearest" => (bwd, fwd) match {
+            case (Some(b), Some(f)) =>
+              // backward wins ties (pandas merge_asof)
+              if (math.abs(t - b._2) <= math.abs(f._2 - t)) Some(b)
+              else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        best.filter(r => tolerance.forall(tol => math.abs(r._2 - t) <= tol))
+      }
+      tag -> ((hit.flatMap(_._3), hit.map(_._2)))
+    }.toMap
+
+  test("asof join matches a brute-force reference on 24 random cases " +
+      "(ties at the boundary, tolerance edges, null times/payloads)") {
+    for (seed <- 1000 until 1024) {
+      val rnd = new Random(seed)
+      val keys = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      val left = (0 until rnd.nextInt(26)).map { i =>
+        val t = if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(31).toLong)
+        (keys(rnd.nextInt(keys.length)), t, s"l$i")
+      }
+      // unique (key, rt) pairs keep the reference deterministic (the
+      // operator's right-vs-right tie rule is not part of the contract)
+      val right = rnd.shuffle(
+          (for (k <- keys; rt <- 0L to 30L) yield (k, rt)).toList)
+        .take(rnd.nextInt(26))
+        .map { case (k, rt) =>
+          (k, rt, if (rnd.nextInt(8) == 0) None
+                  else Some(rnd.nextInt(100).toDouble))
+        }
+      val direction = Seq("backward", "forward", "nearest")(rnd.nextInt(3))
+      val tolerance = Seq(None, Some(0L), Some(3L), Some(7L))(rnd.nextInt(4))
+      val allowExact = rnd.nextBoolean()
+
+      val expected = bruteAsof(left, right, direction, tolerance, allowExact)
+      val got = AsofJoin.asof(
+          left.toDF("k", "t", "tag"), right.toDF("k", "rt", "v"),
+          Seq("k"), "t", "rt", Seq("v"),
+          direction = direction, tolerance = tolerance,
+          allowExactMatches = allowExact)
+        .collect()
+        .map(r => r.getAs[String]("tag") ->
+          ((Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue),
+            Option(r.getAs[java.lang.Long]("asof_rt")).map(_.longValue))))
+        .toMap
+      assert(got === expected,
+        s"\nseed=$seed direction=$direction tol=$tolerance " +
+          s"allowExact=$allowExact\nleft=$left\nright=$right")
+    }
+  }
+
+  // ----------------------------------------------------------- range join
+
+  test("range join matches a brute-force reference on 20 random cases " +
+      "(empty intervals, bin-boundary alignment, multi-bin spans)") {
+    for (seed <- 2000 until 2020) {
+      val rnd = new Random(seed)
+      val keys = Seq("a", "b").take(1 + rnd.nextInt(2))
+      val points = (0 until rnd.nextInt(21)).map { i =>
+        (keys(rnd.nextInt(keys.length)), rnd.nextInt(40).toLong, i.toLong)
+      }
+      val intervals = (0 until rnd.nextInt(11)).map { i =>
+        val s = rnd.nextInt(40).toLong
+        // ~1 in 4 empty (end < start) — must match nothing, not throw
+        val e = if (rnd.nextInt(4) == 0) s - 1 - rnd.nextInt(5)
+          else s + rnd.nextInt(15)
+        (keys(rnd.nextInt(keys.length)), s, e, (100 + i).toLong)
+      }
+      val binWidth = Seq(1L, 3L, 10L)(rnd.nextInt(3))
+
+      val expected = (for {
+        (pk, pt, pid) <- points
+        (ik, s, e, iid) <- intervals
+        if pk == ik && s <= pt && pt <= e
+      } yield (pid, iid)).toSet
+
+      val got = RangeJoin.pointInInterval(
+          points.toDF("k", "pt", "pid"), intervals.toDF("k", "s", "e", "iid"),
+          Seq("k"), "pt", "s", "e", binWidth)
+        .select("pid", "iv_iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"\nseed=$seed binWidth=$binWidth\npoints=$points\n" +
+          s"intervals=$intervals")
+    }
+  }
+
+  // ------------------------------------------------------------ dupGroups
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(id => id -> find(id)).toMap
+  }
+
+  test("dupGroups (BOTH branches) matches brute-force min-label " +
+      "components on 12 random graphs (self-loops, isolated pairs, " +
+      "dense blobs)") {
+    for (seed <- 3000 until 3012) {
+      val rnd = new Random(seed)
+      val n = 2 + rnd.nextInt(39)
+      val edges = (0 until rnd.nextInt(61)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // self-loops allowed
+      }
+      val expected = bruteComponents(edges)
+      val pairs = edges.toDF("id1", "id2")
+      // driver union-find branch (default limit) and distributed
+      // relax+pointer-jump branch (limit 0) must agree exactly
+      for (limit <- Seq(2000000L, 0L)) {
+        val got = Dedup.dupGroups(pairs, driverEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected,
+          s"\nseed=$seed limit=$limit n=$n\nedges=$edges")
+      }
+    }
+  }
+}
