@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AsofJoin, Dedup, RangeJoin}
+import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 /** Randomized parity: distributed operators vs brute-force in-memory
@@ -117,6 +118,146 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === expected,
         s"\nseed=$seed binWidth=$binWidth\npoints=$points\n" +
           s"intervals=$intervals")
+    }
+  }
+
+  // ----------------------------------------------------------- edSelfJoin
+
+  private def bruteEd(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edSelfJoin blocking is COMPLETE for ED<=1: matches brute O(n^2) " +
+      "levenshtein on 16 random corpora (empty strings, heavy collisions)") {
+    for (seed <- 4000 until 4016) {
+      val rnd = new Random(seed)
+      // tiny alphabet + short strings force dense ED-1 neighborhoods
+      val rows = (0 until (2 + rnd.nextInt(29))).map { i =>
+        (i.toLong, (0 until rnd.nextInt(7))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val expected = (for {
+        (i1, s1) <- rows; (i2, s2) <- rows
+        if i1 < i2 && bruteEd(s1, s2) <= 1
+      } yield (i1, i2, bruteEd(s1, s2))).toSet
+      val got = graft.operators.Fuzzy
+        .edSelfJoin(rows.toDF("id", "s"), "id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expected, s"\nseed=$seed\nrows=$rows")
+    }
+  }
+
+  // ------------------------------------------------------------ factorize
+
+  test("factorize: dictionary path, forced shuffle path, and " +
+      "factorizeShuffle all match the brute sorted-dense-code reference " +
+      "on 16 random inputs (nulls -> -1, duplicates, single value)") {
+    for (seed <- 5000 until 5016) {
+      val rnd = new Random(seed)
+      val rows = (0 until rnd.nextInt(31)).map { i =>
+        val v = if (rnd.nextInt(6) == 0) None
+          else Some(s"v${rnd.nextInt(8)}")
+        (i.toLong, v)
+      }
+      val dict = rows.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+      val expected = rows.map { case (id, v) =>
+        id -> v.map(dict(_).toLong).getOrElse(-1L)
+      }.toMap
+      val df = rows.toDF("id", "v")
+      val paths = Seq(
+        "dict" -> operators.Positional.factorize(df, "v"),
+        "probe-shuffle" -> operators.Positional
+          .factorize(df, "v", maxCategories = 2),
+        "shuffle" -> operators.Positional.factorizeShuffle(df, "v"))
+      for ((label, out) <- paths) {
+        val got = out.collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("code")).toMap
+        assert(got === expected, s"\nseed=$seed path=$label\nrows=$rows")
+      }
+    }
+  }
+
+  // -------------------------------------------------- takePositions / pos
+
+  test("takePositions gathers exactly the rows at the requested global " +
+      "positions on 16 random inputs (out-of-range ignored)") {
+    for (seed <- 6000 until 6016) {
+      val rnd = new Random(seed)
+      val rows = rnd.shuffle((0 until rnd.nextInt(40)).toList)
+        .map(v => (v.toLong, s"r$v")) // unique sort key => total order
+      val positions = (0 until rnd.nextInt(8))
+        .map(_ => rnd.nextInt(45).toLong) // may exceed n-1
+      val sorted = rows.sortBy(_._1)
+      val expected = positions.distinct.filter(_ < sorted.length)
+        .map(p => p -> sorted(p.toInt)._2).toMap
+      val got = operators.Positional
+        .takePositions(rows.toDF("v", "tag"), Seq(col("v")), positions)
+        .collect()
+        .map(r => r.getAs[Long]("pos") -> r.getAs[String]("tag")).toMap
+      assert(got === expected, s"\nseed=$seed\nrows=$rows pos=$positions")
+    }
+  }
+
+  // ------------------------------------------------------------ ffillLimit
+
+  test("ffillLimit matches a per-group scan reference on 20 random " +
+      "inputs (limit 0, gaps exactly at the limit, leading nulls)") {
+    for (seed <- 7000 until 7020) {
+      val rnd = new Random(seed)
+      val limit = rnd.nextInt(4)
+      val rows = for {
+        g <- Seq("g1", "g2").take(1 + rnd.nextInt(2))
+        i <- 0 until rnd.nextInt(16)
+      } yield (g, i.toLong,
+        if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(50).toLong))
+      val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        var lastV: Option[Long] = None
+        var lastAt = Long.MinValue / 2
+        grp.sortBy(_._2).map { case (g, i, v) =>
+          if (v.isDefined) { lastV = v; lastAt = i }
+          (g, i) -> (if (v.isDefined) v
+                     else if (i - lastAt <= limit) lastV else None)
+        }
+      }
+      val got = graft.functions.GraftFunctions
+        .ffillLimit(rows.toDF("g", "i", "v"), col("v"), limit,
+          Seq(col("g")), Seq(col("i")), "filled")
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("i")) ->
+          Option(r.getAs[java.lang.Long]("filled")).map(_.longValue))
+        .toMap
+      assert(got === expected, s"\nseed=$seed limit=$limit\nrows=$rows")
+    }
+  }
+
+  // ------------------------------------------------------- groupedPrefixSum
+
+  test("groupedPrefixSum matches per-group scanLeft on 16 random inputs " +
+      "(negative values, single-row groups, skewed group sizes)") {
+    for (seed <- 8000 until 8016) {
+      val rnd = new Random(seed)
+      val rows = for {
+        g <- Seq("g1", "g2", "g3").take(1 + rnd.nextInt(3))
+        i <- 0 until (if (g == "g1") rnd.nextInt(25) else rnd.nextInt(6))
+      } yield (g, i.toLong, (rnd.nextInt(21) - 10).toLong)
+      val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        grp.sortBy(_._2).scanLeft(("", 0L, 0L)) {
+          case ((_, _, acc), (g, i, v)) => (g, i, acc + v)
+        }.drop(1).map { case (g, i, s) => (g, i) -> s }
+      }
+      val got = operators.Positional
+        .groupedPrefixSum(rows.toDF("g", "i", "v"), Seq("g"),
+          Seq(col("i")), col("v"), "run")
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("i")) ->
+          r.getAs[Long]("run")).toMap
+      assert(got === expected, s"\nseed=$seed\nrows=$rows")
     }
   }
 
