@@ -261,6 +261,172 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------- merge family
+
+  test("upsert / upsertLatest match map-override references on 16 random " +
+      "snapshots (empty sides, all-new, all-overlap, late old rows)") {
+    for (seed <- 9000 until 9016) {
+      val rnd = new Random(seed)
+      val baseKeys = rnd.shuffle((0 until 12).toList).take(rnd.nextInt(10))
+      val updKeys = rnd.shuffle((0 until 12).toList).take(rnd.nextInt(10))
+      // unique (key, ts) across the union keeps the latest-row unique
+      val ts = rnd.shuffle((0 until 100).toList).iterator
+      val base = baseKeys.map(k => (k.toLong, ts.next().toLong, s"b$k"))
+      val upd = updKeys.map(k => (k.toLong, ts.next().toLong, s"u$k"))
+
+      // arrival-order upsert: updates win unconditionally
+      val expUpsert = (base.map(r => r._1 -> r).toMap ++
+        upd.map(r => r._1 -> r).toMap).values.toSet
+      val gotUpsert = operators.Merge
+        .upsert(base.toDF("k", "ts", "v"), upd.toDF("k", "ts", "v"), "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(gotUpsert === expUpsert, s"\nseed=$seed base=$base upd=$upd")
+
+      // event-time upsert: greatest ts wins regardless of arrival side
+      val expLatest = (base ++ upd).groupBy(_._1)
+        .map(_._2.maxBy(_._2)).toSet
+      val gotLatest = operators.Merge
+        .upsertLatest(base.toDF("k", "ts", "v"), upd.toDF("k", "ts", "v"),
+          "k", Seq("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(gotLatest === expLatest, s"\nseed=$seed base=$base upd=$upd")
+    }
+  }
+
+  test("snapshotDiff classifies added/removed/changed like a brute map " +
+      "diff on 16 random snapshot pairs (null payloads, null-to-null " +
+      "unchanged)") {
+    for (seed <- 10000 until 10016) {
+      val rnd = new Random(seed)
+      def side() = rnd.shuffle((0 until 10).toList).take(rnd.nextInt(9))
+        .map { k =>
+          (k.toLong,
+            if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(3).toLong))
+        }
+      val prev = side(); val next = side()
+      val pm = prev.toMap; val nm = next.toMap
+      val expected = (pm.keySet ++ nm.keySet).flatMap { k =>
+        (pm.get(k), nm.get(k)) match {
+          case (Some(_), None)              => Some(k -> "removed")
+          case (None, Some(_))              => Some(k -> "added")
+          case (Some(p), Some(n)) if p != n => Some(k -> "changed")
+          case _                            => None // unchanged dropped
+        }
+      }.toMap
+      val got = operators.Merge
+        .snapshotDiff(prev.toDF("k", "v"), next.toDF("k", "v"), "k",
+          Seq("v"))
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change"))
+        .toMap
+      assert(got === expected, s"\nseed=$seed prev=$prev next=$next")
+    }
+  }
+
+  test("scd2 validity intervals match a per-key sorted scan on 16 random " +
+      "change logs (same-tick versions collapse to empty intervals)") {
+    val horizon = 1000L
+    for (seed <- 11000 until 11016) {
+      val rnd = new Random(seed)
+      val changes = (0 until rnd.nextInt(25)).map { i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, i.toLong)
+      } // (key, ts, tie) — tie globally unique => total order per key
+      val expected = changes.groupBy(_._1).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(c => (c._2, c._3))
+        sorted.zipWithIndex.map { case ((k, t, i), idx) =>
+          val to = if (idx + 1 < sorted.length) sorted(idx + 1)._2 - 1
+            else horizon
+          (k, t, i) -> ((t, to))
+        }
+      }
+      val got = operators.Merge
+        .scd2(changes.toDF("k", "ts", "tie"), "k", "ts", Seq("tie"), horizon)
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"),
+          r.getAs[Long]("tie")) ->
+          ((r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))))
+        .toMap
+      assert(got === expected, s"\nseed=$seed changes=$changes")
+    }
+  }
+
+  // ------------------------------------------------------------ sessionize
+
+  test("sessionize matches a per-key gap scan on 16 random event sets " +
+      "(step exactly at the gap stays in-session)") {
+    for (seed <- 12000 until 12016) {
+      val rnd = new Random(seed)
+      val gap = 1L + rnd.nextInt(5)
+      val rows = (for (k <- 0 until (1 + rnd.nextInt(3))) yield {
+        rnd.shuffle((0 until 60).toList).take(rnd.nextInt(20))
+          .map(t => (k.toLong, t.toLong))
+      }).flatten
+      val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(_._2)
+        var sid = 0L; var prev = Long.MinValue / 2
+        sorted.map { case (k, t) =>
+          if (t - prev > gap) sid += 1
+          prev = t
+          (k, t) -> sid
+        }
+      }
+      val got = operators.Sessionize
+        .sessionize(rows.toDF("k", "t"), Seq("k"), "t", gap)
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+          r.getAs[Long]("session_id")).toMap
+      assert(got === expected, s"\nseed=$seed gap=$gap rows=$rows")
+    }
+  }
+
+  // --------------------------------------------------------- resampleInterp
+
+  test("resampleInterp matches a per-key grid scan on 12 random series " +
+      "(gap runs, single-bucket keys, boundary-adjacent events)") {
+    for (seed <- 13000 until 13012) {
+      val rnd = new Random(seed)
+      val step = Seq(5L, 7L)(rnd.nextInt(2))
+      // integer-valued doubles keep the DECIMAL-summed mean exact on both
+      // sides; unique ts per key is not required (means aggregate)
+      val rows = (for (k <- 0 until (1 + rnd.nextInt(2))) yield {
+        (0 until rnd.nextInt(18)).map { _ =>
+          (k.toLong, rnd.nextInt(100).toLong, rnd.nextInt(10).toDouble)
+        }
+      }).flatten
+      val expected = rows.groupBy(_._1).flatMap { case (k, grp) =>
+        val byBucket = grp.groupBy(r => r._2 - r._2 % step)
+          .map { case (b, rs) => b -> rs.map(_._3).sum / rs.length }
+        val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
+        val grid = lo.to(hi, step)
+        var ffill: Option[Double] = None
+        var bPrev = 0L
+        grid.map { b =>
+          byBucket.get(b) match {
+            case Some(m) =>
+              ffill = Some(m); bPrev = b
+              (k, b) -> m
+            case None =>
+              val bNext = grid.drop(((b - lo) / step).toInt)
+                .find(byBucket.contains).get
+              val vNext = byBucket(bNext)
+              val w = (b - bPrev).toDouble / (bNext - bPrev).toDouble
+              (k, b) -> (ffill.get + (vNext - ffill.get) * w)
+          }
+        }
+      }
+      val got = operators.Resample
+        .resampleInterp(rows.toDF("k", "ts", "v"), "k", "ts", step, "v")
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("bucket_ns")) ->
+          r.getAs[Double]("v_interp")).toMap
+      assert(got.keySet === expected.keySet, s"\nseed=$seed rows=$rows")
+      for ((key, exp) <- expected)
+        assert(math.abs(got(key) - exp) < 1e-9,
+          s"\nseed=$seed at=$key got=${got(key)} exp=$exp rows=$rows")
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
