@@ -427,6 +427,64 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------ getDummies
+
+  test("getDummies matches a brute indicator matrix on 16 random tag " +
+      "columns (shared tags, singleton tags, repeated tags in one row)") {
+    for (seed <- 14000 until 14016) {
+      val rnd = new Random(seed)
+      val tags = Seq("red", "blue", "green", "x")
+      val rows = (0 until (1 + rnd.nextInt(15))).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(4)))
+          .map(_ => tags(rnd.nextInt(tags.length))).mkString("|"))
+      }
+      val cats = rows.flatMap(_._2.split('|')).distinct.sorted
+      val expected = rows.map { case (id, s) =>
+        val present = s.split('|').toSet
+        id -> cats.map(c => if (present(c)) 1 else 0)
+      }.toMap
+      val out = operators.Reshape.getDummies(
+        rows.toDF("id", "tags"), col("tags"), "|", Seq(col("id")))
+      assert(out.columns.toSeq === ("id" +: cats), s"seed=$seed rows=$rows")
+      val got = out.collect().map(r =>
+        r.getAs[Long]("id") -> cats.map(c => r.getAs[Int](c))).toMap
+      assert(got === expected, s"\nseed=$seed rows=$rows")
+    }
+  }
+
+  // -------------------------------------------------------- chunkDocuments
+
+  test("chunkDocuments matches a brute token-window scan on 16 random " +
+      "corpora (tail shorter than stride, no-new-token tails skipped)") {
+    for (seed <- 15000 until 15016) {
+      val rnd = new Random(seed)
+      val size = 2 + rnd.nextInt(5)
+      val stride = 1 + rnd.nextInt(size)
+      val docs = (0 until (1 + rnd.nextInt(10))).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(17)))
+          .map(j => s"w$j").mkString(" "))
+      }
+      val expected = docs.flatMap { case (id, text) =>
+        val w = text.split(' ')
+        val starts = 0.until(w.length, stride)
+          .filter(s => s == 0 || s + size - stride < w.length)
+        starts.zipWithIndex.map { case (s, idx) =>
+          val chunk = w.slice(s, s + size)
+          (id, idx) -> ((chunk.mkString(" "), chunk.length))
+        }
+      }.toMap
+      val got = operators.TextOps
+        .chunkDocuments(docs.toDF("doc_id", "text"), "text", "doc_id",
+          size, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx")) ->
+          ((r.getAs[String]("chunk_text"), r.getAs[Int]("n_tokens"))))
+        .toMap
+      assert(got === expected,
+        s"\nseed=$seed size=$size stride=$stride\ndocs=$docs")
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
