@@ -485,6 +485,105 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // -------------------------------------------- corpus-mix selection ops
+
+  /** The operators' Knuth-multiplicative order key, replicated exactly:
+    * pmod-before-multiply keeps the product under 2^63. */
+  private def knuthOrd(id: Long): Long = {
+    val m = 2147483647L
+    val r = ((id % m + m) % m) * 2654435761L
+    (r % m + m) % m
+  }
+
+  test("capPerKey matches the brute hash-order prefix on 16 random " +
+      "inputs, and selectToTokenBudget is parity + budget-monotone " +
+      "(bigger budget only ADDS documents)") {
+    for (seed <- 16000 until 16016) {
+      val rnd = new Random(seed)
+      val rows = (0 until rnd.nextInt(31)).map { i =>
+        (Seq("s1", "s2", "s3")(rnd.nextInt(3)), i.toLong,
+          (1 + rnd.nextInt(9)).toLong)
+      }
+      val cap = 1 + rnd.nextInt(5)
+      val expCap = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        grp.sortBy(r => (knuthOrd(r._2), r._2)).take(cap)
+      }.map(_._2).toSet
+      val gotCap = operators.TextOps
+        .capPerKey(rows.toDF("src", "id", "w"), "src", "id", cap)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(gotCap === expCap, s"\nseed=$seed cap=$cap rows=$rows")
+
+      def bruteBudget(b: Long): Set[Long] =
+        rows.groupBy(_._1).flatMap { case (_, grp) =>
+          grp.sortBy(r => (knuthOrd(r._2), r._2))
+            .scanLeft((0L, 0L)) { case ((_, acc), r) => (r._2, acc + r._3) }
+            .drop(1).takeWhile(_._2 <= b).map(_._1)
+        }.toSet
+      def gotBudget(b: Long): Set[Long] = operators.TextOps
+        .selectToTokenBudget(rows.toDF("src", "id", "w"), "src", "id",
+          "w", b)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val budgets = Seq(0L, 3L, 10L, 25L, 1000L)
+      for (b <- budgets)
+        assert(gotBudget(b) === bruteBudget(b), s"\nseed=$seed b=$b")
+      for (Seq(b1, b2) <- budgets.sliding(2))
+        assert(bruteBudget(b1).subsetOf(bruteBudget(b2)),
+          s"\nseed=$seed budgets $b1 -> $b2 not monotone")
+    }
+  }
+
+  // ------------------------------------------------------------ packTokens
+
+  test("packTokens layout invariants hold on 16 random corpora: every " +
+      "token exactly once, every non-final pack exactly seqLen, pieces " +
+      "contiguous from 0 within each pack") {
+    for (seed <- 17000 until 17016) {
+      val rnd = new Random(seed)
+      val seqLen = 2 + rnd.nextInt(9)
+      val nShards = 1 + rnd.nextInt(3)
+      val docs = (0 until rnd.nextInt(25)).map { i =>
+        (i.toLong, rnd.nextInt(3 * seqLen).toLong) // incl. 0-token docs
+      }
+      val pieces = operators.Pack
+        .packTokens(docs.toDF("doc_id", "n_tok"), "doc_id", "n_tok",
+          nShards, seed, seqLen)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+          r.getAs[Long]("pack"), r.getAs[Long]("doc_from"),
+          r.getAs[Long]("doc_to"), r.getAs[Long]("pack_from")))
+
+      // every token of every non-empty doc appears in exactly one piece
+      val perDoc = pieces.groupBy(_._1).view
+        .mapValues(_.map(p => p._5 - p._4).sum).toMap
+      for ((id, n) <- docs)
+        assert(perDoc.getOrElse(id, 0L) === n,
+          s"\nseed=$seed doc=$id tokens=$n covered=${perDoc.get(id)}")
+      // pieces within a doc are contiguous ascending [0, n)
+      for ((id, ps) <- pieces.groupBy(_._1)) {
+        val sorted = ps.sortBy(_._4)
+        assert(sorted.head._4 === 0L, s"seed=$seed doc=$id")
+        for (Seq(a, b) <- sorted.toSeq.sliding(2) if sorted.length > 1)
+          assert(a._5 === b._4, s"seed=$seed doc=$id gap in piece cover")
+      }
+      // per (shard, pack): contiguous from 0; all but the shard's last
+      // pack hold exactly seqLen tokens
+      for (((sh, pk), ps) <- pieces.groupBy(p => (p._2, p._3))) {
+        val sorted = ps.sortBy(_._6)
+        assert(sorted.head._6 === 0L, s"seed=$seed shard=$sh pack=$pk")
+        for (Seq(a, b) <- sorted.toSeq.sliding(2) if sorted.length > 1)
+          assert(a._6 + (a._5 - a._4) === b._6,
+            s"seed=$seed shard=$sh pack=$pk pieces not contiguous")
+        val total = sorted.map(p => p._5 - p._4).sum
+        val lastPack = pieces.filter(_._2 == sh).map(_._3).max
+        if (pk < lastPack)
+          assert(total === seqLen.toLong,
+            s"seed=$seed shard=$sh pack=$pk total=$total != $seqLen")
+        else assert(total <= seqLen.toLong && total > 0,
+          s"seed=$seed shard=$sh final pack total=$total")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
