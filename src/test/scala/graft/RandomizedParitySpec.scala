@@ -584,6 +584,82 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // ----------------------------------------------------- det-stats block
+
+  test("deterministic moment stats, quirk mean, exact median, and the " +
+      "null-semantics booleans match scalar references on 16 random " +
+      "grouped inputs (value and boolean nulls, even/odd median counts)") {
+    import org.apache.spark.sql.functions.{count, expr, lit, percentile}
+    for (seed <- 18000 until 18016) {
+      val rnd = new Random(seed)
+      // two distinct non-null anchor values per group keep every moment
+      // denominator alive (n >= 2, m2 > 0) — the zero-variance and
+      // all-null edges hit ANSI 0/0 and are not part of this contract
+      val rows = (for (g <- Seq("a", "b").take(1 + rnd.nextInt(2))) yield {
+        val anchors = Seq((g, Some(1L), Some(true): Option[Boolean]),
+          (g, Some(5L), Some(false): Option[Boolean]))
+        anchors ++ (0 until rnd.nextInt(14)).map { _ =>
+          val v = if (rnd.nextInt(6) == 0) None
+            else Some(rnd.nextInt(21).toLong)
+          (g, v, if (rnd.nextInt(4) == 0) None
+                 else Some(rnd.nextBoolean()))
+        }
+      }).flatten
+      val expected = rows.groupBy(_._1).map { case (g, grp) =>
+        val xs = grp.flatMap(_._2).map(_.toDouble)
+        val total = grp.length
+        val n = xs.length.toDouble
+        val (s1, s2, s3, s4) =
+          (xs.sum, xs.map(x => x * x).sum, xs.map(x => x * x * x).sum,
+            xs.map(x => x * x * x * x).sum)
+        val m = s1 / n
+        val m2 = s2 / n - m * m
+        val m3 = s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m
+        val m4 = s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n -
+          3.0 * m * m * m * m
+        val sorted = xs.sorted
+        val pos = 0.5 * (sorted.length - 1)
+        val median =
+          if (sorted.isEmpty) Double.NaN
+          else sorted(pos.toInt) +
+            (pos - pos.toInt) * (sorted(math.ceil(pos).toInt) -
+              sorted(pos.toInt))
+        val bools = grp.map(_._3)
+        g -> ((s1 / total, (s2 - s1 * s1 / n) / (n - 1.0),
+          m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3.0, median,
+          bools.forall(_.getOrElse(true)), // all skipna: null skipped
+          bools.exists(_.getOrElse(true)))) // any skipna=false: null=true
+      }
+      val out = rows.toDF("g", "v", "b").groupBy(col("g"))
+        .agg(
+          graft.functions.GraftFunctions.fletcherMean(col("v")).as("mean"),
+          graft.functions.GraftFunctions.detVarSamp(col("v")).as("variance"),
+          graft.functions.GraftFunctions.detSkewness(col("v")).as("skew"),
+          graft.functions.GraftFunctions.detKurtosis(col("v")).as("kurt"),
+          percentile(col("v"), lit(0.5)).as("median"),
+          graft.functions.GraftFunctions.allNullSkipped(col("b")).as("all_b"),
+          graft.functions.GraftFunctions.anyNullIsTrue(col("b")).as("any_b"))
+        .collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+            r.getAs[Double]("skew"), r.getAs[Double]("kurt"),
+            r.getAs[Double]("median"), r.getAs[Boolean]("all_b"),
+            r.getAs[Boolean]("any_b")))).toMap
+      for ((g, (em, ev, es, ek, emed, eall, eany)) <- expected) {
+        val (gm, gv, gs, gk, gmed, gall, gany) = out(g)
+        def close(a: Double, b: Double, what: String): Unit =
+          assert((a.isNaN && b.isNaN) || math.abs(a - b) <=
+            1e-9 * math.max(1.0, math.abs(b)),
+            s"seed=$seed g=$g $what got=$a exp=$b rows=$rows")
+        close(gm, em, "mean"); close(gv, ev, "variance")
+        close(gs, es, "skew"); close(gk, ek, "kurtosis")
+        close(gmed, emed, "median")
+        assert(gall === eall && gany === eany,
+          s"seed=$seed g=$g booleans got=($gall,$gany) exp=($eall,$eany)")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
