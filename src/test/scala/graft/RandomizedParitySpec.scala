@@ -660,6 +660,62 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------------- Z-order
+
+  test("zValue matches brute bit interleaving on 16 random inputs " +
+      "(negative values pmod-wrapped, 1..4 columns, bit budget edges)") {
+    for (seed <- 19000 until 19016) {
+      val rnd = new Random(seed)
+      val nCols = 1 + rnd.nextInt(4)
+      val bits = 1 + rnd.nextInt(62 / nCols)
+      val mask = 1L << bits
+      // /2 keeps |v| <= 2^62 so the brute pmod's `+ mask` can't overflow
+      // even at the bits=62 edge (same value range both engines see)
+      val rows = (0 until (1 + rnd.nextInt(20))).map { i =>
+        (i.toLong, Seq.fill(nCols)(rnd.nextLong() / 2))
+      }
+      def brute(vs: Seq[Long]): Long = {
+        var z = 0L
+        for ((v, ci) <- vs.zipWithIndex; j <- 0 until bits) {
+          val m = ((v % mask) + mask) % mask // pmod
+          z |= ((m >> j) & 1L) << (j * nCols + ci)
+        }
+        z
+      }
+      val expected = rows.map { case (id, vs) => id -> brute(vs) }.toMap
+      val df = rows.map { case (id, vs) => (id, vs(0),
+        if (nCols > 1) vs(1) else 0L, if (nCols > 2) vs(2) else 0L,
+        if (nCols > 3) vs(3) else 0L) }.toDF("id", "c0", "c1", "c2", "c3")
+      val got = df.withColumn("z", operators.Layout.zValue(
+          (0 until nCols).map(i => col(s"c$i")), bits))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("z")).toMap
+      assert(got === expected,
+        s"\nseed=$seed nCols=$nCols bits=$bits rows=$rows")
+    }
+  }
+
+  test("zRank invariants on 12 random columns: range [0, 2^bits), " +
+      "monotone in the value, equal values share a rank") {
+    for (seed <- 20000 until 20012) {
+      val rnd = new Random(seed)
+      val bits = 1 + rnd.nextInt(6)
+      val rows = (0 until (2 + rnd.nextInt(40))).map { i =>
+        (i.toLong, (rnd.nextInt(30) - 10).toDouble)
+      }
+      val df = rows.toDF("id", "x")
+      val got = df.withColumn("r", operators.Layout.zRank(df, "x", bits))
+        .collect().map(r => (r.getAs[Double]("x"), r.getAs[Long]("r")))
+      for ((x, r) <- got)
+        assert(r >= 0 && r < (1L << bits), s"seed=$seed x=$x rank=$r")
+      for (((x1, r1), (x2, r2)) <- got.flatMap(a => got.map((a, _)))) {
+        if (x1 < x2) assert(r1 <= r2,
+          s"seed=$seed rank not monotone: ($x1,$r1) vs ($x2,$r2)")
+        if (x1 == x2) assert(r1 === r2,
+          s"seed=$seed equal values split ranks: $x1 -> $r1 vs $r2")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
