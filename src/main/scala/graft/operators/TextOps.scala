@@ -79,12 +79,15 @@ object TextOps {
     }: _*)
 
   /** Exact Jaccard similarity of two distinct-element arrays:
-    * |∩| / (|a|+|b|-|∩|), computed in double. */
+    * |∩| / (|a|+|b|-|∩|), computed in double. Two empty sets are
+    * identical → 1.0 (the denominator is 0 exactly then, and ANSI double
+    * division would throw instead of yielding a similarity). */
   def jaccard(a: Column, b: Column): Column = {
     // Bind |∩| once via a single-element transform so codegen evaluates
     // array_intersect exactly once per row.
-    element_at(transform(array(size(array_intersect(a, b))),
-      i => i.cast("double") / (size(a) + size(b) - i).cast("double")), 1)
+    when(size(a) + size(b) === 0, lit(1.0)).otherwise(
+      element_at(transform(array(size(array_intersect(a, b))),
+        i => i.cast("double") / (size(a) + size(b) - i).cast("double")), 1))
   }
 
   /** 30-bit SimHash over the distinct token-hash set: bit b is set when

@@ -716,6 +716,76 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------- text-signal scalar kernels
+
+  test("simHash30 matches brute bit voting on 16 random hash sets, " +
+      "jaccard matches set arithmetic on random distinct arrays") {
+    for (seed <- 21000 until 21016) {
+      val rnd = new Random(seed)
+      val rows = (0 until (1 + rnd.nextInt(15))).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12))(rnd.nextLong() / 2))
+      }
+      def bruteSim(hs: Seq[Long]): Long =
+        (0 until 30).map { b =>
+          val vote = hs.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+          if (vote > 0) 1L << b else 0L
+        }.sum
+      val expSim = rows.map { case (id, hs) => id -> bruteSim(hs) }.toMap
+      val gotSim = rows.toDF("id", "hs")
+        .select(col("id"), operators.TextOps.simHash30(col("hs")).as("sh"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sh")).toMap
+      assert(gotSim === expSim, s"\nseed=$seed rows=$rows")
+
+      val pairs = (0 until (1 + rnd.nextInt(10))).map { i =>
+        def arr() = rnd.shuffle((0 until 12).toList)
+          .take(rnd.nextInt(8)).map(_.toLong)
+        (i.toLong, arr(), arr())
+      }
+      val expJ = pairs.map { case (id, a, b) =>
+        val inter = a.toSet.intersect(b.toSet).size.toDouble
+        // empty vs empty: identical sets → 1.0 (the ANSI-divide edge this
+        // sweep originally caught as a DIVIDE_BY_ZERO throw)
+        id -> (if (a.isEmpty && b.isEmpty) 1.0
+               else inter / (a.size + b.size - inter))
+      }.toMap
+      val gotJ = pairs.toDF("id", "a", "b")
+        .select(col("id"), operators.TextOps
+          .jaccard(col("a"), col("b")).as("j"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("j"))
+        .toMap
+      for ((id, e) <- expJ) {
+        val g = gotJ(id)
+        assert((g.isNaN && e.isNaN) || math.abs(g - e) < 1e-12,
+          s"seed=$seed id=$id jaccard got=$g exp=$e pairs=$pairs")
+      }
+    }
+  }
+
+  test("langPredict matches the brute marker-hit argmax with first-listed " +
+      "tie wins on 16 random token streams (zero-hit docs fall to 'en')") {
+    val langs = operators.TextOps.LangOrder
+    val vocab = langs.flatMap(_._2) ++ Seq("zzz", "qqq", "www")
+    for (seed <- 22000 until 22016) {
+      val rnd = new Random(seed)
+      val rows = (0 until (1 + rnd.nextInt(12))).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length))))
+      }
+      val expected = rows.map { case (id, toks) =>
+        val scores = langs.map { case (l, set) =>
+          l -> toks.count(set.contains)
+        }
+        val best = scores.map(_._2).max
+        id -> scores.find(_._2 == best).get._1
+      }.toMap
+      val got = rows.toDF("id", "toks")
+        .select(col("id"), operators.TextOps
+          .langPredict(col("toks")).as("lang"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("lang"))
+        .toMap
+      assert(got === expected, s"\nseed=$seed rows=$rows")
+    }
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
