@@ -20,8 +20,15 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Cosine from precomputed norms. A zero-norm vector has no direction —
+    * its similarity to anything is 0.0 by convention (ranking it last),
+    * guarded BEFORE the division: under ANSI mode (Spark 4 default) the
+    * bare `dot/(na*nb)` THROWS DIVIDE_BY_ZERO the moment a corpus carries
+    * one all-zero embedding (a padding row or dead model output — routine
+    * at real corpus scale). Non-zero norms take the identical IEEE
+    * division the oracle SQL mirrors. */
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    when(na * nb > 0.0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
 
   /** Corpus with v = embedding widened to double and its precomputed norm. */
   def prepared(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {

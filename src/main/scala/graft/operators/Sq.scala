@@ -37,9 +37,11 @@ object Sq {
   final case class SqRange(mins: Array[Double], maxs: Array[Double])
 
   /** The normalized coordinate: v[i] / ‖v‖ (exact IEEE division, mirrored
-    * by the oracle as `v[i] / nrm`). */
+    * by the oracle as `v[i] / nrm`). Zero-norm vectors pass through
+    * unnormalized (all zeros — same guard as Ivfpq.unit): ANSI division
+    * would otherwise throw on the first all-zero embedding. */
   private def normed(v: Column, nrm: Column): Column =
-    transform(v, x => x / nrm)
+    when(nrm > 0.0, transform(v, x => x / nrm)).otherwise(v)
 
   /** Per-dimension [min, max] of the NORMALIZED corpus coordinates.
     * One narrow posexplode + groupBy(pos): partial aggregation collapses

@@ -786,6 +786,43 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  // ----------------------------------------------- zero-norm vector edge
+
+  test("knnBrute and knnSq8 tolerate all-zero embeddings (ANSI divide " +
+      "edge): zero vectors score 0.0 cosine and rank behind every real " +
+      "neighbor, and a zero-vector QUERY still returns k rows") {
+    val rnd = new Random(23000)
+    val dim = 8
+    val rows = (0L until 12L).map { i =>
+      val v = if (i == 0L || i == 7L) Seq.fill(dim)(0.0f) // two zero rows
+        else Seq.fill(dim)(rnd.nextInt(9).toFloat - 4f)
+      (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = operators.Similarity
+      .knnBrute(emb, "embedding", "vec_id", Seq(1L, 0L), k = 3)
+      .collect()
+    val byQuery = brute.groupBy(_.getAs[Long]("query_id"))
+    // real query: the zero corpus rows score exactly 0.0 and lose to any
+    // positive-cosine neighbor
+    val q1 = byQuery(1L).map(r =>
+      r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine"))
+    assert(q1.length === 3)
+    for ((nid, c) <- q1 if nid == 0L || nid == 7L)
+      assert(c === 0.0, s"zero vector scored $c")
+    // zero-vector query: every cosine is 0.0, k rows still emitted with
+    // the deterministic id tie-break
+    val q0 = byQuery(0L).map(r =>
+      r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine"))
+    assert(q0.length === 3 && q0.forall(_._2 === 0.0),
+      s"zero query: $q0")
+    // SQ8 trains per-dim ranges over NORMALIZED coords — must survive the
+    // zero rows (they pass through unnormalized) and return k rows
+    val sq = operators.Sq
+      .knnSq8(emb, "embedding", "vec_id", Seq(1L), k = 3).collect()
+    assert(sq.length === 3)
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
