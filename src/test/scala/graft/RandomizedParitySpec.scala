@@ -823,6 +823,61 @@ class RandomizedParitySpec extends SparkTestBase {
     assert(sq.length === 3)
   }
 
+  // -------------------------------------- adversarial-text robustness
+
+  test("per-doc text operators survive adversarial strings (empty, " +
+      "whitespace-only, unicode, one giant token, heavy repetition): one " +
+      "output row per doc, ratio signals finite and in range") {
+    val docs = Seq(
+      (0L, ""), (1L, " "), (2L, "    "), (3L, "x"),
+      (4L, "z" * 5000), // one giant token
+      (5L, Seq.fill(200)("dup").mkString(" ")), // total repetition
+      (6L, "中文 文本 中文 文本 éß Ω"), (7L, "a b c d e f g h i j"),
+      (8L, "\n\n\n"), (9L, "- bullet\n- bullet\n…"))
+      .toDF("doc_id", "text")
+    val n = 10L
+
+    // documented contract: only docs with >= max(ks) tokens are scored
+    // (shorter docs belong to a length filter, not a repetition filter);
+    // " "-splitting means whitespace-only docs DO tokenize to empties
+    val rep = operators.Quality
+      .repetitionSignals(docs, "text", "doc_id", ks = Seq(2, 3)).collect()
+    assert(rep.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      Seq(2L, 5L, 6L, 7L, 9L))
+    for (r <- rep; c <- Seq("top3_frac", "dup3_frac")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0 && !v.isNaN, s"$c=$v: $r")
+    }
+    val struct = operators.Quality
+      .structuralSignals(docs, "text", "doc_id").collect()
+    assert(struct.length === n)
+    for (r <- struct; c <- Seq("bullet_line_frac", "alpha_word_frac"))
+      for (v <- Option(r.getAs[java.lang.Double](c)))
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range: $r")
+    val oov = operators.Quality
+      .oovRate(docs, "text", "doc_id", vocabSize = 3).collect()
+    assert(oov.length === n)
+    for (r <- oov) {
+      val v = r.getAs[Double]("oov_rate")
+      assert(v >= 0.0 && v <= 1.0 && !v.isNaN, s"oov_rate=$v: $r")
+    }
+    val comp = operators.Quality
+      .compressionSignal(docs, "text", "doc_id").collect()
+    assert(comp.length === n)
+    // dedup pipeline end to end on the same corpus: docs 5's total
+    // repetition and the empty/whitespace cluster must not throw anywhere
+    val pairs = operators.Dedup
+      .minhashDupPairs(docs, "text", "doc_id", k = 2, threshold = 0.5)
+    val groups = Dedup.dupGroups(pairs).collect()
+    assert(groups.length <= n)
+    val sim = operators.Dedup
+      .simhashFingerprints(docs, "text", "doc_id").collect()
+    assert(sim.length === n)
+    val redacted = docs.select(operators.Quality
+      .redactPii(col("text")).as("t")).collect()
+    assert(redacted.length === n)
+  }
+
   // ------------------------------------------------------------ dupGroups
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
