@@ -914,4 +914,165 @@ class RandomizedParitySpec extends SparkTestBase {
       }
     }
   }
+
+  // ------------------------------------------- dedup-pair family (brute)
+
+  // In-memory replicas of the hashing primitives (polyHash codepoint fold,
+  // shingle fold, the 16-function MinHash family, band keys, jaccard) —
+  // independent reimplementations in plain Scala, so these sweeps check
+  // BOTH the distributed blocking/join machinery and the codegen kernels
+  // against a reference that shares no code with them. Only the published
+  // constants (HashA/HashB/NumBands/RowsPerBand/PolyMod) are reused.
+  private def refHash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+  // Spark's split(text, " ") keeps trailing empty strings (limit -1)
+  private def refTokens(s: String): Vector[String] =
+    s.split(" ", -1).toVector
+  private def refTokenHashSet(s: String): Set[Long] =
+    refTokens(s).map(refHash).toSet
+  private def refShingleAll(s: String, k: Int): Vector[Long] = {
+    val th = refTokens(s).map(refHash)
+    (0 to th.length - k).map { i =>
+      (0 until k).foldLeft(0L)((acc, j) =>
+        (acc * 31L + th(i + j)) % 1000000007L)
+    }.toVector
+  }
+  private def refMinSig(distinctHashes: Seq[Long]): Vector[Long] =
+    graft.operators.TextOps.HashA.zip(graft.operators.TextOps.HashB)
+      .map { case (a, b) => distinctHashes.map(h => (h * a + b) % 1000000007L).min }
+      .toVector
+  private def refBandKeys(sig: Vector[Long]): Vector[String] =
+    (0 until graft.operators.TextOps.NumBands).map { b =>
+      sig.slice(b * graft.operators.TextOps.RowsPerBand,
+        (b + 1) * graft.operators.TextOps.RowsPerBand).mkString(",")
+    }.toVector
+  private def refJaccard(a: Set[Long], b: Set[Long]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else { val i = (a & b).size; i.toDouble / (a.size + b.size - i) }
+
+  private def randDoc(rnd: Random, vocab: IndexedSeq[String],
+      maxLen: Int): String =
+    (0 until rnd.nextInt(maxLen + 1))
+      .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+  test("ngramJaccardPairs (hash-ordered AND frequency-ordered prefixes) " +
+      "is LOSSLESS: matches brute all-pairs token Jaccard on 12 random " +
+      "corpora (empty docs, shared boilerplate, threshold edges incl 1.0)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- 7000 until 7012) {
+      val rnd = new Random(seed)
+      val thr = Seq(0.25, 0.5, 0.75, 0.9, 1.0)(rnd.nextInt(5))
+      val docs = (0 until (2 + rnd.nextInt(19))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 8), s"blk${rnd.nextInt(3)}")
+      }
+      val expected = (for {
+        (i1, t1, b1) <- docs; (i2, t2, b2) <- docs
+        if i1 < i2 && b1 == b2
+        j = refJaccard(refTokenHashSet(t1), refTokenHashSet(t2))
+        if j >= thr
+      } yield (i1, i2, b1, j)).toSet
+      for (freqOrdered <- Seq(false, true)) {
+        val got = Dedup.ngramJaccardPairs(docs.toDF("id", "text", "blk"),
+            "text", "id", "blk", thr, frequencyOrdered = freqOrdered)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getDouble(3))).toSet
+        assert(got === expected,
+          s"\nseed=$seed thr=$thr freqOrdered=$freqOrdered\ndocs=$docs")
+      }
+    }
+  }
+
+  test("minhashDupPairs matches brute band-collision + exact-Jaccard on " +
+      "10 random corpora, and the maxBucket cap drops exactly the " +
+      "over-full buckets the brute reference computes (stats included)") {
+    val vocab = Vector("x", "y", "z", "w")
+    for (seed <- 7100 until 7110) {
+      val rnd = new Random(seed)
+      val k = 2 + rnd.nextInt(2)
+      val thr = Seq(0.5, 0.7)(rnd.nextInt(2))
+      val docs = (0 until (2 + rnd.nextInt(15))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 7))
+      }
+      // signatures exist only for docs with >= k tokens
+      val sigs = docs.filter { case (_, t) => refTokens(t).length >= k }
+        .map { case (i, t) =>
+          val hs = refShingleAll(t, k).distinct
+          (i, hs.toSet, refBandKeys(refMinSig(hs)))
+        }
+      for (cap <- Seq(Int.MaxValue, 1, 2, 3)) {
+        // bucket = (band index, key); membership is one row per doc
+        val buckets = sigs.flatMap { case (i, _, bks) =>
+          bks.zipWithIndex.map { case (key, band) => ((band, key), i) } }
+          .groupBy(_._1).map { case (bk, rows) => bk -> rows.map(_._2) }
+        val (kept, dropped) = buckets.partition(_._2.size <= cap)
+        val expStats = Dedup.BucketCapStats(
+          if (cap == Int.MaxValue) 0L else dropped.size.toLong,
+          if (cap == Int.MaxValue) 0L
+          else dropped.values.map(_.size.toLong).sum)
+        val expPairs = (for {
+          ids <- kept.values.toSeq
+          i1 <- ids; i2 <- ids if i1 < i2
+        } yield (i1, i2)).distinct.map { case (i1, i2) =>
+          val h1 = sigs.find(_._1 == i1).get._2
+          val h2 = sigs.find(_._1 == i2).get._2
+          val j = refJaccard(h1, h2)
+          (i1, i2, j, j >= thr)
+        }.toSet
+        val (df, stats) = Dedup.minhashDupPairsWithStats(
+          docs.toDF("id", "text"), "text", "id", k, thr, maxBucket = cap)
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getBoolean(3))).toSet
+        df.unpersist()
+        assert(got === expPairs,
+          s"\nseed=$seed k=$k thr=$thr cap=$cap\ndocs=$docs")
+        assert(stats === expStats,
+          s"\nseed=$seed k=$k thr=$thr cap=$cap\ndocs=$docs")
+      }
+    }
+  }
+
+  test("dedupAgainstIndex (incremental probe vs persisted band index) " +
+      "matches brute cross-pair band collision + exact Jaccard on 10 " +
+      "random corpus/batch splits (short docs dropped, multi-collisions)") {
+    val vocab = Vector("p", "q", "r", "s")
+    for (seed <- 7200 until 7210) {
+      val rnd = new Random(seed)
+      val k = 2
+      val thr = 0.6
+      val corpus = (0 until (2 + rnd.nextInt(12))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 6)) }
+      val batch = (0 until (1 + rnd.nextInt(8))).map { i =>
+        ((100 + i).toLong, randDoc(rnd, vocab, 6)) }
+      def sigsOf(rows: Seq[(Long, String)]) =
+        rows.filter { case (_, t) => refTokens(t).length >= k }
+          .map { case (i, t) =>
+            val hs = refShingleAll(t, k).distinct
+            (i, hs.toSet, refBandKeys(refMinSig(hs)))
+          }
+      val cs = sigsOf(corpus); val bs = sigsOf(batch)
+      val expected = (for {
+        (ni, nh, nb) <- bs; (oi, oh, ob) <- cs
+        if nb.zip(ob).exists { case (x, y) => x == y }
+        j = refJaccard(nh, oh)
+      } yield (ni, oi, j, j >= thr)).toSet
+      val corpusDf = corpus.toDF("id", "text")
+      val index = Dedup.bandIndex(corpusDf, "text", "id", k)
+      val got = Dedup.dedupAgainstIndex(batch.toDF("id", "text"), "text",
+          "id", k, thr, index, corpusDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(got === expected,
+        s"\nseed=$seed\ncorpus=$corpus\nbatch=$batch")
+    }
+  }
 }
