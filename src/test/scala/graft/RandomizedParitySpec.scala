@@ -1075,4 +1075,105 @@ class RandomizedParitySpec extends SparkTestBase {
         s"\nseed=$seed\ncorpus=$corpus\nbatch=$batch")
     }
   }
+
+  test("ngramContamination (broadcast AND shuffle eval paths) matches " +
+      "brute distinct-gram overlap counts on 12 random corpora (short " +
+      "docs dropped, eval-only grams, zero-overlap docs absent)") {
+    val vocab = Vector("m", "n", "o", "u", "v")
+    for (seed <- 7300 until 7312) {
+      val rnd = new Random(seed)
+      val k = 2 + rnd.nextInt(2)
+      val docs = (0 until (2 + rnd.nextInt(15))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 7), rnd.nextInt(4) == 0)
+      }
+      val longEnough = docs.filter { case (_, t, _) =>
+        refTokens(t).length >= k }
+      val evalGrams = longEnough.filter(_._3)
+        .flatMap { case (_, t, _) => refShingleAll(t, k) }.toSet
+      val expected = longEnough.filterNot(_._3).flatMap { case (i, t, _) =>
+        val n = (refShingleAll(t, k).toSet & evalGrams).size
+        if (n > 0) Some(i -> n.toLong) else None
+      }.toMap
+      for (bcast <- Seq(true, false)) {
+        val got = Dedup.ngramContamination(docs.toDF("id", "text", "ev"),
+            "text", "id", col("ev"), k, broadcastEval = bcast)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected,
+          s"\nseed=$seed k=$k bcast=$bcast\ndocs=$docs")
+      }
+    }
+  }
+
+  test("dupSpanCoverage matches brute merged-interval coverage on 12 " +
+      "random corpora (overlapping flagged grams, repeats within one " +
+      "doc, minDocs 2 and 3, short docs with zero grams)") {
+    val vocab = Vector("g", "h", "i", "j")
+    for (seed <- 7400 until 7412) {
+      val rnd = new Random(seed)
+      val k = 2 + rnd.nextInt(2)
+      val minDocs = 2 + rnd.nextInt(2)
+      val docs = (0 until (2 + rnd.nextInt(13))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 9))
+      }
+      // gram document-frequency over positional (with-multiplicity) hashes
+      val df = docs.flatMap { case (i, t) =>
+        if (refTokens(t).length >= k) refShingleAll(t, k).distinct.map(_ -> i)
+        else Nil
+      }.groupBy(_._1).map { case (gh, rows) => gh -> rows.map(_._2).size }
+      val hot = df.filter(_._2 >= minDocs).keySet
+      val expected = docs.map { case (i, t) =>
+        val toks = refTokens(t)
+        val flagged =
+          if (toks.length >= k)
+            refShingleAll(t, k).zipWithIndex.collect {
+              case (gh, p) if hot(gh) => p }
+          else Vector.empty[Int]
+        val covered = flagged.flatMap(p => p until p + k).toSet.size
+        val frac = covered.toDouble / toks.length
+        (i, toks.length.toLong, flagged.size.toLong, covered.toLong, frac)
+      }.toSet
+      val got = graft.operators.Dedup.dupSpanCoverage(
+          docs.toDF("id", "text"), "text", "id", k, minDocs)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number]("n_tokens").longValue,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(got === expected, s"\nseed=$seed k=$k minDocs=$minDocs\ndocs=$docs")
+    }
+  }
+
+  test("dedupSegments matches brute first-occurrence-wins reassembly on " +
+      "12 random corpora (within-doc repeats, fully-duplicated docs, " +
+      "partial tail segments, empty text)") {
+    val vocab = Vector("aa", "bb", "cc")
+    for (seed <- 7500 until 7512) {
+      val rnd = new Random(seed)
+      val seg = 1 + rnd.nextInt(3)
+      val docs = (0 until (2 + rnd.nextInt(11))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 8))
+      }
+      // first occurrence of each segment hash by (doc_id, seg_idx) order
+      case class S(doc: Long, idx: Int, text: String)
+      val segsByDoc = docs.map { case (i, t) =>
+        val toks = refTokens(t)
+        val starts = 0 to math.max(toks.length - 1, 0) by seg
+        i -> starts.zipWithIndex.map { case (st, idx) =>
+          S(i, idx, toks.slice(st, st + seg).mkString(" ")) }.toVector
+      }.toMap
+      val firstOf = segsByDoc.values.flatten.toVector
+        .groupBy(s => refHash(s.text))
+        .map { case (h, ss) => h -> ss.minBy(s => (s.doc, s.idx)) }
+      val expected = docs.map { case (i, _) =>
+        val segs = segsByDoc(i)
+        val kept = segs.filter(s => firstOf(refHash(s.text)) == s)
+        (i, kept.map(_.text).mkString(" "), segs.length.toLong,
+          kept.length.toLong)
+      }.toSet
+      val got = Dedup.dedupSegments(docs.toDF("id", "text"), "text", "id",
+          seg)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === expected, s"\nseed=$seed seg=$seg\ndocs=$docs")
+    }
+  }
 }
