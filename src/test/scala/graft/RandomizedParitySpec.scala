@@ -1176,4 +1176,79 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === expected, s"\nseed=$seed seg=$seg\ndocs=$docs")
     }
   }
+
+  // -------------------------------------------------- SNM + graph (brute)
+
+  test("sortedNeighborhood matches the brute sorted-window pair set on " +
+      "16 random corpora (duplicate strings, empty strings, window 1-4, " +
+      "maxEd 0-2)") {
+    for (seed <- 7600 until 7616) {
+      val rnd = new Random(seed)
+      val w = 1 + rnd.nextInt(4)
+      val maxEd = rnd.nextInt(3)
+      val rows = (0 until (2 + rnd.nextInt(25))).map { i =>
+        (i.toLong, (0 until rnd.nextInt(6))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val sorted = rows.sortBy { case (id, s) => (s, id) }
+      val expected = (for {
+        i <- sorted.indices; j <- (i + 1) to math.min(i + w, sorted.length - 1)
+        ed = bruteEd(sorted(i)._2, sorted(j)._2) if ed <= maxEd
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1), ed)).toSet
+      val got = graft.operators.Fuzzy
+        .sortedNeighborhood(rows.toDF("id", "s"), "id", "s", w, maxEd)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expected, s"\nseed=$seed w=$w maxEd=$maxEd\nrows=$rows")
+    }
+  }
+
+  test("triangleCounts matches brute per-node triangle enumeration on 16 " +
+      "random canonical edge lists (dense blobs, chains, isolated edges)") {
+    for (seed <- 7700 until 7716) {
+      val rnd = new Random(seed)
+      val n = 3 + rnd.nextInt(10)
+      val all = for (a <- 0 until n; b <- (a + 1) until n) yield (a.toLong, b.toLong)
+      val edges = rnd.shuffle(all.toList).take(rnd.nextInt(all.length + 1))
+      val es = edges.toSet
+      val triCounts = collection.mutable.Map.empty[Long, Long]
+      for {
+        (x, y) <- es; z <- (y + 1) to (n - 1).toLong
+        if es((y, z)) && es((x, z))
+      } Seq(x, y, z).foreach(v => triCounts(v) = triCounts.getOrElse(v, 0L) + 1)
+      val expected = triCounts.toMap
+      val got = graft.operators.Graph
+        .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"\nseed=$seed n=$n\nedges=$edges")
+    }
+  }
+
+  test("pageRankFixedPoint matches an exact integer reference on 12 " +
+      "random graphs x iterations 1-3 (stars, chains, disconnected " +
+      "components; bit-identical long arithmetic)") {
+    for (seed <- 7800 until 7812) {
+      val rnd = new Random(seed)
+      val n = 2 + rnd.nextInt(9)
+      val all = for (a <- 0 until n; b <- (a + 1) until n) yield (a.toLong, b.toLong)
+      val edges = rnd.shuffle(all.toList).take(1 + rnd.nextInt(all.length))
+      val iters = 1 + rnd.nextInt(3)
+      val scale = 1000000000000L
+      val dir = edges ++ edges.map { case (a, b) => (b, a) }
+      val deg = dir.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val nodes = deg.keySet
+      val r0 = scale / nodes.size
+      val teleport = (15L * r0) / 100L
+      var r = nodes.map(_ -> r0).toMap
+      for (_ <- 1 to iters) {
+        val s = collection.mutable.Map.empty[Long, Long]
+        for ((a, b) <- dir) s(b) = s.getOrElse(b, 0L) + r(a) / deg(a)
+        r = nodes.map(v => v -> (teleport + (85L * s(v)) / 100L)).toMap
+      }
+      val got = graft.operators.Graph
+        .pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst", iters)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got === r, s"\nseed=$seed n=$n iters=$iters\nedges=$edges")
+    }
+  }
 }
