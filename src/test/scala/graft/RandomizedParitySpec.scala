@@ -1251,4 +1251,137 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === r, s"\nseed=$seed n=$n iters=$iters\nedges=$edges")
     }
   }
+
+  // -------------------------------------------- quality + profiling (brute)
+
+  test("repetitionSignals matches brute gram-count fractions on 12 random " +
+      "corpora (ks {1},{1,2},{2,3}; spam repeats, all-distinct docs, " +
+      "short docs dropped by max(ks))") {
+    val vocab = Vector("t0", "t1", "t2")
+    for (seed <- 7900 until 7912) {
+      val rnd = new Random(seed)
+      val ks = Seq(Seq(1), Seq(1, 2), Seq(2, 3))(rnd.nextInt(3))
+      val docs = (0 until (2 + rnd.nextInt(11))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 9))
+      }
+      val expected = docs.filter { case (_, t) =>
+        refTokens(t).length >= ks.max }.map { case (i, t) =>
+        val perK = ks.flatMap { k =>
+          val counts = refShingleAll(t, k).groupBy(identity)
+            .map(_._2.size.toLong)
+          val total = counts.sum
+          Seq(counts.max.toDouble / total,
+            counts.filter(_ > 1).sum.toDouble / total)
+        }
+        i -> perK.toVector
+      }.toMap
+      val got = graft.operators.Quality.repetitionSignals(
+          docs.toDF("id", "text"), "text", "id", ks)
+        .collect().map { r =>
+          r.getLong(0) -> (1 until 1 + 2 * ks.length)
+            .map(r.getDouble).toVector
+        }.toMap
+      assert(got === expected, s"\nseed=$seed ks=$ks\ndocs=$docs")
+    }
+  }
+
+  test("corpusRankScore matches the brute (count DESC, token ASC) global " +
+      "vocabulary ranking on 12 random corpora (count ties broken " +
+      "lexicographically, repeated tokens, empty-string tokens)") {
+    val vocab = Vector("r", "rr", "s", "ss", "t")
+    for (seed <- 8000 until 8012) {
+      val rnd = new Random(seed)
+      val docs = (0 until (2 + rnd.nextInt(11))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 8))
+      }
+      val counts = docs.flatMap { case (_, t) => refTokens(t) }
+        .groupBy(identity).map { case (t, os) => t -> os.size.toLong }
+      val rank = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+      val expected = docs.map { case (i, t) =>
+        val toks = refTokens(t)
+        i -> ((toks.length.toLong, toks.map(rank).sum))
+      }.toMap
+      val got = graft.operators.Quality.corpusRankScore(
+          docs.toDF("id", "text"), "text", "id")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expected, s"\nseed=$seed\ndocs=$docs")
+    }
+  }
+
+  test("joinStats matches brute exact-cardinality prediction on 16 random " +
+      "keyed pairs (null keys unmatched but distinct-counted, empty " +
+      "sides, skewed hot keys)") {
+    for (seed <- 8100 until 8116) {
+      val rnd = new Random(seed)
+      def side(n: Int): Seq[Option[Int]] = (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) None
+        else Some(if (rnd.nextInt(4) == 0) 0 else rnd.nextInt(6)) // hot key 0
+      }
+      val left = side(rnd.nextInt(30)); val right = side(rnd.nextInt(30))
+      val cl = left.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cr = right.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // null keys never match (equi-join), but each side's null group IS a
+      // distinct key in nd_left/nd_right — mirroring the full-outer plan
+      val matched = (cl.keySet & cr.keySet).filter(_.isDefined)
+      val expected = (
+        left.size.toLong, right.size.toLong,
+        cl.size.toLong, cr.size.toLong, matched.size.toLong,
+        matched.toSeq.map(k => cl(k) * cr(k)).sum,
+        if (matched.isEmpty) 0L else matched.toSeq.map(k => cl(k) * cr(k)).max)
+      val r = graft.operators.Profile.joinStats(
+          left.map(k => Tuple1(k.map(Integer.valueOf).orNull))
+            .toDF("k"), "k",
+          right.map(k => Tuple1(k.map(Integer.valueOf).orNull))
+            .toDF("k2"), "k2")
+        .head()
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(got === expected, s"\nseed=$seed\nleft=$left\nright=$right")
+    }
+  }
+
+  test("profile matches brute per-column statistics on 12 random frames " +
+      "(nulls, all-null columns, duplicate values, string and int " +
+      "columns, exact and approx distinct counts)") {
+    for (seed <- 8200 until 8212) {
+      val rnd = new Random(seed)
+      val rows = (0 until (1 + rnd.nextInt(25))).map { _ =>
+        (if (rnd.nextInt(5) == 0) null
+         else Integer.valueOf(rnd.nextInt(7)),
+         if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(5)}")
+      }
+      val df = rows.toDF("a", "b")
+      // min/max run on the TYPED column (numeric order for ints), the
+      // string cast happens after — so the brute orders typed, renders last
+      def brute[T](vs: Seq[T])(implicit ord: Ordering[T])
+          : (Long, Long, Long, Option[String], Option[String]) = {
+        val nn = vs.filter(_ != null)
+        (vs.size.toLong, (vs.size - nn.size).toLong,
+          nn.distinct.size.toLong,
+          if (nn.isEmpty) None else Some(nn.min.toString),
+          if (nn.isEmpty) None else Some(nn.max.toString))
+      }
+      val expected = Map(
+        "a" -> brute(rows.map(x =>
+          if (x._1 == null) null.asInstanceOf[Integer] else x._1))(
+          Ordering.by((i: Integer) => i.intValue)),
+        "b" -> brute(rows.map(_._2)))
+      val got = graft.operators.Profile.profile(df, Seq("a", "b"))
+        .collect().map { r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.getString(4)), Option(r.getString(5))))
+        }.toMap
+      assert(got === expected, s"\nseed=$seed\nrows=$rows")
+      // approx path: same shape, distinct within HLL tolerance (tiny
+      // cardinalities here, so it is exact in practice but not pinned)
+      val approx = graft.operators.Profile.profile(df, Seq("a", "b"),
+          exact = false)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      for ((c, (_, _, nd, _, _)) <- expected)
+        assert(math.abs(approx(c) - nd) <= math.max(1L, nd / 5),
+          s"\nseed=$seed col=$c approx=${approx(c)} exact=$nd")
+    }
+  }
 }
