@@ -1384,4 +1384,181 @@ class RandomizedParitySpec extends SparkTestBase {
           s"\nseed=$seed col=$c approx=${approx(c)} exact=$nd")
     }
   }
+
+  test("structuralSignals matches brute Gopher shape metrics on 12 random " +
+      "corpora (bullets, ellipses, symbol runs, empty lines, duplicate " +
+      "lines, no-word docs -> null metrics and keep=false)") {
+    val words = Vector("ab", "x#", "...", "zz9", "q…w", "", "Altair")
+    for (seed <- 8300 until 8312) {
+      val rnd = new Random(seed)
+      def line(): String = {
+        val bullet = Seq("", "- ", "* ", "• ")(rnd.nextInt(4))
+        val body = (0 until rnd.nextInt(4))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+        val tail = Seq("", "...", "…")(rnd.nextInt(3))
+        bullet + body + tail
+      }
+      val docs = (0 until (2 + rnd.nextInt(9))).map { i =>
+        val nl = rnd.nextInt(5)
+        val ls = (0 until nl).map(_ => line())
+        // duplicate a line sometimes to exercise the dup-line metrics
+        val ls2 = if (ls.nonEmpty && rnd.nextBoolean()) ls ++ Seq(ls(0)) else ls
+        (i.toLong, ls2.mkString("\n"))
+      }
+      def cnt(text: String, pat: String, width: Int): Long =
+        ((text.length - text.replaceAll(pat, "").length).toDouble / width)
+          .toLong
+      val expected = docs.map { case (i, t) =>
+        val lines = t.split(java.util.regex.Pattern.quote("\n"), -1).toVector
+        val ws = lines.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        val nW = ws.length; val nL = lines.length
+        val meanLen =
+          if (nW == 0) None else Some(ws.map(_.length.toLong).sum.toDouble / nW)
+        val symbol = if (nW == 0) None else Some(
+          (cnt(t, "#", 1) + cnt(t, "…", 1) + cnt(t, "\\.\\.\\.", 3)).toDouble
+            / nW)
+        val bullet = lines.count(l =>
+          l.nonEmpty && "-*•".contains(l.head)).toDouble / nL
+        val ellipsis = lines.count(l =>
+          l.endsWith("...") || l.endsWith("…")).toDouble / nL
+        val alpha = if (nW == 0) None else Some(ws.count(_.exists(c =>
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nW)
+        val groups = lines.groupBy(refHash).values.toVector
+        val dupFrac = groups.filter(_.size > 1).map(_.size).sum.toDouble / nL
+        val totc = lines.map(_.length.toLong).sum
+        val dupc = groups.filter(_.size > 1)
+          .map(g => g.size.toLong * g.head.length).sum
+        val charFrac = if (totc == 0) None else Some(dupc.toDouble / totc)
+        val keep = meanLen.exists(m => m >= 3.0 && m <= 10.0) &&
+          symbol.exists(_ <= 0.1) && bullet <= 0.9 && ellipsis <= 0.3 &&
+          alpha.exists(_ >= 0.8) && dupFrac <= 0.3 && charFrac.exists(_ <= 0.2)
+        (i, nL.toLong, nW.toLong, meanLen, symbol, bullet, ellipsis, alpha,
+          dupFrac, charFrac, keep)
+      }.toSet
+      val got = graft.operators.Quality.structuralSignals(
+          docs.toDF("id", "text"), "text", "id")
+        .collect().map { r =>
+          def d(n: String): Option[Double] =
+            Option(r.getAs[java.lang.Double](n)).map(_.doubleValue)
+          (r.getLong(0), r.getAs[Number]("n_lines").longValue,
+            r.getAs[Number]("n_words").longValue,
+            d("mean_word_len"), d("symbol_word_ratio"),
+            r.getAs[Double]("bullet_line_frac"),
+            r.getAs[Double]("ellipsis_line_frac"), d("alpha_word_frac"),
+            r.getAs[Double]("dup_line_frac"), d("dup_line_char_frac"),
+            r.getAs[Boolean]("keep"))
+        }.toSet
+      assert(got === expected, s"\nseed=$seed\ndocs=$docs")
+    }
+  }
+
+  test("oovRate matches the brute top-vocab membership on 12 random " +
+      "corpora (count ties broken token-ASC at the vocabulary boundary, " +
+      "vocabSize larger and smaller than the vocabulary)") {
+    val vocab = Vector("u0", "u1", "u2", "u3", "u4", "u5")
+    for (seed <- 8400 until 8412) {
+      val rnd = new Random(seed)
+      val vs = 1 + rnd.nextInt(8)
+      val docs = (0 until (2 + rnd.nextInt(11))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 8))
+      }
+      val counts = docs.flatMap { case (_, t) => refTokens(t) }
+        .groupBy(identity).map { case (t, os) => t -> os.size.toLong }
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(vs).map(_._1).toSet
+      val expected = docs.map { case (i, t) =>
+        val toks = refTokens(t)
+        val oov = toks.count(!top(_)).toLong
+        (i, toks.length.toLong, oov, oov.toDouble / toks.length)
+      }.toSet
+      val got = graft.operators.Quality.oovRate(
+          docs.toDF("id", "text"), "text", "id", vs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === expected, s"\nseed=$seed vs=$vs\ndocs=$docs")
+    }
+  }
+
+  test("stratifiedKeep and the PII count/redact columns match brute " +
+      "references on 16 random inputs (rate 0 and 1 strata, unknown " +
+      "strata on the default rate; overlapping PII shapes, order of " +
+      "redaction)") {
+    import graft.operators.{Quality, TextOps}
+    val frags = Vector("plain text", "a@b.co", "bob.smith+x@mail.example.org",
+      "10.0.0.1", "999.1.2.3", "555-0199", "123-4567x", "1.2.3", "@nope.",
+      "c@d.io 9.9.9.9 111-2222")
+    for (seed <- 8500 until 8516) {
+      val rnd = new Random(seed)
+      val rates = Map("s0" -> 0.0, "s1" -> 1.0,
+        "s2" -> Seq(0.25, 0.5, 0.8)(rnd.nextInt(3)))
+      val defaultRate = Seq(0.0, 0.37, 1.0)(rnd.nextInt(3))
+      val rows = (0 until (1 + rnd.nextInt(20))).map { i =>
+        ((0 until (1 + rnd.nextInt(3)))
+           .map(_ => frags(rnd.nextInt(frags.length))).mkString(" "),
+         s"s${rnd.nextInt(5)}", i.toLong)
+      }
+      val email = java.util.regex.Pattern.compile(Quality.EmailRe)
+      val ip = java.util.regex.Pattern.compile(Quality.Ipv4Re)
+      val phone = java.util.regex.Pattern.compile(Quality.PhoneRe)
+      def nMatches(p: java.util.regex.Pattern, s: String): Int = {
+        val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+      }
+      val expected = rows.map { case (content, stratum, id) =>
+        val rate = rates.getOrElse(stratum, defaultRate)
+        val keep = refHash(content) % 10000L < math.round(rate * 10000L)
+        val redacted = content.replaceAll(Quality.EmailRe, "<EMAIL>")
+          .replaceAll(Quality.Ipv4Re, "<IP>")
+          .replaceAll(Quality.PhoneRe, "<PHONE>")
+        (id, keep, nMatches(email, content), nMatches(ip, content),
+          nMatches(phone, content), redacted)
+      }.toSet
+      val (ce, ci, cp) = Quality.piiCounts(col("content"))
+      val got = rows.toDF("content", "stratum", "id")
+        .select(col("id"),
+          TextOps.stratifiedKeep(col("content"), col("stratum"), rates,
+            defaultRate).as("keep"),
+          ce.as("ne"), ci.as("ni"), cp.as("np"),
+          Quality.redactPii(col("content")).as("red"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getString(5))).toSet
+      assert(got === expected, s"\nseed=$seed rates=$rates def=$defaultRate")
+    }
+  }
+
+  test("resample (bucket means + dense grid + ffill) matches a brute " +
+      "per-key scan on 12 random series (gap buckets, boundary " +
+      "timestamps, integer-valued doubles keep the mean exact)") {
+    for (seed <- 8600 until 8612) {
+      val rnd = new Random(seed)
+      val step = Seq(5L, 7L, 10L)(rnd.nextInt(3)) * 1000000000L
+      val keys = Seq("k0", "k1").take(1 + rnd.nextInt(2))
+      val rows = (0 until (1 + rnd.nextInt(30))).map { _ =>
+        (keys(rnd.nextInt(keys.length)),
+          rnd.nextLong(100L) * 1000000000L + rnd.nextLong(1000L),
+          rnd.nextInt(20).toDouble)
+      }
+      val expected = keys.flatMap { k =>
+        val ev = rows.filter(_._1 == k)
+        if (ev.isEmpty) Nil else {
+          val byBucket = ev.groupBy { case (_, ts, _) => ts - ts % step }
+          val lo = byBucket.keys.min; val hi = byBucket.keys.max
+          var fill: Option[Double] = None
+          (lo to hi by step).map { b =>
+            val vs = byBucket.get(b)
+            val mean = vs.map(g => g.map(_._3).sum / g.size)
+            if (mean.isDefined) fill = mean
+            (k, b, vs.map(_.size.toLong).getOrElse(0L), mean, fill)
+          }
+        }
+      }.toSet
+      val got = graft.operators.Resample.resample(
+          rows.toDF("k", "ts", "v"), "k", "ts", step, "v")
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1), r.getLong(2),
+            Option(r.getAs[java.lang.Double](3)).map(_.doubleValue),
+            Option(r.getAs[java.lang.Double](4)).map(_.doubleValue))
+        }.toSet
+      assert(got === expected, s"\nseed=$seed step=$step\nrows=$rows")
+    }
+  }
 }
