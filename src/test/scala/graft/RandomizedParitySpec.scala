@@ -1561,4 +1561,124 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === expected, s"\nseed=$seed step=$step\nrows=$rows")
     }
   }
+
+  // ------------------------------------------- pack + composed clean (brute)
+
+  private val KnuthM = 2147483647L
+  private def refShuffleKey(id: Long, seed: Long): Long =
+    Math.floorMod(Math.floorMod(id, KnuthM) * 2654435761L + seed % KnuthM,
+      KnuthM)
+
+  test("shardDocs matches the brute salted-Knuth-hash layout on 16 random " +
+      "inputs (negative ids through pmod, nShards 1-4, epoch seeds give " +
+      "different orders)") {
+    for (seed <- 8700 until 8716) {
+      val rnd = new Random(seed)
+      val nShards = 1 + rnd.nextInt(4)
+      val epoch = rnd.nextLong(1L << 40)
+      val ids = rnd.shuffle((-8 until 24).map(_.toLong).toList)
+        .take(1 + rnd.nextInt(30))
+      val expected = ids.map { id =>
+        val h = refShuffleKey(id, epoch)
+        (id, h, (h % nShards).toInt)
+      }.groupBy(_._3).flatMap { case (shard, rows) =>
+        rows.sortBy { case (id, h, _) => (h, id) }.zipWithIndex
+          .map { case ((id, _, _), i) => (id, shard, i) }
+      }.toSet
+      val got = graft.operators.Pack
+        .shardDocs(ids.map(Tuple1(_)).toDF("id"), "id", nShards, epoch)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === expected, s"\nseed=$seed nShards=$nShards epoch=$epoch" +
+        s"\nids=$ids")
+    }
+  }
+
+  test("packText pieces reassemble the exact shard token stream on 12 " +
+      "random corpora (docs straddling pack cuts, seqLen 1-5, final " +
+      "partial packs): brute layout AND per-piece text agree") {
+    val vocab = Vector("w0", "w1", "w2", "w3")
+    for (seed <- 8800 until 8812) {
+      val rnd = new Random(seed)
+      val nShards = 1 + rnd.nextInt(3)
+      val seqLen = 1 + rnd.nextInt(5)
+      val epoch = rnd.nextLong(1L << 40)
+      val docs = (0 until (1 + rnd.nextInt(14))).map { i =>
+        (i.toLong, randDoc(rnd, vocab, 9))
+      }
+      val expected = docs.map { case (id, t) =>
+        (id, refShuffleKey(id, epoch), refTokens(t))
+      }.groupBy { case (_, h, _) => (h % nShards).toInt }
+        .flatMap { case (shard, rows) =>
+          val ordered = rows.toSeq.sortBy { case (id, h, _) => (h, id) }
+          var start = 0L
+          ordered.flatMap { case (id, _, toks) =>
+            val n = toks.length.toLong
+            val pieces = (start / seqLen) to ((start + n - 1) / seqLen)
+            val out = pieces.map { pack =>
+              val docFrom = math.max(pack * seqLen - start, 0L)
+              val docTo = math.min((pack + 1) * seqLen - start, n)
+              val packFrom = math.max(start - pack * seqLen, 0L)
+              (id, shard, pack, packFrom,
+                toks.slice(docFrom.toInt, docTo.toInt).mkString(" "))
+            }
+            start += n
+            out
+          }
+        }.toSet
+      val got = graft.operators.Pack.packText(docs.toDF("id", "text"),
+          "text", "id", nShards, epoch, seqLen)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(got === expected,
+        s"\nseed=$seed nShards=$nShards seqLen=$seqLen epoch=$epoch")
+    }
+  }
+
+  test("cleanCorpus composes keeper/lang/quality/decontamination into the " +
+      "brute per-doc decision record on 12 random corpora (eval docs, " +
+      "exact-dup groups, stopword ratios at the floor, overlap budgets)") {
+    import graft.operators.TextOps
+    val vocab = Vector("the", "a", "der", "und", "el", "zz", "qq", "rr")
+    for (seed <- 8900 until 8912) {
+      val rnd = new Random(seed)
+      val k = 2
+      val minTok = 2; val maxTok = 6
+      val minStop = 0.2
+      val keepLang = Seq("en", "de")(rnd.nextInt(2))
+      val maxOverlap = rnd.nextInt(2).toLong
+      val texts = (0 until (2 + rnd.nextInt(8)))
+        .map(_ => randDoc(rnd, vocab, 7))
+      val docs = (0 until (2 + rnd.nextInt(12))).map { i =>
+        (i.toLong, texts(rnd.nextInt(texts.length)), rnd.nextInt(4) == 0)
+      }
+      val keeperOf = docs.groupBy(_._2)
+        .map { case (_, ds) => ds.map(_._1).min -> () }
+      val evalGrams = docs.filter(d => d._3 && refTokens(d._2).length >= k)
+        .flatMap(d => refShingleAll(d._2, k)).toSet
+      val expected = docs.map { case (id, t, ev) =>
+        val toks = refTokens(t)
+        val scores = TextOps.LangOrder.map { case (l, set) =>
+          l -> toks.count(set.contains) }
+        val lang = scores.find(_._2 == scores.map(_._2).max).get._1
+        val stopR = toks.count(TextOps.StopEn.contains).toDouble / toks.length
+        val quality = toks.length >= minTok && toks.length <= maxTok &&
+          stopR >= minStop
+        val overlap = if (ev || toks.length < k) 0L
+          else (refShingleAll(t, k).toSet & evalGrams).size.toLong
+        val isKeeper = keeperOf.contains(id) &&
+          docs.filter(_._2 == t).map(_._1).min == id
+        (id, ev, isKeeper, lang, quality, overlap,
+          !ev && isKeeper && quality && lang == keepLang &&
+            overlap <= maxOverlap)
+      }.toSet
+      val got = graft.operators.Quality.cleanCorpus(
+          docs.toDF("id", "text", "ev"), "text", "id", col("ev"), k,
+          minTok, maxTok, minStop, keepLang, maxOverlap)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getString(3), r.getBoolean(4), r.getLong(5), r.getBoolean(6)))
+        .toSet
+      assert(got === expected,
+        s"\nseed=$seed keepLang=$keepLang maxOverlap=$maxOverlap\ndocs=$docs")
+    }
+  }
 }
