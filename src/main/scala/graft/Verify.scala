@@ -59,8 +59,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The side-table replay gates' SQL names an oracle_aux dump path, and
+    // a static string can only pin ONE scale — the driver's gate scale
+    // (sf0.01). But the gate fns dump aux tables suffixed with the scale
+    // they RUN at, so rewrite the pinned suffix to THIS run's scale before
+    // dumping: at sf0.01 (the driver) this is the identity; at any other
+    // scale the dumped SQL now reads the aux tables the fns just wrote,
+    // making the full oracle mirror green at every sf instead of skipping
+    // the 7 replay gates outside sf0.01. The marker substring is unique to
+    // aux reads — base tables are referenced by bare name, never by path.
+    val sfName = new java.io.File(sfDir).getName
+    def atThisScale(sql: String): String =
+      sql.replace("_sf0.01/*.parquet", s"_$sfName/*.parquet")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(atThisScale(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

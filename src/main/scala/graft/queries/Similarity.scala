@@ -93,8 +93,10 @@ object Similarity {
     * dumps to its own table, so a concurrent run at another SF (e.g. the
     * test suite exercising sf0.001 while the sf0.01 oracle dump awaits its
     * DuckDB read) can never overwrite the dump the oracle is about to
-    * consume. The static oracle SQL reads the sf0.01 table — the scale the
-    * driver's correctness gate runs at. */
+    * consume. The SQL literal below names the sf0.01 table (the scale the
+    * driver's gate runs at); Verify rewrites that suffix to its own run
+    * scale when dumping oracle_sql.json, so the oracle reads the matching
+    * aux table at ANY sf (identity at sf0.01). */
   private val CentroidDumpBase =
     "/root/repo/target/oracle_aux/ivf_centroids_learned_"
   private def centroidDump(dir: String): String =

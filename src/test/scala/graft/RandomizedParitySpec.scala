@@ -1681,4 +1681,100 @@ class RandomizedParitySpec extends SparkTestBase {
         s"\nseed=$seed keepLang=$keepLang maxOverlap=$maxOverlap\ndocs=$docs")
     }
   }
+
+  // ----------------------------------------- exact-ANN kernels (bitwise)
+
+  // The cosine/SQ8 pipelines are sequential IEEE folds with deterministic
+  // tie-breaks, so the references replicate them BITWISE: left-to-right
+  // dot products, sqrt norms, single-rounded quantization, integer L2.
+  private def refDot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+  private def refCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val na = math.sqrt(refDot(a, a)); val nb = math.sqrt(refDot(b, b))
+    if (na * nb > 0.0) refDot(a, b) / (na * nb) else 0.0
+  }
+  private def randVecs(rnd: Random, n: Int, dim: Int)
+      : Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { i =>
+      val v = if (rnd.nextInt(8) == 0) Seq.fill(dim)(0.0f) // zero-norm rows
+        else Seq.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f)
+      (i, v)
+    }
+
+  test("knnBrute and cosineNearDupPairs match bitwise in-memory cosine " +
+      "references on 10 random corpora (zero-norm rows rank last at " +
+      "0.0, ties break by neighbor id, threshold boundaries)") {
+    for (seed <- 9000 until 9010) {
+      val rnd = new Random(seed)
+      val dim = 3 + rnd.nextInt(6)
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val dv = rows.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val expKnn = (for {
+        q <- qIds
+        ranked = rows.map(_._1).filter(_ != q)
+          .map(n => (n, refCos(dv(q), dv(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(k)
+        (n, c) <- ranked
+      } yield (q, n, c)).toSet
+      val gotKnn = graft.operators.Similarity.knnBrute(
+          rows.toDF("vec_id", "embedding"), "embedding", "vec_id", qIds, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotKnn === expKnn, s"\nseed=$seed dim=$dim k=$k qIds=$qIds")
+      val thr = Seq(0.0, 0.5, 0.9)(rnd.nextInt(3))
+      val expPairs = (for {
+        (i1, _) <- rows; (i2, _) <- rows if i1 < i2
+        c = refCos(dv(i1), dv(i2)) if c >= thr
+      } yield (i1, i2, c)).toSet
+      val gotPairs = graft.operators.Similarity.cosineNearDupPairs(
+          rows.toDF("vec_id", "embedding"), "embedding", "vec_id", thr)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotPairs === expPairs, s"\nseed=$seed dim=$dim thr=$thr")
+    }
+  }
+
+  test("knnSq8 matches the bitwise in-memory scalar-quantization " +
+      "reference on 10 random corpora (range training, clamped codes, " +
+      "degenerate constant dims, integer L2 with id tie-breaks)") {
+    for (seed <- 9100 until 9110) {
+      val rnd = new Random(seed)
+      val dim = 3 + rnd.nextInt(5)
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val normed = rows.map { case (i, v) =>
+        val d = v.map(_.toDouble)
+        val nrm = math.sqrt(refDot(d, d))
+        i -> (if (nrm > 0.0) d.map(_ / nrm) else d)
+      }.toMap
+      val mins = (0 until dim).map(j => normed.values.map(_(j)).min)
+      val maxs = (0 until dim).map(j => normed.values.map(_(j)).max)
+      val codes = normed.map { case (i, v) =>
+        i -> v.zipWithIndex.map { case (x, j) =>
+          if (maxs(j) == mins(j)) 0L
+          else math.min(math.max(
+            math.floor((x - mins(j)) * 255.0 / (maxs(j) - mins(j))).toLong,
+            0L), 255L)
+        }
+      }
+      val expected = (for {
+        q <- qIds
+        ranked = rows.map(_._1).filter(_ != q)
+          .map { n =>
+            val d = codes(q).zip(codes(n))
+              .map { case (a, b) => (a - b) * (a - b) }.sum
+            (n, d)
+          }.sortBy { case (n, d) => (d, n) }.take(k)
+        (n, d) <- ranked
+      } yield (q, n, d)).toSet
+      val got = graft.operators.Sq.knnSq8(
+          rows.toDF("vec_id", "embedding"), "embedding", "vec_id", qIds, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"\nseed=$seed dim=$dim k=$k qIds=$qIds")
+    }
+  }
 }

@@ -19,18 +19,13 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Gates whose oracle reads a Spark-written side-table (static SQL can only
-# name ONE path, so it names the scale the driver's gate runs at). Checking
-# them at any other scale would compare fresh Spark output against the
-# other scale's stale side-table — a guaranteed spurious diff — so they are
-# reported as SKIP outside their pinned scale.
-PINNED_SCALE = {"q_sim_knn_ivf_learned": "sf0.01",
-                "q_sim_knn_ivfpq": "sf0.01",
-                "q_sim_knn_pq": "sf0.01",
-                "q_sim_knn_pq_rerank": "sf0.01",
-                "q_pipe_compress_ratio": "sf0.01",
-                "q_pipe_decontam_bloom": "sf0.01",
-                "q_sim_semdedup": "sf0.01"}
+# The 7 side-table replay gates (learned IVF / PQ / IVF-PQ / SemDeDup /
+# deflate / bloom) used to be pinned to sf0.01 here: their SQL named ONE
+# static aux path. graft.Verify now rewrites the aux-path suffix to the
+# scale it runs at when dumping oracle_sql.json (identity at the driver's
+# sf0.01), so the SQL in <outdir>/oracle_sql.json always reads the aux
+# tables the verify run itself just dumped — every gate compares at every
+# scale, no skips.
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,12 +84,6 @@ def main():
     only = sys.argv[3:] or None
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
-            continue
-        pinned = PINNED_SCALE.get(name)
-        # exact basename compare: a substring test would let e.g. sf0.012
-        # pass an sf0.01 pin and compare against the wrong side-table
-        if pinned and Path(sfdir).name != pinned:
-            results[name] = f"SKIP   side-table gate pinned to {pinned}"
             continue
         spark_path = Path(outdir) / name
         if not spark_path.exists():
