@@ -1777,4 +1777,145 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === expected, s"\nseed=$seed dim=$dim k=$k qIds=$qIds")
     }
   }
+
+  // ------------------------------------ quantized-ANN brute equivalence
+
+  // The quantized rungs (PQ / IVF / IVF-PQ) have exactness regimes where
+  // the approximation must VANISH: a full-corpus re-rank or a full-cell
+  // probe makes the candidate set total, so the output must equal brute
+  // force BITWISE (same cosine fold, same tie-breaks). These sweeps pin
+  // those regimes on random corpora with caller-supplied (random) indexes
+  // — no k-means involved, so a failure is unambiguously in the scoring /
+  // blocking machinery, not in training.
+
+  private def refL2sq(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  private def bruteSet(df: org.apache.spark.sql.DataFrame,
+      qIds: Seq[Long], k: Int): Set[(Long, Long, Double)] =
+    graft.operators.Similarity.knnBrute(df, "embedding", "vec_id", qIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("knnPqFrom matches the bitwise in-memory ADC reference with " +
+      "caller-supplied random codebooks, and rerank=|corpus| equals " +
+      "knnBrute exactly (10 random corpora)") {
+    for (seed <- 9200 until 9210) {
+      val rnd = new Random(seed)
+      val m = 1 + rnd.nextInt(3)
+      val subDim = 1 + rnd.nextInt(3)
+      val dim = m * subDim
+      val kCb = 1 + rnd.nextInt(5)
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val cbs: Seq[Seq[Array[Double]]] = (0 until m).map(_ =>
+        (0 until kCb).map(_ =>
+          Array.fill(subDim)((rnd.nextInt(2001) - 1000) / 500.0)).toSeq)
+      val dv = rows.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+      // replicate codesFor: per subspace, strict-< argmin over the
+      // left-to-right-summed squared L2 — first min wins on ties
+      def codes(v: Seq[Double]): Seq[Int] = (0 until m).map { s =>
+        val sub = v.slice(s * subDim, (s + 1) * subDim)
+        var best = Double.PositiveInfinity; var cid = -1
+        for (ci <- 0 until kCb) {
+          val d = refL2sq(sub, cbs(s)(ci).toSeq)
+          if (d < best) { best = d; cid = ci }
+        }
+        cid
+      }
+      // replicate the ADC score: qtab lookups summed left-to-right over
+      // subspaces (the engine's aggregate-over-zip_with fold order)
+      def adc(q: Seq[Double], n: Seq[Double]): Double = {
+        val cs = codes(n)
+        (0 until m).foldLeft(0.0)((acc, s) => acc +
+          refL2sq(q.slice(s * subDim, (s + 1) * subDim), cbs(s)(cs(s)).toSeq))
+      }
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val expected = (for {
+        q <- qIds
+        ranked = rows.map(_._1).filter(_ != q)
+          .map(n => (n, adc(dv(q), dv(n))))
+          .sortBy { case (n, d) => (d, n) }.take(k)
+        (n, d) <- ranked
+      } yield (q, n, d)).toSet
+      val df = rows.toDF("vec_id", "embedding")
+      val corpus = graft.operators.Similarity.prepared(
+        df, "embedding", "vec_id")
+      val got = graft.operators.Pq.knnPqFrom(corpus, cbs, qIds, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === expected,
+        s"\nseed=$seed m=$m subDim=$subDim kCb=$kCb k=$k qIds=$qIds")
+      val rer = graft.operators.Pq
+        .knnPqFrom(corpus, cbs, qIds, k, rerank = rows.size)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rer === bruteSet(df, qIds, k),
+        s"\nseed=$seed rerank=${rows.size} k=$k qIds=$qIds")
+    }
+  }
+
+  test("knnIvfFrom with nProbe=|cells| equals knnBrute bitwise on 10 " +
+      "random corpora with random centroids, on BOTH the literal-fold " +
+      "and broadcast-join assignment paths") {
+    for (seed <- 9300 until 9310) {
+      val rnd = new Random(seed)
+      val dim = 2 + rnd.nextInt(5)
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val nC = 1 + rnd.nextInt(4)
+      val cents = (0 until nC).map { ci =>
+        val cv = Array.fill(dim)((rnd.nextInt(2001) - 1000) / 500.0)
+        graft.operators.Similarity.Cent(ci.toLong, cv,
+          math.sqrt(refDot(cv.toSeq, cv.toSeq)))
+      }
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val df = rows.toDF("vec_id", "embedding")
+      val brute = bruteSet(df, qIds, k)
+      val corpus = graft.operators.Similarity.prepared(
+        df, "embedding", "vec_id")
+      for (lim <- Seq(graft.operators.Similarity.LiteralDoubleLimit, 0L)) {
+        val got = graft.operators.Similarity
+          .knnIvfFrom(corpus, cents, qIds, k, nProbe = nC,
+            literalLimit = lim)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        assert(got === brute,
+          s"\nseed=$seed nC=$nC k=$k literalLimit=$lim qIds=$qIds")
+      }
+    }
+  }
+
+  test("knnIvfPqFrom with nProbe=|cells| and rerank=|corpus| equals " +
+      "knnBrute bitwise on 10 random corpora (random centroids AND " +
+      "random residual codebooks — the approximation must vanish)") {
+    for (seed <- 9400 until 9410) {
+      val rnd = new Random(seed)
+      val m = 1 + rnd.nextInt(2)
+      val subDim = 1 + rnd.nextInt(3)
+      val dim = m * subDim
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val nC = 1 + rnd.nextInt(4)
+      val cents = (0 until nC).map { ci =>
+        val cv = Array.fill(dim)((rnd.nextInt(2001) - 1000) / 500.0)
+        graft.operators.Similarity.Cent(ci.toLong, cv,
+          math.sqrt(refDot(cv.toSeq, cv.toSeq)))
+      }
+      val kCb = 1 + rnd.nextInt(4)
+      val cbs: Seq[Seq[Array[Double]]] = (0 until m).map(_ =>
+        (0 until kCb).map(_ =>
+          Array.fill(subDim)((rnd.nextInt(2001) - 1000) / 500.0)).toSeq)
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val df = rows.toDF("vec_id", "embedding")
+      val corpus = graft.operators.Similarity.prepared(
+        df, "embedding", "vec_id")
+      val got = graft.operators.Ivfpq
+        .knnIvfPqFrom(corpus, cents, cbs, qIds, k, nProbe = nC,
+          rerank = rows.size)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === bruteSet(df, qIds, k),
+        s"\nseed=$seed nC=$nC m=$m kCb=$kCb k=$k qIds=$qIds")
+    }
+  }
 }
