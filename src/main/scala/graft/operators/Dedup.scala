@@ -527,6 +527,51 @@ object Dedup {
       .select(col("id"), col("keeper").as("group"), col("best"))
   }
 
+  /** Leakage-safe train/val/test split: every document in a NEAR-DUP
+    * component (`groups` = [[dupGroups]] output, (id, keeper)) takes the
+    * split decision of its component's keeper, so near-duplicates can never
+    * straddle train and eval — the benchmark-contamination channel that
+    * per-document splitting leaves open (a test document's near-copy in
+    * train is exactly what document-level dedup literature warns inflates
+    * eval: Lee et al. 2022 §6.2). Ungrouped documents hash their own text.
+    * The decision is PolyHash(text) mod 100 against [0,trainPct),
+    * [trainPct,trainPct+valPct), rest — content-addressed, so it is
+    * reproducible across engines, runs, and partitionings, and exact
+    * duplicates agree even without a groups row.
+    *
+    * Output: one row per input document — (idCol, split, grouped), where
+    * `grouped` flags membership in a dup component (the rows whose
+    * assignment was inherited from a keeper).
+    *
+    * Scale design: both sides hash text IN PLACE before any join, so only
+    * (id, hv) long tuples ever shuffle — the corpus text never travels.
+    * The keeper-text fetch joins the distinct keepers (|components| rows)
+    * against the corpus by id; the member assignment join carries
+    * |dup members| rows — both orders of magnitude below corpus size for
+    * real near-dup rates, and AQE broadcasts them when small. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      groups: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 1 <= trainPct and trainPct + valPct <= 100, " +
+        s"got trainPct=$trainPct valPct=$valPct")
+    def hv(t: Column): Column =
+      graft.expressions.TextExpressions.polyHash(t) % 100
+    val reps = groups.select(col("keeper")).distinct()
+      .join(docs.select(col(idCol).as("__kid"), col(textCol).as("__kt")),
+        col("keeper") === col("__kid"))
+      .select(col("keeper"), hv(col("__kt")).as("__ghv"))
+    val members = groups.join(reps, "keeper")
+      .select(col("id").as("__mid"), col("__ghv"))
+    val own = docs.select(col(idCol), hv(col(textCol)).as("__ohv"))
+    own.join(members, col(idCol) === col("__mid"), "left")
+      .select(col(idCol),
+        when(coalesce(col("__ghv"), col("__ohv")) < trainPct, "train")
+          .when(coalesce(col("__ghv"), col("__ohv")) < trainPct + valPct,
+            "val")
+          .otherwise("test").as("split"),
+        col("__mid").isNotNull.as("grouped"))
+  }
+
   /** Cross-document duplicated-span coverage: for every document, how many
     * of its tokens sit inside a word k-gram that also occurs in at least
     * `minDocs − 1` OTHER documents. The token-level signal behind

@@ -565,6 +565,55 @@ object TextPipeline {
               |       count(*) AS n, min(doc_id) AS min_id
               |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // LEAKAGE-SAFE split (Dedup.leakageSafeSplit): near-dup components
+    // (the q_pipe_dup_groups pipeline) inherit their keeper's split
+    // decision, so a test document's near-copy can never sit in train —
+    // the contamination channel plain content-hash splitting leaves open.
+    // Oracle: the full recursive-CTE dup-group pipeline + the same
+    // keeper-hash assignment, end to end in DuckDB — no side tables.
+    "q_pipe_split_safe" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val groups = Dedup.dupGroups(
+          Dedup.minhashDupPairs(d, "text", "doc_id", k = 3, threshold = 0.8)
+            .filter(col("is_dup"))
+            .select(col("id1"), col("id2")))
+        Dedup.leakageSafeSplit(d, "doc_id", "text", groups,
+            trainPct = 80, valPct = 10)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            sum(when(col("grouped"), 1L).otherwise(0L)).as("n_grouped"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE ${dupPairsCte(3, 0.8).stripPrefix("WITH ")},
+              |edges AS (
+              |  SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM edges e
+              |  JOIN reach ON e.a = reach.id),
+              |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+              |reps AS (
+              |  SELECT k.keeper, ${DuckFrag.polyHashSql("d.text")} % 100 AS ghv
+              |  FROM (SELECT DISTINCT keeper FROM grp) k
+              |  JOIN documents d ON d.doc_id = k.keeper),
+              |assign AS (
+              |  SELECT d.doc_id,
+              |         COALESCE(r.ghv, ${DuckFrag.polyHashSql("d.text")} % 100)
+              |           AS hv,
+              |         g.id IS NOT NULL AS grouped
+              |  FROM documents d
+              |  LEFT JOIN grp g ON d.doc_id = g.id
+              |  LEFT JOIN reps r ON g.keeper = r.keeper)
+              |SELECT CASE WHEN hv < 80 THEN 'train'
+              |            WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+              |       count(*) AS n, min(doc_id) AS min_id,
+              |       CAST(SUM(CASE WHEN grouped THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_grouped
+              |FROM assign GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // Deterministic stratified downsampling (operators.TextOps
     // .stratifiedKeep): rebalance the corpus by language — keep half the
     // over-represented 'en', a quarter of 'de', 10% elsewhere — with a

@@ -347,6 +347,11 @@ object DumpPlans {
         "dupGroups; the sparse path is ONE bounded limit-collect of the " +
         "edge set (at most limit+1 rows to the driver) — the pair " +
         "pipeline runs once, no full count before the branch"),
+      "q_pipe_split_safe" -> ("leakage-safe split: the dup-group " +
+        "pipeline (banded LSH + verify + adaptive components) feeds " +
+        "keeper-hash assignment; BOTH sides hash text in place before " +
+        "any join, so the keeper fetch and the member left join carry " +
+        "only (id, hv) longs — the corpus text never shuffles"),
       "q_pipe_gopher_struct" -> ("Gopher structural rules: line " +
         "re-synthesis + all signals are ONE narrow per-doc projection " +
         "pass (no token explode, no shuffle before the final sort — " +

@@ -127,4 +127,15 @@ class ExceptionParitySpec extends SparkTestBase {
       graft.operators.Graph.pageRankFixedPoint(edges, "a", "b", iters = 0))
     assert(e.getMessage.contains("iteration"))
   }
+
+  test("leakageSafeSplit with percentages outside [1,100] fails fast") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val groups = Seq((1L, 1L)).toDF("id", "keeper")
+    for ((tr, va) <- Seq((0, 10), (80, 30), (101, 0))) {
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Dedup.leakageSafeSplit(
+          docs, "doc_id", "text", groups, tr, va))
+      assert(e.getMessage.contains("trainPct"), s"tr=$tr va=$va")
+    }
+  }
 }

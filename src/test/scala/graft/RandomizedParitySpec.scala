@@ -1918,4 +1918,48 @@ class RandomizedParitySpec extends SparkTestBase {
         s"\nseed=$seed nC=$nC m=$m kCb=$kCb k=$k qIds=$qIds")
     }
   }
+
+  // ---------------------------------------------- leakage-safe splitting
+
+  test("leakageSafeSplit matches the brute keeper-hash assignment on 12 " +
+      "random corpora (random dup graphs incl self-loops, random " +
+      "train/val percentages, empty-text docs) and no dup edge ever " +
+      "straddles splits") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 9500 until 9512) {
+      val rnd = new Random(seed)
+      val n = 3 + rnd.nextInt(20)
+      val docRows = (0L until n.toLong).map(i =>
+        (i, randDoc(rnd, vocab, 6)))
+      val text = docRows.toMap
+      val edges = (0 until rnd.nextInt(2 * n)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }
+      val keeperOf = bruteComponents(edges)
+      val trainPct = 1 + rnd.nextInt(80)
+      val valPct = rnd.nextInt(101 - trainPct)
+      def splitOf(hv: Long): String =
+        if (hv < trainPct) "train"
+        else if (hv < trainPct + valPct) "val" else "test"
+      val expected = docRows.map { case (i, t) =>
+        val grouped = keeperOf.contains(i)
+        val hv = refHash(text(keeperOf.getOrElse(i, i))) % 100
+        i -> ((splitOf(hv), grouped))
+      }.toMap
+      val groups = keeperOf.toSeq.sortBy(_._1).toDF("id", "keeper")
+      val got = Dedup.leakageSafeSplit(docRows.toDF("doc_id", "text"),
+          "doc_id", "text", groups, trainPct, valPct)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+        .toMap
+      assert(got === expected,
+        s"\nseed=$seed n=$n trainPct=$trainPct valPct=$valPct" +
+          s"\nedges=$edges")
+      // the operator's whole point: components never straddle splits
+      edges.foreach { case (a, b) =>
+        assert(got(a)._1 === got(b)._1,
+          s"\nseed=$seed edge ($a,$b) straddles ${got(a)._1}/${got(b)._1}")
+      }
+    }
+  }
 }
