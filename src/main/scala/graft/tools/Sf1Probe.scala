@@ -31,7 +31,11 @@ object Sf1Probe {
       // to sf0.1 and a flat ratio would be input-didn't-grow, not
       // linearity — the graph stack is probed separately below on a
       // supplier entity table scaled 10x in-process.
-      "q_mm_embed_real", "q_layout_compact")
+      "q_mm_embed_real", "q_layout_compact",
+      // r13 gate 166: the minhash -> dup-groups -> keeper-hash-join
+      // composition — probes candidate-pair growth plus the two
+      // assignment joins at 10x
+      "q_pipe_split_safe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
