@@ -185,6 +185,48 @@ object TextOps {
       .drop("__cap_rk")
   }
 
+  /** Temperature-rebalanced domain sampling at α = 1/2: per-domain keep
+    * rates DERIVED from corpus statistics so low-resource domains are
+    * up-weighted relative to their raw share — the standard multilingual /
+    * multi-domain rebalancing of training mixes (Conneau et al. 2020
+    * "Unsupervised Cross-lingual Representation Learning at Scale" §3.1
+    * sample with p_l ∝ n_l^α; also the LLaMA corpus-weighting shape).
+    * Each domain d with n_d documents gets weight w_d = ⌊√n_d⌋ and a
+    * target of `targetDocs`·w_d/Σw documents; a document is kept iff
+    * PolyHash(text) mod [[SampleMod]] falls under the integer threshold
+    * (SampleMod·target_d) div n_d (capped at SampleMod — a domain under
+    * its target keeps everything). The complement of [[stratifiedKeep]]
+    * (CALLER-chosen rates) and [[capPerKey]] (hard caps): here the rates
+    * come from the data itself.
+    *
+    * α is fixed at 1/2 because √ is the one power IEEE 754 requires
+    * correctly rounded — ⌊√n⌋ is bit-identical in every engine, so the
+    * whole derivation (integer weights, integer targets, integer
+    * thresholds) is exactly replayable in the DuckDB oracle. An arbitrary
+    * α would hang the gate on cross-engine pow() ulps.
+    *
+    * Scale design: the statistics pass is ONE (domain, count) partial/final
+    * aggregate; thresholds are |domains| rows, broadcast back; the keep
+    * decision is a narrow codegen filter (PolyHash in place) — the corpus
+    * text never shuffles, and the decision is a pure function of the row
+    * and the domain histogram (reproducible across runs and layouts). */
+  def sqrtTemperatureKeep(docs: DataFrame, domainCol: String,
+      textCol: String, targetDocs: Long): DataFrame = {
+    require(targetDocs >= 1, s"targetDocs must be >= 1, got $targetDocs")
+    val counts = docs.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        expr("CAST(floor(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)"))
+    val sw = counts.agg(sum(col("__w")).as("__sw"))
+    val thr = counts.crossJoin(broadcast(sw))
+      .withColumn("__thr", least(lit(SampleMod),
+        expr(s"($SampleMod * (($targetDocs * __w) div __sw)) div __n")))
+      .select(col("__d"), col("__thr"))
+    docs.join(broadcast(thr), col(domainCol) <=> col("__d"))
+      .filter(polyHash(col(textCol)) % SampleMod < col("__thr"))
+      .drop("__d", "__thr")
+  }
+
   /** Split each document into fixed-size token windows with overlap — the
     * sequence-packing step that turns a cleaned corpus into model-ready
     * training chunks. Windows start every `stride` tokens (stride < size

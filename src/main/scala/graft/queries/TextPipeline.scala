@@ -157,6 +157,13 @@ object TextPipeline {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** [[TextOps.sqrtTemperatureKeep]] gate target: between the sf0.001
+    * corpus (~20 docs — every domain under target, keep-all regime) and
+    * sf0.1 (~2000 docs — strong rebalancing), so the tri-scale mirror
+    * exercises both regimes. Declared before [[defs]]: the oracle SQL
+    * interpolates it eagerly at object init. */
+  private val TempSampleTarget = 120L
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -638,6 +645,41 @@ object TextPipeline {
               |WHERE hv < CASE lang WHEN 'en' THEN ${sampleThreshold(0.5)}
               |                     WHEN 'de' THEN ${sampleThreshold(0.25)}
               |                     ELSE ${sampleThreshold(0.1)} END
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Temperature-rebalanced sampling (TextOps.sqrtTemperatureKeep):
+    // per-domain keep rates DERIVED from the corpus histogram at α = 1/2
+    // (p_d ∝ √n_d — the XLM-R/LLaMA mix-rebalancing shape), not chosen by
+    // the caller. ⌊√n⌋ + integer targets + integer thresholds make the
+    // whole derivation bit-exact cross-engine (√ is the one power IEEE
+    // requires correctly rounded).
+    "q_pipe_temp_sample" -> Q(
+      (s, dir) => {
+        graft.operators.TextOps.sqrtTemperatureKeep(docs(s, dir),
+            "lang", "text", targetDocs = TempSampleTarget)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT lang AS d, count(*) AS n FROM documents GROUP BY 1),
+              |w AS (
+              |  SELECT d, n,
+              |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+              |  FROM c),
+              |s AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+              |thr AS (
+              |  SELECT d, least($SampleMod,
+              |           ($SampleMod * (($TempSampleTarget * w) // sw)) // n)
+              |           AS thr
+              |  FROM w, s),
+              |h AS (
+              |  SELECT doc_id, lang,
+              |         ${DuckFrag.polyHashSql("text")} % $SampleMod AS hv
+              |  FROM documents)
+              |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+              |FROM h JOIN thr ON h.lang IS NOT DISTINCT FROM thr.d
+              |WHERE hv < thr
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Token counting: whitespace words + a BPE-ish regex segmentation

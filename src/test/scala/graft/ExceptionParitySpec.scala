@@ -128,6 +128,14 @@ class ExceptionParitySpec extends SparkTestBase {
     assert(e.getMessage.contains("iteration"))
   }
 
+  test("sqrtTemperatureKeep with a non-positive target fails fast") {
+    val docs = Seq((1L, "en", "a")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.TextOps.sqrtTemperatureKeep(
+        docs, "lang", "text", targetDocs = 0L))
+    assert(e.getMessage.contains("targetDocs"))
+  }
+
   test("leakageSafeSplit with percentages outside [1,100] fails fast") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     val groups = Seq((1L, 1L)).toDF("id", "keeper")

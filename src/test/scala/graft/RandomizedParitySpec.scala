@@ -1962,4 +1962,36 @@ class RandomizedParitySpec extends SparkTestBase {
       }
     }
   }
+
+  test("sqrtTemperatureKeep matches the brute integer derivation " +
+      "(floor-sqrt weights, integer targets and thresholds, polyHash " +
+      "keep) on 12 random corpora with skewed domains and random " +
+      "targets, incl. the keep-all regime") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    for (seed <- 9600 until 9612) {
+      val rnd = new Random(seed)
+      val domains = Vector("d0", "d1", "d2", "d3").take(1 + rnd.nextInt(4))
+      val docRows = (0L until (3 + rnd.nextInt(40)).toLong).map { i =>
+        // skew: domain 0 gets a double chance
+        val d = domains((rnd.nextInt(domains.length + 1))
+          .min(domains.length - 1))
+        (i, d, randDoc(rnd, vocab, 5))
+      }
+      val target = 1L + rnd.nextInt(60)
+      val n = docRows.groupBy(_._2).map { case (d, rs) => d -> rs.size.toLong }
+      val w = n.map { case (d, c) =>
+        d -> math.floor(math.sqrt(c.toDouble)).toLong }
+      val sw = w.values.sum
+      val thr = n.map { case (d, c) =>
+        d -> math.min(10000L, (10000L * ((target * w(d)) / sw)) / c) }
+      val expected = docRows.collect {
+        case (i, d, t) if refHash(t) % 10000L < thr(d) => i
+      }.toSet
+      val got = graft.operators.TextOps.sqrtTemperatureKeep(
+          docRows.toDF("doc_id", "lang", "text"), "lang", "text", target)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got === expected,
+        s"\nseed=$seed target=$target n=$n thr=$thr")
+    }
+  }
 }
