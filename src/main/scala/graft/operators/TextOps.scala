@@ -217,8 +217,14 @@ object TextOps {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w",
         expr("CAST(floor(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)"))
-    val sw = counts.agg(sum(col("__w")).as("__sw"))
-    val thr = counts.crossJoin(broadcast(sw))
+    // Σw as an ORDERLESS global window over the already-reduced
+    // (domain, count) frame — one exchange of |domains| 24-byte rows,
+    // never the corpus. A 1-row aggregate frame joined back would plan
+    // as BroadcastNestedLoopJoin (the equi-key constant-folds away),
+    // which the plan guard bans outside its scalar allowlist.
+    val thr = counts
+      .withColumn("__sw", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("__thr", least(lit(SampleMod),
         expr(s"($SampleMod * (($targetDocs * __w) div __sw)) div __n")))
       .select(col("__d"), col("__thr"))
