@@ -543,6 +543,13 @@ object Dedup {
     * `grouped` flags membership in a dup component (the rows whose
     * assignment was inherited from a keeper).
     *
+    * Precondition: `groups` must come from [[dupGroups]] over THESE docs
+    * (every keeper id present in `docs`). A member whose keeper is absent
+    * finds no rep row and silently falls back to its own hash — correct
+    * for the intended same-frame pipeline, but a stale groups table from
+    * a different corpus snapshot would quietly lose the leakage guarantee
+    * for those members.
+    *
     * Scale design: both sides hash text IN PLACE before any join, so only
     * (id, hv) long tuples ever shuffle — the corpus text never travels.
     * The keeper-text fetch joins the distinct keepers (|components| rows)

@@ -35,7 +35,10 @@ object Sf1Probe {
       // r13 gate 166: the minhash -> dup-groups -> keeper-hash-join
       // composition — probes candidate-pair growth plus the two
       // assignment joins at 10x
-      "q_pipe_split_safe")
+      "q_pipe_split_safe",
+      // r13 gate 167: histogram -> orderless global window -> broadcast
+      // thresholds -> narrow keep filter
+      "q_pipe_temp_sample")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1963,6 +1963,27 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  test("knnLsh with probes=numPlanes (full Hamming radius — every " +
+      "bucket probed) equals knnBrute bitwise on 10 random corpora: " +
+      "the last ANN rung's exactness regime") {
+    for (seed <- 9700 until 9710) {
+      val rnd = new Random(seed)
+      val dim = 2 + rnd.nextInt(5)
+      val rows = randVecs(rnd, 4 + rnd.nextInt(12), dim)
+      val nPlanes = 1 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(4)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val df = rows.toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.knnLsh(df, "embedding",
+          "vec_id", qIds, k, numPlanes = nPlanes, dim = dim,
+          probes = nPlanes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === bruteSet(df, qIds, k),
+        s"\nseed=$seed dim=$dim nPlanes=$nPlanes k=$k qIds=$qIds")
+    }
+  }
+
   test("sqrtTemperatureKeep matches the brute integer derivation " +
       "(floor-sqrt weights, integer targets and thresholds, polyHash " +
       "keep) on 12 random corpora with skewed domains and random " +
