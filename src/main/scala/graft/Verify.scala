@@ -66,12 +66,21 @@ object Verify {
     // dumping: at sf0.01 (the driver) this is the identity; at any other
     // scale the dumped SQL now reads the aux tables the fns just wrote,
     // making the full oracle mirror green at every sf instead of skipping
-    // the 7 replay gates outside sf0.01. The marker substring is unique to
-    // aux reads — base tables are referenced by bare name, never by path.
+    // the 7 replay gates outside sf0.01. The rewrite is SCOPED to the
+    // oracle_aux dump-path shape (not a blind substring replace): a future
+    // oracle that legitimately embeds "_sf0.01/*.parquet" in some other
+    // literal must not be rewritten. And a FILTERED run dumps SQL only for
+    // the gates it actually (re)ran — rewriting an excluded gate's aux
+    // path would point DuckDB at a side-table that was never re-dumped at
+    // this scale (stale or missing); check_oracle is invoked with explicit
+    // gate names under a filter, so the narrower json is sufficient.
     val sfName = new java.io.File(sfDir).getName
     def atThisScale(sql: String): String =
-      sql.replace("_sf0.01/*.parquet", s"_$sfName/*.parquet")
+      sql.replaceAll(
+        """(/root/repo/target/oracle_aux/[A-Za-z0-9_]+_)sf0\.01(/\*\.parquet)""",
+        "$1" + java.util.regex.Matcher.quoteReplacement(sfName) + "$2")
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => filter.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(atThisScale(v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -544,11 +544,13 @@ object Dedup {
     * assignment was inherited from a keeper).
     *
     * Precondition: `groups` must come from [[dupGroups]] over THESE docs
-    * (every keeper id present in `docs`). A member whose keeper is absent
-    * finds no rep row and silently falls back to its own hash — correct
-    * for the intended same-frame pipeline, but a stale groups table from
-    * a different corpus snapshot would quietly lose the leakage guarantee
-    * for those members.
+    * (every keeper id present in `docs`). The precondition is ENFORCED:
+    * a groups row whose keeper joins to no docs row (a stale groups table
+    * from a different corpus snapshot) raises at execution time instead
+    * of silently falling back to the member's own hash — for an operator
+    * whose one job is the leakage guarantee, a quiet downgrade of that
+    * guarantee is a trap, and the condition is detectable for free inside
+    * the assignment join (no extra pass).
     *
     * Scale design: both sides hash text IN PLACE before any join, so only
     * (id, hv) long tuples ever shuffle — the corpus text never travels.
@@ -567,12 +569,21 @@ object Dedup {
       .join(docs.select(col(idCol).as("__kid"), col(textCol).as("__kt")),
         col("keeper") === col("__kid"))
       .select(col("keeper"), hv(col("__kt")).as("__ghv"))
-    val members = groups.join(reps, "keeper")
+    // LEFT join: a member whose keeper found no docs row keeps a null
+    // __ghv, which the output plan turns into a raise_error — never a
+    // silent fall-back to the member's own hash.
+    val members = groups.join(reps, Seq("keeper"), "left")
       .select(col("id").as("__mid"), col("__ghv"))
     val own = docs.select(col(idCol), hv(col(textCol)).as("__ohv"))
     own.join(members, col(idCol) === col("__mid"), "left")
       .select(col(idCol),
-        when(coalesce(col("__ghv"), col("__ohv")) < trainPct, "train")
+        when(col("__mid").isNotNull && col("__ghv").isNull,
+          raise_error(concat(
+            lit("leakageSafeSplit: the groups row for id "), col("__mid"),
+            lit(" names a keeper absent from docs — a stale groups table" +
+              " would silently lose the leakage guarantee")))
+            .cast("string"))
+          .when(coalesce(col("__ghv"), col("__ohv")) < trainPct, "train")
           .when(coalesce(col("__ghv"), col("__ohv")) < trainPct + valPct,
             "val")
           .otherwise("test").as("split"),

@@ -157,6 +157,21 @@ object Pq {
     knnPqFrom(corpus, cbs, queryIds, k, rerank)
   }
 
+  /** Scale-safe exact-re-rank breadth: ⌈[[RerankNum]]·n/[[RerankDenom]]⌉
+    * ADC candidates per query (never below k). A CONSTANT breadth is a
+    * shrinking fraction of a growing corpus — r13 measured pq_rerank
+    * recall 0.84 at 500 rows (200 = 40% of the corpus) but 0.475 at 2000
+    * rows (200 = 10%), and the trend only worsens with n. Fixing the
+    * fraction fixes the operating point; the cost stays linear in n
+    * (breadth·|queries| exact cosines fetched by id-join). Pure integer
+    * arithmetic, so any SQL engine replays the same breadth. */
+  val RerankNum = 2L
+  val RerankDenom = 5L
+  def rerankBreadth(n: Long, k: Int): Int =
+    math.min(
+      math.max(k.toLong, (RerankNum * n + RerankDenom - 1L) / RerankDenom),
+      Int.MaxValue.toLong).toInt
+
   /** [[knnPqAdc]] with caller-supplied codebooks (the hook that lets the
     * oracle gate dump the exact codebooks its plan scores with). */
   def knnPqFrom(corpus: DataFrame, cbs: Seq[Seq[Array[Double]]],

@@ -504,8 +504,10 @@ object Similarity {
     * corpus grows 10×, wall grows 8.8× — the intra-cell verify is the
     * super-linear term exactly as this scaling argument predicts. Size k
     * for a constant target cell size (k ≈ n / 5000) and the verify term
-    * is linear; k is the caller's knob, the probe pins it only for the
-    * DuckDB replay. */
+    * is linear. k here is the caller's knob so a gate can pin the exact
+    * centroid table for the DuckDB replay — production callers should go
+    * through [[semDedupAuto]], which derives k from the corpus count and
+    * cannot be handed the fixed-k scale trap. */
   def semDedupDecisions(corpus: DataFrame, cents: Seq[Cent],
       threshold: Double): DataFrame = {
     val assigned = assignCells(corpus, cents)
@@ -524,5 +526,30 @@ object Similarity {
         (coalesce(col("grp_keeper"), col("id")) === col("id")).as("keep"))
     assigned.unpersist()
     out
+  }
+
+  /** Scale-safe cell count for SemDeDup: k = ⌈n / targetCellSize⌉ (min 1).
+    * At a constant cell size the intra-cell pair kernel is Σ|cell|² ≈
+    * n·targetCellSize — LINEAR in n — whereas any fixed k makes it n²/k
+    * (measured 22.3× wall at 10× data in BENCH_sf1_probe.json when k was
+    * pinned at the gate's 8). */
+  def semDedupAutoK(n: Long, targetCellSize: Long = 5000L): Int = {
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    math.min(math.max(1L, (n + targetCellSize - 1L) / targetCellSize),
+      Int.MaxValue.toLong).toInt
+  }
+
+  /** SemDeDup with the scale-safe default: ONE corpus count sizes
+    * k = [[semDedupAutoK]], k-means|| learns that many centroids, and
+    * [[semDedupDecisions]] runs against them. Returns the centroids too,
+    * so callers that replay the decision externally (oracle side-tables,
+    * incremental re-runs) use the exact cluster set that produced it. */
+  def semDedupAuto(corpus: DataFrame, threshold: Double,
+      targetCellSize: Long = 5000L,
+      lloydIters: Int = 2): (Seq[Cent], DataFrame) = {
+    val cents = kmeansCentroidsSeq(corpus,
+      semDedupAutoK(corpus.count(), targetCellSize), lloydIters)
+    (cents, semDedupDecisions(corpus, cents, threshold))
   }
 }

@@ -194,8 +194,15 @@ object TextOps {
     * Each domain d with n_d documents gets weight w_d = ⌊√n_d⌋ and a
     * target of `targetDocs`·w_d/Σw documents; a document is kept iff
     * PolyHash(text) mod [[SampleMod]] falls under the integer threshold
-    * (SampleMod·target_d) div n_d (capped at SampleMod — a domain under
-    * its target keeps everything). The complement of [[stratifiedKeep]]
+    * min(SampleMod, ⌊SampleMod·targetDocs·w_d / (Σw·n_d)⌋) — ONE exact
+    * integer division, so a rare domain whose real target is fractional
+    * (targetDocs·w_d < Σw) still gets its proportional keep rate instead
+    * of being floored to zero and dropped entirely (the opposite of the
+    * α=1/2 up-weighting purpose); the cap means a domain at or under its
+    * target keeps everything. The numerator/denominator products run in
+    * DECIMAL(38,0) (HUGEINT on the oracle side): at corpus scale
+    * SampleMod·targetDocs·w overflows BIGINT long before the math is
+    * wrong. The complement of [[stratifiedKeep]]
     * (CALLER-chosen rates) and [[capPerKey]] (hard caps): here the rates
     * come from the data itself.
     *
@@ -226,7 +233,8 @@ object TextOps {
       .withColumn("__sw", sum(col("__w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("__thr", least(lit(SampleMod),
-        expr(s"($SampleMod * (($targetDocs * __w) div __sw)) div __n")))
+        expr(s"(CAST($SampleMod AS DECIMAL(38,0)) * $targetDocs * __w)" +
+          s" div (CAST(__sw AS DECIMAL(38,0)) * __n)")))
       .select(col("__d"), col("__thr"))
     docs.join(broadcast(thr), col(domainCol) <=> col("__d"))
       .filter(polyHash(col(textCol)) % SampleMod < col("__thr"))

@@ -73,4 +73,20 @@ object DuckFrag {
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** Guarded cosine from precomputed norms — mirrors Similarity.cosine
+    * EXACTLY, including the zero-norm convention: a zero-norm vector has
+    * similarity 0.0 to everything (ranked last), never a division by
+    * zero. Without the mirror, the first all-zero embedding in a
+    * regenerated corpus makes Spark emit 0.0 while DuckDB emits inf/NULL,
+    * flipping every ANN gate red with a confusing value diff. */
+  def cosineSql(a: String, na: String, b: String, nb: String): String =
+    s"(CASE WHEN $na * $nb > 0.0 THEN ${dotSql(a, b)} / ($na * $nb) " +
+      s"ELSE 0.0 END)"
+
+  /** Normalized coordinate `v[i] / nrm` with the zero-norm pass-through
+    * guard — mirrors Sq.normed / Ivfpq.unit (zero-norm vectors stay
+    * unnormalized, i.e. all zeros). */
+  def unitSql(v: String, nrm: String, i: String): String =
+    s"(CASE WHEN $nrm > 0.0 THEN $v[$i] / $nrm ELSE $v[$i] END)"
 }

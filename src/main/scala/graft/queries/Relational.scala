@@ -758,13 +758,29 @@ object Relational {
     // as data (q_sketches' exact-values + in-bound-boolean pattern: the
     // oracle can't list files, so it asserts literal TRUE and Spark
     // computes the real predicate). Staging dirs are sf-suffixed like the
-    // oracle side-tables.
+    // oracle side-tables AND nonce-suffixed per invocation: unlike the
+    // side-tables (tmp→rename swap), these dirs are read BACK lazily by
+    // the returned plan, so two concurrent same-scale invocations (bench
+    // sampling overlapping a verify run) would otherwise interleave one
+    // run's overwrite-delete with the other's read-back. Stale nonce dirs
+    // from prior invocations are reaped on entry once they are an hour
+    // old (no live run holds a staging dir that long).
     "q_layout_compact" -> Q(
       (s, dir) => {
         import s.implicits._
         val sfx = new java.io.File(dir).getName
-        val frag = s"/root/repo/target/staging/compact_src_$sfx"
-        val out = s"/root/repo/target/staging/compact_out_$sfx"
+        val stagingRoot = new java.io.File("/root/repo/target/staging")
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        for (f <- Option(stagingRoot.listFiles()).getOrElse(Array.empty)
+             if f.getName.startsWith("compact_") && f.lastModified < cutoff)
+          rmTree(f)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        val frag = s"/root/repo/target/staging/compact_src_${sfx}_$nonce"
+        val out = s"/root/repo/target/staging/compact_out_${sfx}_$nonce"
         tbl(s, dir, "documents").repartition(16)
           .write.mode("overwrite").parquet(frag)
         val fragDf = s.read.parquet(frag)

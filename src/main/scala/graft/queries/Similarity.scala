@@ -58,18 +58,18 @@ object Similarity {
     * like every other ANN gate. The residual codebook is FINER than the
     * plain-PQ gate's deliberately-coarse m=4/k=8 (which measured ADC-alone
     * recall ≈ 0.06): at m=8/k=32 the ADC ordering is good enough that a
-    * 400-wide re-rank recovers most of the nProbe=4 cell recall — the
+    * wide exact re-rank recovers most of the nProbe=4 cell recall — the
     * production tradeoff IVF-PQ exists for (finer codes cost bytes, probe
-    * breadth costs scan, re-rank costs exact distances). The r13 sizing
-    * (probe 4-of-8, re-rank 400) keeps the composite ABOVE plain learned
-    * IVF at both scales — the r12 point (probe 3, re-rank 200) fell to
-    * 0.56 vs learned-IVF's 0.67 at sf0.1 once the plain gates widened to
-    * 3 probes. Panel recall 0.815 at sf0.01 / 0.750 at sf0.1; 2 Lloyd
-    * rounds measured within 0.005 recall of 3 at ~half the training
-    * jobs. Ladder floors in SimilaritySpec. */
+    * breadth costs scan, re-rank costs exact distances). Re-rank breadth
+    * is FRACTIONAL (Pq.rerankBreadth, ⌈2n/5⌉): r13's constant 400 held
+    * the composite above plain learned IVF at both scales, but only
+    * because 400 happened to be 20% of the sf0.1 corpus — at the next
+    * scale-up it would shrink to the r12 failure (probe 3 / re-rank 200
+    * fell to 0.56 vs learned-IVF's 0.67). 2 Lloyd rounds measured within
+    * 0.005 recall of 3 at ~half the training jobs. Ladder floors in
+    * SimilaritySpec. */
   private val IvfPqCells = 8
   private val IvfPqProbe = 4
-  private val IvfPqRerank = 400
   private val IvfPqM = 8
   private val IvfPqK = 32
   private val IvfPqSubDim = Dim / IvfPqM
@@ -112,13 +112,21 @@ object Similarity {
   private val PqM = 4
   private val PqK = 8
   private val PqSubDim = Dim / PqM
-  /** Exact-rerank candidate breadth. The m=4/k=8 ADC is deliberately coarse
-    * (it is the memory-compression gate), so repairing recall is entirely
-    * the re-rank's job: breadth 15 left recall at the ADC's own 0.10 in
-    * r11; 200 (10% of the sf0.1 corpus, a constant per query at any scale)
-    * measures 0.84 at sf0.01 / 0.48 at sf0.1 on the recall panel — far
-    * above pure ADC's 0.06–0.08, which is the point of the gate pair. */
-  private val PqRerank = 200
+  /** Exact-rerank candidate breadth — FRACTIONAL via [[Pq.rerankBreadth]]
+    * (⌈2n/5⌉, never below K). The m=4/k=8 ADC is deliberately coarse (it
+    * is the memory-compression gate), so repairing recall is entirely the
+    * re-rank's job, and r13's constant 200 was a shrinking fraction of a
+    * growing corpus: recall 0.84 at sf0.01 (200 = 40% of 500 rows) fell
+    * to 0.475 at sf0.1 (200 = 10% of 2000). At 2/5 the breadth is 200 at
+    * sf0.01 (bit-identical gate results) and 800 at sf0.1 (the repaired
+    * operating point); cost stays linear — breadth·|queries| exact
+    * cosines by id-join. */
+  private def pqRerankFor(n: Long): Int = graft.operators.Pq.rerankBreadth(n, K)
+  /** DuckDB mirror of [[Pq.rerankBreadth]] over the prepared-corpus CTE
+    * `n` — same ceil-division integers, computed from the same table. */
+  private val RerankBreadthSql =
+    s"greatest($K, (${graft.operators.Pq.RerankNum} * (SELECT count(*) FROM n)" +
+      s" + ${graft.operators.Pq.RerankDenom - 1}) // ${graft.operators.Pq.RerankDenom})"
 
   /** Side-table handing the SemDeDup centroids to the oracle (same
     * contract as [[CentroidDumpBase]]; separate path because the learned-
@@ -127,6 +135,60 @@ object Similarity {
   private def semDump(dir: String): String =
     SemDumpBase + new java.io.File(dir).getName
   private val SemThreshold = 0.3
+
+  /** Side-table for the AUTO-k SemDeDup gate — k is derived from the
+    * corpus count there, so the centroid set differs per scale and needs
+    * its own dump path. */
+  private val SemAutoDumpBase =
+    "/root/repo/target/oracle_aux/semdedup_auto_centroids_"
+  private def semAutoDump(dir: String): String =
+    SemAutoDumpBase + new java.io.File(dir).getName
+  /** Auto-k cell-size target for the gate: small enough that the derived
+    * k actually moves across scales (500 rows → k=4, 2000 → k=16),
+    * proving the auto path is exercised rather than collapsing to the
+    * fixed-k gate's k=8. */
+  private val SemAutoCell = 125L
+
+  /** Shared SemDeDup oracle: replay assignment, within-cell pair
+    * generation, and the connected-component fold from the dumped
+    * centroid table — the same SQL serves the fixed-k and auto-k gates
+    * because k lives entirely in the side-table. */
+  private def semDedupOracleSql(dumpBase: String): String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
+       |cent AS (
+       |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
+       |  FROM read_parquet('${dumpBase}sf0.01/*.parquet')),
+       |ranked AS (
+       |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+       |         row_number() OVER (PARTITION BY n.id ORDER BY
+       |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
+       |             DESC, cent.cid) AS rk
+       |  FROM n, cent),
+       |assign AS (
+       |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
+       |pairs AS (
+       |  SELECT x.id AS id1, y.id AS id2
+       |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+       |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")}
+       |    >= $SemThreshold),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM edges e
+       |  JOIN reach ON e.a = reach.id),
+       |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+       |SELECT a.id, a.cell,
+       |       coalesce(g.keeper, a.id) AS keeper,
+       |       coalesce(g.keeper, a.id) = a.id AS keep
+       |FROM assign a LEFT JOIN grp g ON g.id = a.id
+       |ORDER BY a.id""".stripMargin
 
   /** Prepared gate corpus, persisted WITHOUT an unpersist: the returned
     * frame feeds BOTH the eager training collects inside the trainOnly
@@ -308,11 +370,12 @@ object Similarity {
     "q_sim_knn_ivfpq" -> ((s, dir, q) => {
       val (corpus, cents, cbs) = ivfpqTrainOnly(s, dir)
       graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, q, K,
-        IvfPqProbe, IvfPqRerank)
+        IvfPqProbe, pqRerankFor(corpus.count()))
     }),
     "q_sim_knn_pq_rerank" -> ((s, dir, q) => {
       val (corpus, cbs) = pqTrainOnly(s, dir)
-      graft.operators.Pq.knnPqFrom(corpus, cbs, q, K, rerank = PqRerank)
+      graft.operators.Pq.knnPqFrom(corpus, cbs, q, K,
+        rerank = pqRerankFor(corpus.count()))
     }),
     "q_sim_knn_sq8" -> ((s, dir, q) =>
       graft.operators.Sq.knnSq8(tbl(s, dir, "embeddings"), "embedding",
@@ -369,7 +432,7 @@ object Similarity {
               |  WHERE id IN $queryIdList),
               |s AS (
               |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
               |  FROM n, q WHERE id <> query_id),
               |r AS (
               |  SELECT *, row_number() OVER (
@@ -401,7 +464,7 @@ object Similarity {
            |  FROM b WHERE id IN $queryIdList),
            |s AS (
            |  SELECT query_id, b.id AS neighbor_id,
-           |         ${DuckFrag.dotSql("qv", "b.v")} / (qn * b.nrm) AS cosine
+           |         ${DuckFrag.cosineSql("qv", "qn", "b.v", "b.nrm")} AS cosine
            |  FROM b, q WHERE $anyTable AND b.id <> query_id),
            |r AS (
            |  SELECT *, row_number() OVER (
@@ -432,7 +495,7 @@ object Similarity {
            |  FROM b WHERE id IN $queryIdList),
            |s AS (
            |  SELECT query_id, id AS neighbor_id,
-           |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+           |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
            |  FROM b, q WHERE bucket = qbucket AND id <> query_id),
            |r AS (
            |  SELECT *, row_number() OVER (
@@ -453,7 +516,7 @@ object Similarity {
               |ranked AS (
               |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
               |         row_number() OVER (PARTITION BY n.id ORDER BY
-              |           ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
+              |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
               |             DESC, cent.cid) AS rk
               |  FROM n, cent),
               |assign AS (
@@ -463,7 +526,7 @@ object Similarity {
               |  FROM ranked WHERE rk <= $IvfSeedProbe AND id IN $queryIdList),
               |s AS (
               |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
               |  FROM assign, q WHERE cell = qcell AND id <> query_id),
               |r AS (
               |  SELECT *, row_number() OVER (
@@ -494,7 +557,7 @@ object Similarity {
               |ranked AS (
               |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
               |         row_number() OVER (PARTITION BY n.id ORDER BY
-              |           ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
+              |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
               |             DESC, cent.cid) AS rk
               |  FROM n, cent),
               |assign AS (
@@ -505,7 +568,7 @@ object Similarity {
               |    AND id IN $queryIdList),
               |s AS (
               |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
               |  FROM assign, q WHERE cell = qcell AND id <> query_id),
               |r AS (
               |  SELECT *, row_number() OVER (
@@ -533,24 +596,25 @@ object Similarity {
               |WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
-    // PQ-ADC with exact re-rank: the top-PqRerank ADC candidates per query
-    // are re-scored with exact cosine (only PqRerank·|queries| full vectors
+    // PQ-ADC with exact re-rank: the top-⌈2n/5⌉ ADC candidates per query
+    // (Pq.rerankBreadth — a FRACTION of the corpus, not a constant) are
+    // re-scored with exact cosine (only breadth·|queries| full vectors
     // move, by id-join) — the standard recall repair over pure ADC. Output
     // is exact cosine, so recall failures surface as ranking differences.
     "q_sim_knn_pq_rerank" -> Q(
       (s, dir) => {
         val (corpus, cbs) = pqTrained(s, dir)
         graft.operators.Pq.knnPqFrom(corpus, cbs, QueryIds, K,
-            rerank = PqRerank)
+            rerank = pqRerankFor(corpus.count()))
           .orderBy(col("query_id"), col("neighbor_id"))
       },
       Some(s"""$preparedCte,
               |$pqCtes,
               |cand AS (
-              |  SELECT query_id, neighbor_id FROM radc WHERE rn <= $PqRerank),
+              |  SELECT query_id, neighbor_id FROM radc WHERE rn <= $RerankBreadthSql),
               |ex AS (
               |  SELECT c.query_id, c.neighbor_id,
-              |         ${DuckFrag.dotSql("q.v", "b.v")} / (q.nrm * b.nrm)
+              |         ${DuckFrag.cosineSql("q.v", "q.nrm", "b.v", "b.nrm")}
               |           AS cosine
               |  FROM cand c
               |  JOIN n b ON b.id = c.neighbor_id
@@ -573,12 +637,11 @@ object Similarity {
       (s, dir) => {
         val (corpus, cents, cbs) = ivfpqTrained(s, dir)
         graft.operators.Ivfpq.knnIvfPqFrom(corpus, cents, cbs, QueryIds, K,
-            IvfPqProbe, IvfPqRerank)
+            IvfPqProbe, pqRerankFor(corpus.count()))
           .orderBy(col("query_id"), col("neighbor_id"))
       },
       Some {
-        val u = (v: String, nrm: String, i: String) =>
-          s"(CASE WHEN $nrm > 0 THEN $v[$i] / $nrm ELSE $v[$i] END)"
+        val u = DuckFrag.unitSql _
         val rSub = s"list_slice(r.rv, cb.sub*$IvfPqSubDim + 1, " +
           s"cb.sub*$IvfPqSubDim + $IvfPqSubDim)"
         val qSub = s"list_slice(r.rq, cb.sub*$IvfPqSubDim + 1, " +
@@ -596,8 +659,8 @@ object Similarity {
            |      list_transform(cc.cv, x ->
            |        CASE WHEN cc.cnrm > 0 THEN x / cc.cnrm ELSE x END) AS cu,
            |      row_number() OVER (PARTITION BY n.id
-           |        ORDER BY ${DuckFrag.dotSql("n.v", "cc.cv")}
-           |          / (n.nrm * cc.cnrm) DESC, cc.cid) AS rk
+           |        ORDER BY ${DuckFrag.cosineSql("n.v", "n.nrm", "cc.cv", "cc.cnrm")}
+           |          DESC, cc.cid) AS rk
            |    FROM n, cc) WHERE rk = 1),
            |res AS (
            |  SELECT n.id, a.cell,
@@ -619,8 +682,8 @@ object Similarity {
            |      list_transform(cc.cv, x ->
            |        CASE WHEN cc.cnrm > 0 THEN x / cc.cnrm ELSE x END) AS cu,
            |      row_number() OVER (PARTITION BY n.id
-           |        ORDER BY ${DuckFrag.dotSql("n.v", "cc.cv")}
-           |          / (n.nrm * cc.cnrm) DESC, cc.cid) AS rk
+           |        ORDER BY ${DuckFrag.cosineSql("n.v", "n.nrm", "cc.cv", "cc.cnrm")}
+           |          DESC, cc.cid) AS rk
            |    FROM n, cc WHERE n.id IN $queryIdList) t
            |  WHERE rk <= $IvfPqProbe),
            |qres AS (
@@ -652,10 +715,10 @@ object Similarity {
            |  FROM adc),
            |cand AS (
            |  SELECT query_id, neighbor_id FROM radc
-           |  WHERE rn <= $IvfPqRerank),
+           |  WHERE rn <= $RerankBreadthSql),
            |ex AS (
            |  SELECT c.query_id, c.neighbor_id,
-           |         ${DuckFrag.dotSql("q.v", "b.v")} / (q.nrm * b.nrm)
+           |         ${DuckFrag.cosineSql("q.v", "q.nrm", "b.v", "b.nrm")}
            |           AS cosine
            |  FROM cand c
            |  JOIN n b ON b.id = c.neighbor_id
@@ -680,7 +743,8 @@ object Similarity {
         .orderBy(col("query_id"), col("neighbor_id")),
       Some(s"""$preparedCte,
               |mm AS (
-              |  SELECT i, min(v[i] / nrm) AS mn, max(v[i] / nrm) AS mx
+              |  SELECT i, min(${DuckFrag.unitSql("v", "nrm", "i")}) AS mn,
+              |         max(${DuckFrag.unitSql("v", "nrm", "i")}) AS mx
               |  FROM n, range(1, $Dim + 1) t(i) GROUP BY i),
               |rg AS (
               |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
@@ -688,7 +752,7 @@ object Similarity {
               |codes AS (
               |  SELECT id, list_transform(range(1, $Dim + 1), i ->
               |    CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
-              |         ELSE least(greatest(CAST(floor((v[i] / nrm - mns[i])
+              |         ELSE least(greatest(CAST(floor((${DuckFrag.unitSql("v", "nrm", "i")} - mns[i])
               |           * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 0), 255)
               |    END) AS c
               |  FROM n, rg),
@@ -733,7 +797,7 @@ object Similarity {
               |pairs AS (
               |  SELECT x.id AS id1, y.id AS id2
               |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
-              |  WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.3),
+              |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")} >= 0.3),
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
@@ -762,41 +826,27 @@ object Similarity {
         Sim.semDedupDecisions(corpus, cents, SemThreshold)
           .orderBy(col("id"))
       },
-      Some(s"""WITH RECURSIVE p AS (
-              |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-              |  FROM embeddings),
-              |n AS (
-              |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
-              |cent AS (
-              |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
-              |  FROM read_parquet('${SemDumpBase}sf0.01/*.parquet')),
-              |ranked AS (
-              |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
-              |         row_number() OVER (PARTITION BY n.id ORDER BY
-              |           ${DuckFrag.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cnrm)
-              |             DESC, cent.cid) AS rk
-              |  FROM n, cent),
-              |assign AS (
-              |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
-              |pairs AS (
-              |  SELECT x.id AS id1, y.id AS id2
-              |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
-              |  WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
-              |    >= $SemThreshold),
-              |edges AS (
-              |  SELECT id1 AS a, id2 AS b FROM pairs
-              |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id),
-              |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
-              |SELECT a.id, a.cell,
-              |       coalesce(g.keeper, a.id) AS keeper,
-              |       coalesce(g.keeper, a.id) = a.id AS keep
-              |FROM assign a LEFT JOIN grp g ON g.id = a.id
-              |ORDER BY a.id""".stripMargin)),
+      Some(semDedupOracleSql(SemDumpBase))),
+
+    // SemDeDup with the SCALE-SAFE default: k is derived from the corpus
+    // count (k = ceil(n / targetCellSize)) instead of pinned by the
+    // caller, so the intra-cell pair kernel stays linear in n — the fix
+    // for the fixed-k gate's measured 22.3x blow-up at 10x data. The
+    // derived centroid set (4 cells at 500 rows, 16 at 2000) goes to its
+    // own side-table; the oracle replay is byte-identical in shape to the
+    // fixed-k gate's and never needs to know k.
+    "q_sim_semdedup_auto" -> Q(
+      (s, dir) => {
+        val corpus = preparedCorpus(s, dir)
+        val (cents, decisions) =
+          Sim.semDedupAuto(corpus, SemThreshold, SemAutoCell)
+        import s.implicits._
+        writeTableAtomically(
+          cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+          semAutoDump(dir))
+        decisions.orderBy(col("id"))
+      },
+      Some(semDedupOracleSql(SemAutoDumpBase))),
 
     // kNN label classification over the exact top-k neighbors: majority
     // vote of the neighbors' labels (ties break to the smallest label) —
@@ -828,7 +878,7 @@ object Similarity {
               |  WHERE id IN $queryIdList),
               |sc AS (
               |  SELECT query_id, id AS neighbor_id,
-              |         ${DuckFrag.dotSql("qv", "v")} / (qn * nrm) AS cosine
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
               |  FROM n, q WHERE id <> query_id),
               |r AS (
               |  SELECT *, row_number() OVER (
@@ -865,10 +915,10 @@ object Similarity {
       Some(s"""$preparedCte,
               |bk AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n)
               |SELECT x.id AS id1, y.id AS id2,
-              |       ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+              |       ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")}
               |         AS cosine
               |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
-              |WHERE ${DuckFrag.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.3
+              |WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")} >= 0.3
               |ORDER BY id1, id2""".stripMargin))
   )
 }

@@ -670,7 +670,8 @@ object TextPipeline {
               |s AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
               |thr AS (
               |  SELECT d, least($SampleMod,
-              |           ($SampleMod * (($TempSampleTarget * w) // sw)) // n)
+              |           (CAST($SampleMod AS HUGEINT) * $TempSampleTarget * w)
+              |             // (CAST(sw AS HUGEINT) * n))
               |           AS thr
               |  FROM w, s),
               |h AS (

@@ -146,4 +146,23 @@ class ExceptionParitySpec extends SparkTestBase {
       assert(e.getMessage.contains("trainPct"), s"tr=$tr va=$va")
     }
   }
+
+  test("leakageSafeSplit raises on a stale groups table (keeper absent " +
+      "from docs) instead of silently dropping the leakage guarantee") {
+    val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    // keeper 99 exists in no docs row: id 2's split would silently fall
+    // back to its own hash under the old inner-join plan
+    val groups = Seq((2L, 99L)).toDF("id", "keeper")
+    val e = intercept[Exception](
+      graft.operators.Dedup.leakageSafeSplit(
+        docs, "doc_id", "text", groups, 80, 10).collect())
+    assert(e.getMessage.contains("keeper absent from docs") ||
+      Option(e.getCause).exists(_.getMessage.contains(
+        "keeper absent from docs")), e.getMessage)
+    // the same-frame pipeline (keeper resolvable) is untouched
+    val ok = graft.operators.Dedup.leakageSafeSplit(
+      docs, "doc_id", "text", Seq((2L, 1L)).toDF("id", "keeper"), 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ok === Map(1L -> false, 2L -> true))
+  }
 }

@@ -2004,7 +2004,8 @@ class RandomizedParitySpec extends SparkTestBase {
         d -> math.floor(math.sqrt(c.toDouble)).toLong }
       val sw = w.values.sum
       val thr = n.map { case (d, c) =>
-        d -> math.min(10000L, (10000L * ((target * w(d)) / sw)) / c) }
+        d -> (BigInt(10000) * target * w(d) / (BigInt(sw) * c))
+          .min(BigInt(10000)).toLong }
       val expected = docRows.collect {
         case (i, d, t) if refHash(t) % 10000L < thr(d) => i
       }.toSet
@@ -2014,5 +2015,28 @@ class RandomizedParitySpec extends SparkTestBase {
       assert(got === expected,
         s"\nseed=$seed target=$target n=$n thr=$thr")
     }
+  }
+
+  test("sqrtTemperatureKeep keeps rare domains in the many-domains / " +
+      "small-target regime where the old double-truncated form floored " +
+      "every per-domain target to zero") {
+    // 30 equal domains of 40 docs: w = 6 each, Σw = 180. target = 20 means
+    // targetDocs·w = 120 < Σw, so (target·w) div Σw = 0 and the old
+    // threshold (SampleMod·0) div n = 0 dropped the ENTIRE corpus. The
+    // single-division form gives thr = ⌊10000·20·6/(180·40)⌋ = 166 —
+    // every domain keeps its proportional ~1.7%.
+    val rnd = new Random(4242)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w")
+    val docRows = for {
+      d <- 0 until 30; i <- 0 until 40
+    } yield ((d * 40 + i).toLong, s"dom$d", randDoc(rnd, vocab, 7))
+    val expected = docRows.collect {
+      case (i, _, t) if refHash(t) % 10000L < 166L => i
+    }.toSet
+    assert(expected.nonEmpty, "regime setup must leave survivors")
+    val got = graft.operators.TextOps.sqrtTemperatureKeep(
+        docRows.toDF("doc_id", "lang", "text"), "lang", "text", 20L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
   }
 }

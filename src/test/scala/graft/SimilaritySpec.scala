@@ -194,8 +194,9 @@ class SimilaritySpec extends SparkTestBase {
     // The synthetic corpus is weakly clustered (true-neighbor cosines
     // 0.35-0.48), so these floors demand honest candidate breadth:
     // multi-table OR-construction for lsh, 9-bit/Hamming<=3 probing for
-    // lsh_mp, 3-of-8-cell probing for both IVF gates, 200-wide exact
-    // re-rank for pq_rerank (panel recall 0.44–0.88 across gates/scales).
+    // lsh_mp, 3-of-8-cell probing for both IVF gates, fractional
+    // ceil(2n/5)-wide exact re-rank for pq_rerank and ivfpq (panel
+    // recall 0.44-0.90 across gates/scales).
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
@@ -254,16 +255,20 @@ class SimilaritySpec extends SparkTestBase {
     // bench reports — while the oracle-gate scale looked fine. One
     // panel run at sf0.1 (~2k-row corpus, a few seconds) pins the same
     // ordering and floors where the regression actually shipped.
-    // Measured r13 sf0.1: lsh 0.445, lsh_mp 0.540, ivf 0.605, learned
-    // 0.670, ivfpq 0.750, sq8 0.880; floors leave regeneration margin.
+    // Measured r14 sf0.1: lsh 0.445, lsh_mp 0.540, ivf 0.605, learned
+    // 0.670, ivfpq 0.780, sq8 0.880, pq_rerank 0.900 (the fractional
+    // ceil(2n/5) breadth repaired r13's 0.475 — the floor pins the
+    // repaired point so a constant-breadth regression fails here);
+    // floors leave regeneration margin.
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.1",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_ivfpq",
-        "q_sim_knn_sq8"))
+        "q_sim_knn_sq8", "q_sim_knn_pq_rerank"))
     val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
-      "q_sim_knn_ivfpq" -> 0.65, "q_sim_knn_sq8" -> 0.80)
+      "q_sim_knn_ivfpq" -> 0.70, "q_sim_knn_sq8" -> 0.80,
+      "q_sim_knn_pq_rerank" -> 0.80)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
     assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),
