@@ -94,23 +94,43 @@ object Streaming {
     }
   }
 
-  /** Gate drains clamp streaming STATE partitions to 2 (see
-    * Streams.withStatePartitions): every micro-batch commits one
-    * checkpoint delta per store per partition, so the 3-file staged
-    * replays over a handful of keys spend partitions × stores × batches
-    * in per-partition commit work at the session's batch setting (32).
-    * Measured time falls monotonically with the clamp (32 → 8 cut the
-    * stream-stream gates ~4× in r11; 8 → 2 another ~15% in r12 — the
-    * residual is per-micro-batch planning/scheduling, not state I/O). A
-    * production job sizes state partitions to cluster parallelism — this
-    * is replay plumbing, not operator behavior (results are partition-
-    * count invariant, which StreamsSpec pins). */
-  private val StatePartitions = 2
-  private def drain(df: org.apache.spark.sql.DataFrame, name: String) =
-    Streams.withStatePartitions(df.sparkSession, StatePartitions)(
+  /** Gate drains size streaming STATE partitions to the replay's INPUT
+    * scale (see Streams.withStatePartitions) — ⌈events bytes / 2 MiB⌉
+    * clamped to [2, 32]. Two regimes, both measured:
+    *
+    *   - SMALL replays (gate scales — sf0.1 events = 2 MiB → 2
+    *     partitions): every micro-batch commits one checkpoint delta per
+    *     store per partition, so a 3-file replay over a handful of keys
+    *     pays partitions × stores × batches in commit work. Time falls
+    *     monotonically with the clamp (32 → 8 cut the stream-stream gates
+    *     ~4× in r11; 8 → 2 another ~15% in r12; 16 doubled them again
+    *     when re-measured in r14).
+    *   - LARGE replays (sf1 probe — 16 MiB → 8 partitions): the
+    *     Complete-mode session gate re-sorts and re-merges its ENTIRE
+    *     session state every batch, and that per-partition sort is the
+    *     wall time; clamped to 2 it ran serialized (22.5 s at sf1,
+    *     ×6.1 vs sf0.1 — the one super-linear streaming probe row of
+    *     r13). At 8 partitions the same replay is 11 s, ×3.3 — the
+    *     probe's linear-ish band.
+    *
+    * A production job sizes state partitions to cluster parallelism and
+    * key cardinality — this is replay plumbing, not operator behavior
+    * (results are partition-count invariant, which StreamsSpec pins). */
+  private def statePartitionsFor(dir: String): Int = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+      else f.length()
+    math.max(2, math.min(32, ((bytes + (2L << 20) - 1) / (2L << 20)).toInt))
+  }
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String,
+      dir: String) =
+    Streams.withStatePartitions(df.sparkSession, statePartitionsFor(dir))(
       Streams.runToTable(df, name))
-  private def drainAppend(df: org.apache.spark.sql.DataFrame, name: String) =
-    Streams.withStatePartitions(df.sparkSession, StatePartitions)(
+  private def drainAppend(df: org.apache.spark.sql.DataFrame, name: String,
+      dir: String) =
+    Streams.withStatePartitions(df.sparkSession, statePartitionsFor(dir))(
       Streams.runToTableAppend(df, name))
 
   /** Bumped whenever the multi-file split rule OR the staged file layout
@@ -212,7 +232,7 @@ object Streaming {
           stopR.as("stop_ratio"),
           langPredict(toks).as("lang_pred"),
           (nTok >= 10 && nTok <= 1000 && stopR >= 0.01).as("keep"))
-        drainAppend(flags, "stream_quality_parity")
+        drainAppend(flags, "stream_quality_parity", dir)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH toks AS (
@@ -237,7 +257,7 @@ object Streaming {
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.windowedCounts(stream,
           width = "1 hour", slide = "1 hour", maxDelay = "1 hour")
-        drain(agg, "stream_window_parity")
+        drain(agg, "stream_window_parity", dir)
           .select(col("w_start"), col("w_end"), col("event_type"), col("n"),
             col("total_value").cast("double").as("total_value"))
           .orderBy(col("w_start"), col("event_type"))
@@ -272,7 +292,7 @@ object Streaming {
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",
           maxDelay = "60 days")
-        drain(agg, "stream_session_parity")
+        drain(agg, "stream_session_parity", dir)
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
             col("session_value").cast("double").as("session_value"))
@@ -313,7 +333,7 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("user_id"), col("event_type")),
           maxDelay = "60 days", keys = Seq("user_id", "event_type"))
-        drainAppend(dd, "stream_dedup_parity")
+        drainAppend(dd, "stream_dedup_parity", dir)
           .select(col("user_id"), col("event_type"))
           .orderBy(col("user_id"), col("event_type"))
       },
@@ -339,7 +359,7 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("event_id")),
           maxDelay = "1 hour", keys = Seq("event_id"))
-        drainAppend(dd, "stream_late_drop")
+        drainAppend(dd, "stream_late_drop", dir)
           .select(col("event_id"))
           .orderBy(col("event_id"))
       },
@@ -378,7 +398,7 @@ object Streaming {
         val ds = stream.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Streams.Event]
         drainAppend(Streams.userRunningStats(ds).toDF(),
-            "stream_running_counts")
+            "stream_running_counts", dir)
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"))
           .orderBy(col("user_id"))
@@ -404,7 +424,7 @@ object Streaming {
             col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("c_mktsegment").as("segment"),
             col("c_acctbal").as("acctbal"))
-        drainAppend(joined, "stream_static_join")
+        drainAppend(joined, "stream_static_join", dir)
           .orderBy(col("event_id"))
       },
       Some("""SELECT e.event_id, c.c_mktsegment AS segment,
@@ -444,7 +464,7 @@ object Streaming {
             $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
               $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
           .select($"c_id".as("click_id"), $"n_id".as("next_id"))
-        drainAppend(joined, "stream_stream_join")
+        drainAppend(joined, "stream_stream_join", dir)
           .orderBy($"click_id", $"next_id")
       },
       Some("""SELECT a.event_id AS click_id, b.event_id AS next_id
@@ -502,7 +522,7 @@ object Streaming {
             rightFilter = Some(!strag("n_id", "n_ts")))
           .select($"c_id".as("click_id"),
             coalesce($"n_id", lit(-1L)).as("next_id"))
-        drainAppend(joined, "stream_outer_join")
+        drainAppend(joined, "stream_outer_join", dir)
           .orderBy($"click_id", $"next_id")
       },
       Some(s"""WITH b AS (
@@ -551,7 +571,7 @@ object Streaming {
         var state = s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           stream.schema)
-        Streams.withStatePartitions(s, StatePartitions) {
+        Streams.withStatePartitions(s, statePartitionsFor(dir)) {
           Streams.runForeachBatch(stream, "stream_upsert") { (batch, _) =>
             state = graft.operators.Merge
               .upsertLatest(state, batch, "user_id", Seq("ts", "event_id"))
