@@ -9,16 +9,18 @@ object Bench {
   private[graft] def fullLine(total: String, stat: String, qs: String,
       qsMedian: String, qsCpu: String, qsGc: String, qsMem: String,
       qsShuffle: String, qsShufRec: String, qsBcast: String,
-      recallJson: String, failed: String, sf: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf"}"""
+      recallJson: String, failed: String, sf: String,
+      calib: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf"}"""
 
   private[graft] def compactLine(total: String, stat: String, qs: String,
-      recallJson: String, failed: String, sf: String, detail: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","queries":$qs,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
+      recallJson: String, failed: String, sf: String, detail: String,
+      calib: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"queries":$qs,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
 
   private[graft] def tinyLine(total: String, stat: String, nQueries: Int,
-      failed: String, sf: String, detail: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","n_queries":$nQueries,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
+      failed: String, sf: String, detail: String, calib: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"n_queries":$nQueries,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,6 +54,25 @@ object Bench {
     // classloading/JIT/codegen that would be misattributed to whichever
     // query happens to run first.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
+    // CALIBRATION gate: a constant data-independent workload (6.4e9
+    // xxhash64 over a range, 64 fixed partitions — pure whole-stage
+    // codegen CPU, no I/O, no shuffle) timed like a query but NEVER
+    // counted in `value`/`queries`. Round-over-round the workload is
+    // byte-identical, so its wall time moves ONLY with the machine:
+    // r12->r13 carried an unexplained ~14% uniform shift that took
+    // quiet-machine adjudication reruns to attribute — with this field
+    // two artifacts separate machine drift (calibration moved with the
+    // totals) from code drift (calibration flat) without any rerun.
+    // Sampled in two windows (before pass 1, after the last pass) for
+    // the same one-noisy-window defense as the query passes; min wins.
+    def calibrationRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 6400000000L, 1L, 64)
+        .agg(bit_xor(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationRun() // untimed warmup (codegen for the calibration plan)
+    var calibSec = calibrationRun()
     // Per-query: one untimed warmup (plan compile + codegen cache), then 5
     // timed runs recording wall time, process CPU time, GC time and peak
     // heap. The round-7 driver bench reported phantom 4-12x regressions on
@@ -190,6 +211,8 @@ object Bench {
     // recall is a deterministic per-dataset constant — ANY change without a
     // code change is a bug, and a recall drop at unchanged wall time is the
     // silent-regression class the timing stats cannot see.
+    calibSec = math.min(calibSec, calibrationRun())
+    val calib = (math.rint(calibSec * 10000) / 10000).toString
     val recall: Map[String, Double] =
       if (filter.isDefined) Map.empty
       else try queries.Similarity.recallVsBrute(spark, sfDir)
@@ -229,7 +252,7 @@ object Bench {
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
     // and stdout carries a compact line that fits a tail grab.
     val full = fullLine(total, stat, qs, qsMedian, qsCpu, qsGc, qsMem,
-      qsShuffle, qsShufRec, qsBcast, recallJson, failed, sfDir)
+      qsShuffle, qsShufRec, qsBcast, recallJson, failed, sfDir, calib)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -238,12 +261,12 @@ object Bench {
     // 92 queries vs ~13 KB with all five maps). "detail" names the full
     // artifact.
     println(compactLine(total, stat, jmap(_._1, round = true), recallJson,
-      failed, sfDir, out))
+      failed, sfDir, out, calib))
     // FINAL line is tiny (~150 bytes): the driver's stdout capture is a
     // bounded TAIL, and r9/r10 proved even the compact per-query line can
     // overflow it (BENCH "parsed": null, head of the line clipped). Totals +
     // failed + detail pointer always survive a tail grab whole; per-query
     // data lives one line up and, authoritatively, in the "detail" file.
-    println(tinyLine(total, stat, results.size, failed, sfDir, out))
+    println(tinyLine(total, stat, results.size, failed, sfDir, out, calib))
   }
 }

@@ -19,11 +19,11 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("tiny final line: parseable, carries totals+failed+detail, < 512 B") {
     val line = Bench.tinyLine("69.1", "min_of_3x2", 118, "[]",
-      "/root/testdata/sf0.1", "bench_times.json")
+      "/root/testdata/sf0.1", "bench_times.json", "1.2345")
     assert(line.length < 512, s"tiny line must survive a tail grab: $line")
     val node = om.readTree(line)
     for (k <- Seq("metric", "value", "unit", "stat", "n_queries", "failed",
-        "sf", "detail"))
+        "sf", "detail", "calibration_sec"))
       assert(node.has(k), s"missing $k in $line")
     assert(node.get("n_queries").asInt === 118)
     assert(node.get("failed").isArray)
@@ -32,13 +32,14 @@ class BenchContractSpec extends AnyFunSuite {
   test("compact and full lines parse with a failed query (null timing)") {
     val qsWithNull = qs.dropRight(1) + ",\"q_broken\":null}"
     val compact = Bench.compactLine("null", "min_of_3x2", qsWithNull, recall,
-      "[\"q_broken\"]", "/sf", "out.json")
+      "[\"q_broken\"]", "/sf", "out.json", "1.2345")
     val full = Bench.fullLine("null", "min_of_3x2", qsWithNull, qsWithNull,
       qsWithNull, qsWithNull, qsWithNull, qsWithNull, qsWithNull, qsWithNull,
-      recall, "[\"q_broken\"]", "/sf")
+      recall, "[\"q_broken\"]", "/sf", "1.2345")
     for (line <- Seq(compact, full)) {
       val node = om.readTree(line)
       assert(node.get("value").isNull, "partial totals must be null")
+      assert(node.get("calibration_sec").asDouble === 1.2345)
       assert(node.get("failed").get(0).asText === "q_broken")
       assert(node.get("queries").get("q_broken").isNull)
     }
