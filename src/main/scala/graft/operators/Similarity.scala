@@ -528,6 +528,88 @@ object Similarity {
     out
   }
 
+  /** Matryoshka / adaptive retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" §4.3 shape): the full corpus scan scores
+    * only a PREFIX of the embedding dimensions (MRL models front-load
+    * information, so the first d′ dims are themselves a valid embedding),
+    * keeps a per-query shortlist by prefix cosine, and re-ranks just the
+    * shortlist with the exact full-dimension cosine. The scan does
+    * prefixDim/dim of the FLOPs and — in a production layout where the
+    * prefix is stored as its own compact column — reads prefixDim/dim of
+    * the bytes; only shortlist·|queries| full vectors are ever fetched
+    * (by id-join, broadcast candidates), so the expensive column never
+    * rides a shuffle. Both phases are the same deterministic left-fold
+    * cosine the oracle replays bitwise.
+    *
+    * Scale shape: identical to [[knnBrute]]'s broadcast-queries narrow
+    * scan, at a fraction of the arithmetic; shortlist should grow with k
+    * (a small multiple), NOT with the corpus — that is the operating-
+    * point difference from [[graft.operators.Pq.rerankBreadth]], where
+    * the coarse ADC ordering needs a corpus-fraction repair. */
+  def knnTruncated(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, prefixDim: Int,
+      shortlist: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val corpus = prepared(emb, vecCol, idCol)
+      .withColumn("pv", slice(col("v"), 1, prefixDim))
+      .withColumn("pn", norm(col("pv")))
+    val queries = corpus.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("pv").as("qpv"),
+        col("pn").as("qpn"))
+    val scored = corpus.join(broadcast(queries), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qpv"), col("qpn"), col("pv"), col("pn")).as("pcos"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val nb = prepared(emb, vecCol, idCol)
+      .select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+    val qv = prepared(emb, vecCol, idCol)
+      .filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exact = cand.join(nb, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("nv"), col("nn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * shortlists — the standard hybrid-retrieval combiner (lexical ∪
+    * vector): fused score = Σ_lists 1/(rrfK + rank), summed over the
+    * lists that contain the candidate (a candidate missing from one list
+    * contributes only the other term). RANKS are the exchange currency —
+    * integer, engine-exact — so the fused double is the same two IEEE
+    * divisions and one add in any engine, and the gate can hash-match
+    * where raw-score fusion (ln-based BM25 doubles) never could. Inputs:
+    * (query_id, id, rank) with rank unique per query within each list.
+    *
+    * Scale shape: both inputs are already per-query shortlists (top-L),
+    * so the full-outer fuse join moves |queries|·L rank tuples — never a
+    * corpus. */
+  def rrfFuse(ranksA: DataFrame, ranksB: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && rrfK >= 0, s"need k >= 1, rrfK >= 0; got $k, $rrfK")
+    val a = ranksA.select(col("query_id"), col("id"), col("rank").as("ra"))
+    val b = ranksB.select(col("query_id"), col("id"), col("rank").as("rb"))
+    val fused = a.join(b, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("ra"), col("rb"),
+        (coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rb")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Scale-safe cell count for SemDeDup: k = ⌈n / targetCellSize⌉ (min 1).
     * At a constant cell size the intra-cell pair kernel is Σ|cell|² ≈
     * n·targetCellSize — LINEAR in n — whereas any fixed k makes it n²/k

@@ -339,6 +339,28 @@ object Similarity {
 
   private val queryIdList = QueryIds.mkString("(", ", ", ")")
 
+  /** Matryoshka adaptive-retrieval operating point: score the first 32 of
+    * 64 dims on the full scan (½ the FLOPs/bytes), keep an 8·K shortlist,
+    * re-rank exactly. Unlike PQ's corpus-fraction repair, the shortlist is
+    * a small multiple of K by design — the MRL premise is that the prefix
+    * ordering is already good. That premise is a property of MRL-TRAINED
+    * embeddings; the synthetic corpus spreads information evenly, so the
+    * honest operating point here needs half the dims (prefix 16 measured
+    * 0.45/0.235 across scales — a floor violation; prefix 32 measures
+    * 0.74/0.50). On real MRL vectors the same machinery runs at 8-16 of
+    * 768 dims; prefix width is the caller's knob. */
+  private val MatPrefixDim = 32
+  private val MatShortlist = 8 * K
+
+  /** Hybrid-retrieval RRF fusion sizing: lexical shortlist = vector
+    * shortlist = 50, fused top-10, the canonical rrfK = 60 (Cormack et
+    * al. 2009). The lexical ranking orders on INTEGER term-frequency
+    * (ties by doc_id) — the ranking-ulp rule (q_bm25's scaladoc): a
+    * cross-engine gate must never rank on ln()-derived doubles. */
+  private val RrfTerms = Seq("spark", "join", "window")
+  private val RrfShortlist = 50
+  private val RrfTopK = 10
+
   /** Each ANN gate's scoring core, parameterized by the query-id set. The
     * oracle gates bind [[QueryIds]] (4 ids — the DuckDB replay is
     * O(|queries| · corpus), so the cross-engine compare stays cheap);
@@ -379,7 +401,10 @@ object Similarity {
     }),
     "q_sim_knn_sq8" -> ((s, dir, q) =>
       graft.operators.Sq.knnSq8(tbl(s, dir, "embeddings"), "embedding",
-        "vec_id", q, K)))
+        "vec_id", q, K)),
+    "q_sim_knn_matryoshka" -> ((s, dir, q) =>
+      Sim.knnTruncated(tbl(s, dir, "embeddings"), "embedding", "vec_id", q,
+        K, MatPrefixDim, MatShortlist)))
 
   /** Recall measurement panel: 40 spread ids, all within the 500 rows every
     * sf's embeddings table carries. The oracle gates keep their 4 fixed ids
@@ -403,7 +428,8 @@ object Similarity {
   def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
       annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_pq",
-        "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq", "q_sim_knn_sq8"))
+        "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq", "q_sim_knn_sq8",
+        "q_sim_knn_matryoshka"))
       : Map[String, Double] = {
     def sets(name: String): Map[Long, Set[Long]] =
       AnnCores(name)(s, dir, RecallPanel)
@@ -919,6 +945,139 @@ object Similarity {
               |         AS cosine
               |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
               |WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")} >= 0.3
-              |ORDER BY id1, id2""".stripMargin))
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // Matryoshka / adaptive retrieval (Kusupati et al. 2022): the full
+    // corpus scan scores only the first MatPrefixDim of Dim embedding
+    // dims (MRL models front-load information), keeps an 8·K shortlist by
+    // prefix cosine, and re-ranks the shortlist with the exact full-dim
+    // cosine — ½ the scan FLOPs/bytes at a shortlist that is a small
+    // multiple of K, not a corpus fraction (the operating-point contrast
+    // with q_sim_knn_pq_rerank). The oracle re-derives prefix slices,
+    // prefix norms, shortlist, and the exact re-rank fold-for-fold from
+    // the data alone — no side-table.
+    "q_sim_knn_matryoshka" -> Q(
+      (s, dir) => AnnCores("q_sim_knn_matryoshka")(s, dir, QueryIds)
+        .orderBy(col("query_id"), col("neighbor_id")),
+      Some(s"""$preparedCte,
+              |pp AS (
+              |  SELECT id, v, nrm, list_slice(v, 1, $MatPrefixDim) AS pv
+              |  FROM n),
+              |p2 AS (
+              |  SELECT id, v, nrm, pv,
+              |         sqrt(${DuckFrag.dotSql("pv", "pv")}) AS pn
+              |  FROM pp),
+              |q AS (
+              |  SELECT id AS query_id, pv AS qpv, pn AS qpn FROM p2
+              |  WHERE id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.cosineSql("qpv", "qpn", "pv", "pn")} AS pcos
+              |  FROM p2, q WHERE id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) rn
+              |  FROM s),
+              |cand AS (
+              |  SELECT query_id, neighbor_id FROM r WHERE rn <= $MatShortlist),
+              |ex AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |         ${DuckFrag.cosineSql("qq.v", "qq.nrm", "b.v", "b.nrm")}
+              |           AS cosine
+              |  FROM cand c
+              |  JOIN n b ON b.id = c.neighbor_id
+              |  JOIN n qq ON qq.id = c.query_id),
+              |rex AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM ex)
+              |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    // LEXICAL shortlist (integer term-frequency ranking over the fixed
+    // query terms — the ranking-ulp rule forbids ranking on ln-based BM25
+    // doubles cross-engine) with the VECTOR shortlist (exact cosine
+    // top-50). Ranks are the exchange currency: the fused score is two
+    // IEEE divisions and one add on integers, bit-identical in any
+    // engine. The lexical top-50 is a TakeOrdered + bounded 50-row
+    // driver collect (rank literals broadcast back) — a global
+    // row_number window over corpus-cardinality input would funnel one
+    // partition, which the plan guard bans.
+    "q_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = tbl(s, dir, "embeddings")
+        val nn = Sim.knnBrute(emb, "embedding", "vec_id", QueryIds,
+          RrfShortlist)
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val vec = nn.withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(wv))
+          .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+        val isTerm = (t: org.apache.spark.sql.Column) =>
+          RrfTerms.map(x => t === x).reduce(_ || _)
+        val lexAll = tbl(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            size(filter(split(col("text"), " "), isTerm)).cast("long")
+              .as("tf"))
+          .filter(col("tf") > 0)
+        val top = lexAll.orderBy(col("tf").desc, col("id"))
+          .limit(RrfShortlist).collect()
+        val ranks = top.map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy { case (id, tf) => (-tf, id) }
+          .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+        val lex = broadcast(ranks.toSeq.toDF("id", "rank"))
+          .crossJoin(broadcast(QueryIds.toDF("query_id")))
+          .select(col("query_id"), col("id"), col("rank"))
+        Sim.rrfFuse(lex, vec, RrfTopK)
+          .select(col("query_id"), col("id"), col("ra").as("lex_rank"),
+            col("rb").as("vec_rank"), col("rrf"))
+          .orderBy(col("query_id"), col("id"))
+      },
+      Some(s"""$preparedCte,
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn FROM n
+              |  WHERE id IN $queryIdList),
+              |sc AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
+              |  FROM n, q WHERE id <> query_id),
+              |vr AS (
+              |  SELECT query_id, neighbor_id AS id, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              |    AS rank
+              |  FROM sc),
+              |vtop AS (SELECT * FROM vr WHERE rank <= $RrfShortlist),
+              |lex AS (
+              |  SELECT doc_id AS id,
+              |         CAST(len(list_filter(string_split(text, ' '),
+              |           t -> t IN ${RrfTerms.mkString("('", "', '", "')")}))
+              |           AS BIGINT) AS tf
+              |  FROM documents),
+              |ltop0 AS (
+              |  SELECT id, tf FROM lex WHERE tf > 0
+              |  ORDER BY tf DESC, id LIMIT $RrfShortlist),
+              |ltop AS (
+              |  SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank
+              |  FROM ltop0),
+              |lq AS (
+              |  SELECT qq.query_id, l.id, l.rank
+              |  FROM ltop l, (SELECT DISTINCT query_id FROM vtop) qq),
+              |f AS (
+              |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+              |         coalesce(a.id, b.id) AS id,
+              |         a.rank AS lex_rank, b.rank AS vec_rank,
+              |         coalesce(1.0 / (60 + a.rank), 0.0)
+              |           + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf
+              |  FROM lq a FULL OUTER JOIN vtop b
+              |    ON a.query_id = b.query_id AND a.id = b.id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY rrf DESC, id) rn
+              |  FROM f)
+              |SELECT query_id, id, lex_rank, vec_rank, rrf FROM r
+              |WHERE rn <= $RrfTopK ORDER BY query_id, id""".stripMargin))
   )
 }

@@ -38,7 +38,11 @@ object Sf1Probe {
       "q_pipe_split_safe",
       // r13 gate 167: histogram -> orderless global window -> broadcast
       // thresholds -> narrow keep filter
-      "q_pipe_temp_sample")
+      "q_pipe_temp_sample",
+      // r14 gate 168: SemDeDup with k derived from the corpus count —
+      // probing it alongside the fixed-k gate shows the auto default
+      // holds the intra-cell kernel linear where fixed k blew up 22x
+      "q_sim_semdedup_auto")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -127,7 +131,7 @@ object Sf1Probe {
     def graphStack(copies: Int): (Double, Long) = {
       val sup = graft.queries.tbl(spark, sf01, "supplier")
         .select(col("s_suppkey"), col("s_name"))
-      val shift = sup.agg(max("s_suppkey")).head.getLong(0) + 1L
+      val shift = sup.agg(max("s_suppkey")).head().getLong(0) + 1L
       val scaled = (0 until copies).map { i =>
         sup.select((col("s_suppkey") + lit(i * shift)).as("s_suppkey"),
           (if (i == 0) col("s_name")

@@ -147,6 +147,22 @@ class ExceptionParitySpec extends SparkTestBase {
     }
   }
 
+  test("knnTruncated and rrfFuse fail fast on degenerate sizing") {
+    val df = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.knnTruncated(df, "embedding", "vec_id",
+        Seq(1L), k = 3, prefixDim = 2, shortlist = 2))
+    assert(e1.getMessage.contains("shortlist"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.knnTruncated(df, "embedding", "vec_id",
+        Seq(1L), k = 1, prefixDim = 0, shortlist = 5))
+    assert(e2.getMessage.contains("prefixDim"))
+    val ranks = Seq((1L, 2L, 1L)).toDF("query_id", "id", "rank")
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.rrfFuse(ranks, ranks, k = 0))
+    assert(e3.getMessage.contains("k >= 1"))
+  }
+
   test("leakageSafeSplit raises on a stale groups table (keeper absent " +
       "from docs) instead of silently dropping the leakage guarantee") {
     val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")

@@ -2039,4 +2039,84 @@ class RandomizedParitySpec extends SparkTestBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
+      "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
+      "knnBrute bitwise (the matryoshka exactness regime)") {
+    for (seed <- 9800 until 9810) {
+      val rnd = new Random(seed)
+      val dim = 2 + rnd.nextInt(6)
+      val rows = randVecs(rnd, 5 + rnd.nextInt(12), dim)
+      val k = 1 + rnd.nextInt(4)
+      val prefixDim = 1 + rnd.nextInt(dim)
+      val shortlist = k + rnd.nextInt(8)
+      val qIds = rnd.shuffle(rows.map(_._1).toList).take(1 + rnd.nextInt(3))
+      val df = rows.toDF("vec_id", "embedding")
+      val vecs = rows.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+      // SQL sort treats -0.0 == 0.0; normalize before the replica's sortBy
+      def sKey(c: Double): Double = if (c == 0.0) 0.0 else c
+      def topBy(scored: Seq[(Long, Double)], n: Int): Seq[(Long, Double)] =
+        scored.sortBy { case (id, c) => (-sKey(c), id) }.take(n)
+      val expected = qIds.flatMap { q =>
+        val pq = vecs(q).take(prefixDim)
+        val cands = rows.collect { case (i, _) if i != q =>
+          i -> refCos(vecs(i).take(prefixDim), pq) }
+        val short = topBy(cands, shortlist).map(_._1)
+        val exact = short.map(i => i -> refCos(vecs(i), vecs(q)))
+        topBy(exact, k).map { case (i, c) => (q, i, c) }
+      }.toSet
+      val got = graft.operators.Similarity.knnTruncated(df, "embedding",
+          "vec_id", qIds, k, prefixDim, shortlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === expected,
+        s"\nseed=$seed dim=$dim prefixDim=$prefixDim shortlist=$shortlist")
+      // exactness regime: full prefix + full shortlist — the truncation
+      // must VANISH, indicting the shortlist machinery if it differs
+      val full = graft.operators.Similarity.knnTruncated(df, "embedding",
+          "vec_id", qIds, k, dim, rows.size)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(full === bruteSet(df, qIds, k),
+        s"\nseed=$seed full-prefix/full-shortlist must equal knnBrute")
+    }
+  }
+
+  test("rrfFuse matches the in-memory reciprocal-rank-fusion replica " +
+      "(fused score doubles bitwise, missing-list nulls, per-query top-k) " +
+      "on 12 random shortlist pairs") {
+    for (seed <- 9820 until 9832) {
+      val rnd = new Random(seed)
+      val qids = (0 until (1 + rnd.nextInt(3))).map(_.toLong)
+      val ids = (0 until 15).map(_.toLong)
+      def mkList(q: Long): Seq[(Long, Long, Long)] =
+        rnd.shuffle(ids.toList).take(rnd.nextInt(8)).zipWithIndex
+          .map { case (id, i) => (q, id, (i + 1).toLong) }
+      val la = qids.flatMap(mkList)
+      val lb = qids.flatMap(mkList)
+      val k = 1 + rnd.nextInt(5)
+      val rrfK = rnd.nextInt(80)
+      val byA = la.map { case (q, id, r) => (q, id) -> r }.toMap
+      val byB = lb.map { case (q, id, r) => (q, id) -> r }.toMap
+      val expected = (byA.keySet ++ byB.keySet).groupBy(_._1).toSeq
+        .flatMap { case (q, keys) =>
+          val scored = keys.toSeq.map { case (_, id) =>
+            val ra = byA.get((q, id)); val rb = byB.get((q, id))
+            val sc = ra.map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+              rb.map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+            (id, ra, rb, sc)
+          }
+          scored.sortBy { case (id, _, _, sc) => (-sc, id) }.take(k)
+            .map { case (id, ra, rb, sc) => (q, id, ra, rb, sc) }
+        }.toSet
+      val got = graft.operators.Similarity.rrfFuse(
+          la.toDF("query_id", "id", "rank"),
+          lb.toDF("query_id", "id", "rank"), k, rrfK)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getDouble(4))).toSet
+      assert(got === expected, s"\nseed=$seed k=$k rrfK=$rrfK")
+    }
+  }
 }

@@ -201,11 +201,13 @@ class SimilaritySpec extends SparkTestBase {
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8",
-        "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq"))
+        "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq",
+        "q_sim_knn_matryoshka"))
     assert(rec("q_sim_knn_brute") === 1.0)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
     for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
-        "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq"))
+        "q_sim_knn_ivf_learned", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq",
+        "q_sim_knn_matryoshka"))
       assert(rec(ann) >= 0.3, s"$ann below the 0.3 recall floor: $rec")
     // Per-gate floors pinned at the r13 operating points (measured
     // sf0.01: lsh 0.455, lsh_mp 0.525, ivf 0.580, learned 0.705, ivfpq
@@ -216,7 +218,8 @@ class SimilaritySpec extends SparkTestBase {
     // round artifact.
     val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.65,
-      "q_sim_knn_ivfpq" -> 0.75, "q_sim_knn_pq_rerank" -> 0.75)
+      "q_sim_knn_ivfpq" -> 0.75, "q_sim_knn_pq_rerank" -> 0.75,
+      "q_sim_knn_matryoshka" -> 0.65)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor pinned floor: $rec")
     // Multi-probe exists to buy multi-table recall without storing L
@@ -264,11 +267,15 @@ class SimilaritySpec extends SparkTestBase {
       "/root/testdata/sf0.1",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
         "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_ivfpq",
-        "q_sim_knn_sq8", "q_sim_knn_pq_rerank"))
+        "q_sim_knn_sq8", "q_sim_knn_pq_rerank", "q_sim_knn_matryoshka"))
     val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
       "q_sim_knn_ivfpq" -> 0.70, "q_sim_knn_sq8" -> 0.80,
-      "q_sim_knn_pq_rerank" -> 0.80)
+      "q_sim_knn_pq_rerank" -> 0.80,
+      // matryoshka at constant 8k shortlist: the prefix ordering is only
+      // half-informative on the evenly-spread synthetic corpus (measured
+      // 0.74 sf0.01 / 0.50 sf0.1) — the floor pins the honest point
+      "q_sim_knn_matryoshka" -> 0.45)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
     assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),
