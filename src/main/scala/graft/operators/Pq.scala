@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * Everything is deterministic (hash-seeded sampling, quantized Lloyd
   * means, strict-< argmin folds with ascending-id tie-breaks), so results
   * are reproducible across engines, runs, and partitionings.
+  *
+  * Choosing an operating point: ADC alone at a coarse codebook is a
+  * MEMORY rung, not a retrieval rung (the m=4/k=8 gate measures recall
+  * 0.05–0.08) — production searches should take [[Ivfpq.knnIvfPqFrom]]
+  * (cells prune, finer residual codes order, exact re-rank repairs) or at
+  * minimum `rerank = rerankBreadth(n, k)` here; both gates pin their
+  * recall floors in SimilaritySpec.
   */
 object Pq {
 

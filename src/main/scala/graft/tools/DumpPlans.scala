@@ -337,6 +337,24 @@ object DumpPlans {
         "a broadcast-centroid narrow projection; intra-cluster pairs " +
         "bounded by cell size via the cell equi-join; min-label " +
         "components keyed by cell — corpus never self-joins globally"),
+      "q_sim_semdedup_auto" -> ("SemDeDup with k derived from ONE corpus " +
+        "count (ceil(n/targetCellSize)) — same plan family as the fixed-k " +
+        "gate (broadcast-centroid narrow assignment, cell-bounded " +
+        "intra-cluster equi-join, cell-keyed components) but the cell " +
+        "count grows with n, so the pair kernel stays linear where fixed " +
+        "k measured 22x at 10x data"),
+      "q_sim_knn_matryoshka" -> ("matryoshka adaptive retrieval: ONE " +
+        "narrow corpus scan scores the 32-dim PREFIX (broadcast-query " +
+        "non-equi scan, allowlisted BNLJ like knn_brute), " +
+        "WindowGroupLimit keeps the 8k shortlist per query, exact " +
+        "re-rank fetches only shortlist*|queries| full vectors by " +
+        "id-join — the full-dim column never rides a shuffle"),
+      "q_hybrid_rrf" -> ("RRF hybrid fusion: lexical top-50 is " +
+        "TakeOrdered + a bounded 50-row driver collect (rank literals " +
+        "re-broadcast; no global window over corpus cardinality); " +
+        "vector top-50 is the brute broadcast-query scan; the fuse is a " +
+        "full-outer join of two 50-row-per-query shortlists — every " +
+        "exchange after the scans carries rank tuples only"),
       "q_sim_neardup_groups" -> ("LSH-bucketed near-dup components: " +
         "candidate pairs form ONLY inside hash buckets (bucket equi-join " +
         "with id< ordering), cosine verify inline, then dupGroups' " +
