@@ -626,7 +626,18 @@ object Similarity {
     * k = [[semDedupAutoK]], k-means|| learns that many centroids, and
     * [[semDedupDecisions]] runs against them. Returns the centroids too,
     * so callers that replay the decision externally (oracle side-tables,
-    * incremental re-runs) use the exact cluster set that produced it. */
+    * incremental re-runs) use the exact cluster set that produced it.
+    *
+    * Cost anatomy under auto-k: the intra-cell PAIR kernel is linear
+    * (Σ|cell|² ≈ n·targetCellSize), but cell ASSIGNMENT is n·k =
+    * n²/targetCellSize dot products — sub-dominant at the production
+    * default (5000) until n is in the tens of millions per job, and the
+    * term the sf1 probe shows at its deliberately tiny demo cell size
+    * (125 → k grows 16→160 alongside 10× rows, a 100× assignment term ⇒
+    * ×4.9 wall; the same workload at k=80 measures ×2.2). Past that,
+    * assign through a
+    * bucketed centroid probe (the [[knnIvfFrom]] machinery over the
+    * centroid set itself) instead of the flat literal fold. */
   def semDedupAuto(corpus: DataFrame, threshold: Double,
       targetCellSize: Long = 5000L,
       lloydIters: Int = 2): (Seq[Cent], DataFrame) = {
