@@ -348,9 +348,24 @@ object Similarity {
     * honest operating point here needs half the dims (prefix 16 measured
     * 0.45/0.235 across scales — a floor violation; prefix 32 measures
     * 0.74/0.50). On real MRL vectors the same machinery runs at 8-16 of
-    * 768 dims; prefix width is the caller's knob. */
+    * 768 dims; prefix width is the caller's knob.
+    *
+    * Shortlist: max(8·K, ⌈n/25⌉) — a small multiple of k with a gentle 4%
+    * corpus floor. On MRL-true embeddings the k-multiple alone suffices;
+    * on this evenly-spread corpus the constant-40 point measured 0.74 at
+    * sf0.01 but 0.50 at sf0.1 (the same shrinking-fraction trend the PQ
+    * re-rank fix addressed), and the 4% floor lifts sf0.1 to 0.66 while
+    * staying 10× cheaper than pq_rerank's 40% repair — the honest
+    * contrast between "good prefix ordering, thin exact pass" and
+    * "coarse ADC ordering, wide exact repair". */
   private val MatPrefixDim = 32
-  private val MatShortlist = 8 * K
+  private val MatShortlistMin = 8 * K
+  private def matShortlistFor(n: Long): Int =
+    math.min(math.max(MatShortlistMin.toLong, (n + 24L) / 25L),
+      Int.MaxValue.toLong).toInt
+  /** DuckDB mirror of [[matShortlistFor]] over the prepared-corpus CTE. */
+  private val MatShortlistSql =
+    s"greatest($MatShortlistMin, ((SELECT count(*) FROM n) + 24) // 25)"
 
   /** Hybrid-retrieval RRF fusion sizing: lexical shortlist = vector
     * shortlist = 50, fused top-10, the canonical rrfK = 60 (Cormack et
@@ -402,9 +417,11 @@ object Similarity {
     "q_sim_knn_sq8" -> ((s, dir, q) =>
       graft.operators.Sq.knnSq8(tbl(s, dir, "embeddings"), "embedding",
         "vec_id", q, K)),
-    "q_sim_knn_matryoshka" -> ((s, dir, q) =>
-      Sim.knnTruncated(tbl(s, dir, "embeddings"), "embedding", "vec_id", q,
-        K, MatPrefixDim, MatShortlist)))
+    "q_sim_knn_matryoshka" -> ((s, dir, q) => {
+      val emb = tbl(s, dir, "embeddings")
+      Sim.knnTruncated(emb, "embedding", "vec_id", q,
+        K, MatPrefixDim, matShortlistFor(emb.count()))
+    }))
 
   /** Recall measurement panel: 40 spread ids, all within the 500 rows every
     * sf's embeddings table carries. The oracle gates keep their 4 fixed ids
@@ -979,7 +996,8 @@ object Similarity {
               |    PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) rn
               |  FROM s),
               |cand AS (
-              |  SELECT query_id, neighbor_id FROM r WHERE rn <= $MatShortlist),
+              |  SELECT query_id, neighbor_id FROM r
+              |  WHERE rn <= $MatShortlistSql),
               |ex AS (
               |  SELECT c.query_id, c.neighbor_id,
               |         ${DuckFrag.cosineSql("qq.v", "qq.nrm", "b.v", "b.nrm")}

@@ -285,6 +285,18 @@ object Streaming {
     // deduped/merged by STATE, not silently vanish, for the whole-table
     // oracle to stay truthful. Late-drop semantics are q_stream_late_drop's
     // business.
+    //
+    // Scale note (sf1 probe): this is the costliest streaming gate by
+    // DESIGN of the parity harness, not the operator — Complete mode
+    // (required for the whole-table oracle; the replay's watermark never
+    // passes the sessions, so Append would emit nothing) re-sorts and
+    // re-emits the ENTIRE session state on each of the 3 batches, ≈ 3×
+    // the data in state-store merge sorts. With state partitions sized
+    // to input (statePartitionsFor) the probe reads ×4.5 at 10× data —
+    // down from ×7.7 when the sort ran on 2 partitions; the residual
+    // above ~×3 IS the 3× re-emit. A production session job runs Append
+    // + a real watermark: state EVICTS, each session is sorted once, and
+    // per-batch cost tracks live sessions, not history.
     "q_stream_session_parity" -> Q(
       (s, dir) => {
         val stream = Streams.eventStream(s, stageEventsMulti(s, dir),

@@ -346,7 +346,7 @@ object DumpPlans {
       "q_sim_knn_matryoshka" -> ("matryoshka adaptive retrieval: ONE " +
         "narrow corpus scan scores the 32-dim PREFIX (broadcast-query " +
         "non-equi scan, allowlisted BNLJ like knn_brute), " +
-        "WindowGroupLimit keeps the 8k shortlist per query, exact " +
+        "WindowGroupLimit keeps the max(8k, n/25) shortlist per query, exact " +
         "re-rank fetches only shortlist*|queries| full vectors by " +
         "id-join — the full-dim column never rides a shuffle"),
       "q_hybrid_rrf" -> ("RRF hybrid fusion: lexical top-50 is " +

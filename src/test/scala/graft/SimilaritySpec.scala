@@ -272,10 +272,11 @@ class SimilaritySpec extends SparkTestBase {
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
       "q_sim_knn_ivfpq" -> 0.70, "q_sim_knn_sq8" -> 0.80,
       "q_sim_knn_pq_rerank" -> 0.80,
-      // matryoshka at constant 8k shortlist: the prefix ordering is only
-      // half-informative on the evenly-spread synthetic corpus (measured
-      // 0.74 sf0.01 / 0.50 sf0.1) — the floor pins the honest point
-      "q_sim_knn_matryoshka" -> 0.45)
+      // matryoshka shortlist max(8k, n/25): the 4% corpus floor lifts the
+      // evenly-spread synthetic corpus to 0.66 at sf0.1 (constant 40 had
+      // measured 0.50 — the shrinking-fraction trend) at a tenth of
+      // pq_rerank's 40% repair breadth
+      "q_sim_knn_matryoshka" -> 0.60)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
     assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),
