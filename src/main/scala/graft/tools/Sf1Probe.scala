@@ -42,7 +42,10 @@ object Sf1Probe {
       // r14 gate 168: SemDeDup with k derived from the corpus count —
       // probing it alongside the fixed-k gate shows the auto default
       // holds the intra-cell kernel linear where fixed k blew up 22x
-      "q_sim_semdedup_auto")
+      "q_sim_semdedup_auto",
+      // r14 gate 169: prefix-dim scan + max(8k, n/25) shortlist + exact
+      // re-rank — probes the thin-rerank scaling contrast with pq_rerank
+      "q_sim_knn_matryoshka")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
