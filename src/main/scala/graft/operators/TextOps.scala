@@ -65,6 +65,52 @@ object TextOps {
   def shingleHashes(text: Column, k: Int): Column =
     array_distinct(shingleHashesAll(text, k))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): slide a window of `w` consecutive k-gram hashes
+    * and keep the window MINIMUM, rightmost occurrence on ties — the tie
+    * rule that makes both documents of a matching pair select the same
+    * gram, which is the theorem the algorithm exists for: any shared token
+    * run of length ≥ w + k − 1 contributes at least one IDENTICAL
+    * (fingerprint, in-doc offset) selection in both documents, at expected
+    * density 2/(w+1) of the gram stream. The positional output (doc_id,
+    * pos, fp) — pos = 1-based gram index — is what q_pipe_fingerprint's
+    * whole-doc digest cannot give: fingerprint-equality JOINS locate the
+    * matching SPANS, the plagiarism / boilerplate-extent signal.
+    *
+    * Docs with fewer than k tokens have no grams and emit nothing (the
+    * same contract as [[shingleHashesAll]]'s other callers). Overlapping
+    * windows re-selecting one gram collapse via DISTINCT.
+    *
+    * Scale design: the whole selection is ONE narrow per-document array
+    * pass (token hashes → gram hashes → per-window argmin via a reversed
+    * array_position, all inside transform lambdas — no explode until the
+    * selected fingerprints, ~2n/(w+1) rows per doc); the only shuffle is
+    * the final DISTINCT on (doc_id, pos, fp) longs. Text never moves. */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val grams = shingleHashesAll(col(textCol), k)
+    val withG = docs
+      .filter(size(tokens(col(textCol))) >= k)
+      .select(col(idCol).as("doc_id"), grams.as("__g"))
+    // bind the gram array once (the shingleHashesAll idiom) so each of the
+    // ~n windows slices a materialized array, not a re-computed expression
+    val sel = transform(array(col("__g")), g => {
+      val starts = sequence(lit(0), greatest(size(g) - w, lit(0)))
+      transform(starts, i => {
+        val s = slice(g, i + 1, lit(w))
+        val m = array_min(s)
+        val rpos = size(s) - call_function("array_position", reverse(s), m)
+          .cast("int") + 1
+        struct((i + rpos).cast("long").as("pos"), m.as("fp"))
+      })
+    })
+    withG
+      .select(col("doc_id"), explode(element_at(sel, 1)).as("__s"))
+      .select(col("doc_id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+      .distinct()
+  }
+
   /** 16 MinHash values of a shingle-hash set. */
   def minHashSig(hashes: Column): Column =
     array(HashA.zip(HashB).map { case (a, b) =>

@@ -164,6 +164,14 @@ object TextPipeline {
     * interpolates it eagerly at object init. */
   private val TempSampleTarget = 120L
 
+  /** Winnowing gate sizing: word 3-grams, window 4 — the match-length
+    * guarantee is WinW + WinK − 1 = 6 shared tokens, expected fingerprint
+    * density 2/(WinW+1) = 40% of the gram stream (small window so the
+    * gate corpus yields plenty of tie/overlap cases; production text uses
+    * k≈5, w≈8+ for ~22% density). */
+  private val WinK = 3
+  private val WinW = 4
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -924,6 +932,38 @@ object TextPipeline {
               |SELECT doc_id, ${DuckFrag.polyHashSql("text")} AS fp,
               |       list_min(${DuckFrag.shingleHashesSql(5)}) AS min_shingle
               |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // POSITIONAL document fingerprints — full MOSS winnowing (Schleimer
+    // et al. 2003): per window of WinW consecutive WinK-gram hashes keep
+    // the minimum, rightmost on ties, DISTINCT the (pos, fp) selections.
+    // Guarantee: token runs >= WinW + WinK - 1 shared between two docs
+    // select at least one identical fingerprint in both — so fp-equality
+    // joins locate matching SPANS, which the whole-doc digest above
+    // cannot. The oracle re-derives gram hashes (shared constants), the
+    // same list_slice windows, and the same reversed-position rightmost
+    // tie-break.
+    "q_pipe_winnow" -> Q(
+      (s, dir) => graft.operators.TextOps.winnowingFingerprints(
+          docs(s, dir), "text", "doc_id", WinK, WinW)
+        .orderBy(col("doc_id"), col("pos"), col("fp")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |h AS (
+              |  SELECT doc_id, ${DuckFrag.shingleHashesAllSql(WinK)} AS g
+              |  FROM toks WHERE len(w) >= $WinK),
+              |win AS (
+              |  SELECT doc_id,
+              |         unnest(range(0, greatest(len(g) - $WinW, 0) + 1)) AS i,
+              |         g
+              |  FROM h),
+              |sl AS (
+              |  SELECT doc_id, i, list_slice(g, i + 1, i + $WinW) AS s
+              |  FROM win)
+              |SELECT DISTINCT doc_id,
+              |  CAST(i + (len(s) - list_position(list_reverse(s),
+              |    list_min(s)) + 1) AS BIGINT) AS pos,
+              |  list_min(s) AS fp
+              |FROM sl ORDER BY doc_id, pos, fp""".stripMargin)),
 
     // Gopher-style n-gram repetition signals (top-gram fraction + duplicate
     // gram fraction, word-level, k = 2 and 3). Shuffle carries only

@@ -355,6 +355,11 @@ object DumpPlans {
         "vector top-50 is the brute broadcast-query scan; the fuse is a " +
         "full-outer join of two 50-row-per-query shortlists — every " +
         "exchange after the scans carries rank tuples only"),
+      "q_pipe_winnow" -> ("MOSS winnowing fingerprints: token hashes -> " +
+        "gram hashes -> per-window rightmost-argmin all inside per-row " +
+        "array lambdas (ONE narrow pass, no explode until the ~2n/(w+1) " +
+        "selected fingerprints); the only exchange is the DISTINCT on " +
+        "(doc_id, pos, fp) longs — text never shuffles"),
       "q_sim_neardup_groups" -> ("LSH-bucketed near-dup components: " +
         "candidate pairs form ONLY inside hash buckets (bucket equi-join " +
         "with id< ordering), cosine verify inline, then dupGroups' " +

@@ -163,6 +163,16 @@ class ExceptionParitySpec extends SparkTestBase {
     assert(e3.getMessage.contains("k >= 1"))
   }
 
+  test("winnowingFingerprints fails fast on non-positive k or w") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((0, 4), (3, 0))) {
+      val e = intercept[IllegalArgumentException](
+        graft.operators.TextOps.winnowingFingerprints(docs, "text",
+          "doc_id", k, w))
+      assert(e.getMessage.contains("k >= 1"), s"k=$k w=$w")
+    }
+  }
+
   test("leakageSafeSplit raises on a stale groups table (keeper absent " +
       "from docs) instead of silently dropping the leakage guarantee") {
     val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")

@@ -2040,6 +2040,51 @@ class RandomizedParitySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("winnowingFingerprints matches the brute MOSS replica (window min, " +
+      "rightmost tie-break, distinct positional selections) on 12 random " +
+      "corpora over a tiny alphabet (maximizing gram-hash ties), and every " +
+      "shared run of >= w+k-1 tokens shares a fingerprint") {
+    // two-letter vocab so k-grams repeat heavily — the tie-break and
+    // overlap-collapse paths get exercised, not just the generic min
+    val vocab = Vector("a", "b")
+    for (seed <- 9840 until 9852) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(3)
+      val w = 1 + rnd.nextInt(5)
+      val docRows = (0L until (2 + rnd.nextInt(8)).toLong).map { i =>
+        (i, randDoc(rnd, vocab, 2 + rnd.nextInt(12)))
+      }
+      def winnow(text: String): Set[(Long, Long)] = {
+        val g = refShingleAll(text, k)
+        if (g.isEmpty) Set.empty
+        else (0 to math.max(g.length - w, 0)).flatMap { i =>
+          val s = g.slice(i, i + w)
+          val m = s.min
+          val rpos = s.lastIndexOf(m) // rightmost min, 0-based in window
+          Some(((i + rpos + 1).toLong, m)) // 1-based gram position
+        }.toSet
+      }
+      val expected = docRows.flatMap { case (id, t) =>
+        winnow(t).map { case (p, f) => (id, p, f) } }.toSet
+      val got = graft.operators.TextOps.winnowingFingerprints(
+          docRows.toDF("doc_id", "text"), "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === expected, s"\nseed=$seed k=$k w=$w")
+      // the winnowing theorem on the data we have: if two docs share a
+      // token run of >= w+k-1, they must share a fingerprint VALUE
+      val byDoc = docRows.map { case (id, t) =>
+        id -> (t.split(" ").toVector, winnow(t).map(_._2)) }.toMap
+      val runLen = w + k - 1
+      for {
+        (i, (ti, fi)) <- byDoc; (j, (tj, fj)) <- byDoc if i < j
+        if ti.sliding(runLen).exists(r =>
+          r.length == runLen && tj.sliding(runLen).contains(r))
+      } assert(fi.intersect(fj).nonEmpty,
+        s"\nseed=$seed docs $i,$j share a $runLen-token run but no fp")
+    }
+  }
+
   test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
       "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
       "knnBrute bitwise (the matryoshka exactness regime)") {
