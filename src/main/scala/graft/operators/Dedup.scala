@@ -568,16 +568,20 @@ object Dedup {
     val reps = groups.select(col("keeper")).distinct()
       .join(docs.select(col(idCol).as("__kid"), col(textCol).as("__kt")),
         col("keeper") === col("__kid"))
-      .select(col("keeper"), hv(col("__kt")).as("__ghv"))
+      .select(col("keeper"), hv(col("__kt")).as("__ghv"),
+        lit(true).as("__found"))
     // LEFT join: a member whose keeper found no docs row keeps a null
-    // __ghv, which the output plan turns into a raise_error — never a
-    // silent fall-back to the member's own hash.
+    // __found marker, which the output plan turns into a raise_error —
+    // never a silent fall-back to the member's own hash. The marker (not
+    // __ghv) detects the join miss: a keeper PRESENT in docs with a NULL
+    // text also has a null __ghv (polyHash(NULL) is null) and must not be
+    // misreported as absent.
     val members = groups.join(reps, Seq("keeper"), "left")
-      .select(col("id").as("__mid"), col("__ghv"))
+      .select(col("id").as("__mid"), col("__ghv"), col("__found"))
     val own = docs.select(col(idCol), hv(col(textCol)).as("__ohv"))
     own.join(members, col(idCol) === col("__mid"), "left")
       .select(col(idCol),
-        when(col("__mid").isNotNull && col("__ghv").isNull,
+        when(col("__mid").isNotNull && col("__found").isNull,
           raise_error(concat(
             lit("leakageSafeSplit: the groups row for id "), col("__mid"),
             lit(" names a keeper absent from docs — a stale groups table" +

@@ -164,20 +164,41 @@ object Pq {
     knnPqFrom(corpus, cbs, queryIds, k, rerank)
   }
 
-  /** Scale-safe exact-re-rank breadth: ⌈[[RerankNum]]·n/[[RerankDenom]]⌉
-    * ADC candidates per query (never below k). A CONSTANT breadth is a
-    * shrinking fraction of a growing corpus — r13 measured pq_rerank
-    * recall 0.84 at 500 rows (200 = 40% of the corpus) but 0.475 at 2000
-    * rows (200 = 10%), and the trend only worsens with n. Fixing the
-    * fraction fixes the operating point; the cost stays linear in n
-    * (breadth·|queries| exact cosines fetched by id-join). Pure integer
-    * arithmetic, so any SQL engine replays the same breadth. */
+  /** Fraction-of-corpus exact-re-rank breadth:
+    * ⌈[[RerankNum]]·n/[[RerankDenom]]⌉ ADC candidates per query (never
+    * below k). A CONSTANT breadth is a shrinking fraction of a growing
+    * corpus — r13 measured pq_rerank recall 0.84 at 500 rows (200 = 40%
+    * of the corpus) but 0.475 at 2000 rows (200 = 10%), and the trend
+    * only worsens with n. Pure integer arithmetic, so any SQL engine
+    * replays the same breadth.
+    *
+    * This 2/5 fraction is a GATE-ONLY operating point, not a production
+    * recommendation: re-scoring 40% of the corpus with exact cosine makes
+    * the "ANN" cost approach brute force — the recall floor is largely
+    * bought by the near-exhaustive exact pass. It exists because the
+    * recall spec pins a floor at two test scales (500 and 2000 rows),
+    * where only a corpus fraction holds the operating point steady. A
+    * production deployment should pick a SUBLINEAR breadth — a small
+    * multiple of k (FAISS-style `k·rerankFactor`, 4–32×) or an O(√n)
+    * schedule like [[rerankBreadthSublinear]] — and buy recall back with
+    * more codebooks (larger m) or IVF-PQ probes, both of which keep the
+    * exact pass a vanishing fraction of n. */
   val RerankNum = 2L
   val RerankDenom = 5L
   def rerankBreadth(n: Long, k: Int): Int =
     math.min(
       math.max(k.toLong, (RerankNum * n + RerankDenom - 1L) / RerankDenom),
       Int.MaxValue.toLong).toInt
+
+  /** Production re-rank breadth: max(8k, ⌈√n⌉) — sublinear in the corpus,
+    * so the exact-cosine repair pass stays a vanishing fraction of n while
+    * still growing with it (a constant breadth decays, see
+    * [[rerankBreadth]]'s recall history). The 8k floor keeps small corpora
+    * from starving the re-rank below a useful candidate pool. */
+  def rerankBreadthSublinear(n: Long, k: Int): Int = {
+    val root = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong
+    math.min(math.max(8L * k, root), Int.MaxValue.toLong).toInt
+  }
 
   /** [[knnPqAdc]] with caller-supplied codebooks (the hook that lets the
     * oracle gate dump the exact codebooks its plan scores with). */

@@ -12,6 +12,12 @@ import graft.functions.GraftFunctions._
   */
 object Relational {
 
+  /** Nonces of compaction staging dirs created by THIS process — the only
+    * dirs the q_layout_compact entry reaper may delete young (see the
+    * gate's comment; cross-JVM leftovers wait out a 24 h mtime cutoff). */
+  private val compactNonces =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val defs: Map[String, Q] = Map(
     // §2.1 scan + §2.2 projection/filter: predicate + pruning reach parquet.
     "q_filter_project" -> Q(
@@ -762,9 +768,14 @@ object Relational {
     // side-tables (tmp→rename swap), these dirs are read BACK lazily by
     // the returned plan, so two concurrent same-scale invocations (bench
     // sampling overlapping a verify run) would otherwise interleave one
-    // run's overwrite-delete with the other's read-back. Stale nonce dirs
-    // from prior invocations are reaped on entry once they are an hour
-    // old (no live run holds a staging dir that long).
+    // run's overwrite-delete with the other's read-back. Reaping is
+    // scoped: dirs whose nonce THIS process created go at the 1-hour
+    // cutoff (an earlier invocation in this JVM has been collected long
+    // before that), while foreign dirs wait out 24 hours — a wall-clock
+    // cutoff short enough to race a live CONCURRENT process (an hour, on
+    // a loaded machine) must not delete a dir this process did not
+    // create, because dir mtime is set at write and never refreshed by
+    // the later lazy read-back.
     "q_layout_compact" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -774,11 +785,16 @@ object Relational {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
           f.delete(): Unit
         }
-        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        val hourCutoff = System.currentTimeMillis() - 3600L * 1000
+        val deadCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
         for (f <- Option(stagingRoot.listFiles()).getOrElse(Array.empty)
-             if f.getName.startsWith("compact_") && f.lastModified < cutoff)
+             if f.getName.startsWith("compact_") &&
+               (if (compactNonces.contains(f.getName.split('_').last))
+                  f.lastModified < hourCutoff
+                else f.lastModified < deadCutoff))
           rmTree(f)
         val nonce = java.util.UUID.randomUUID().toString.take(8)
+        compactNonces.add(nonce): Unit
         val frag = s"/root/repo/target/staging/compact_src_${sfx}_$nonce"
         val out = s"/root/repo/target/staging/compact_out_${sfx}_$nonce"
         tbl(s, dir, "documents").repartition(16)

@@ -339,6 +339,10 @@ object Similarity {
 
   private val queryIdList = QueryIds.mkString("(", ", ", ")")
 
+  /** [[QueryIds]] as a DuckDB ARRAY literal body — for oracles that need
+    * the id set as ROWS (unnest) rather than an IN predicate. */
+  private val queryIdArraySql = QueryIds.mkString("[", ", ", "]")
+
   /** Matryoshka adaptive-retrieval operating point: score the first 32 of
     * 64 dims on the full scan (½ the FLOPs/bytes), keep an 8·K shortlist,
     * re-rank exactly. Unlike PQ's corpus-fraction repair, the shortlist is
@@ -1081,8 +1085,14 @@ object Similarity {
               |  SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank
               |  FROM ltop0),
               |lq AS (
+              |  -- the SAME literal id set the Spark side cross-joins:
+              |  -- deriving it from vtop would drop a query with zero
+              |  -- vector-shortlist rows (degenerate corpus) that Spark
+              |  -- still emits lexical-only fused rows for
               |  SELECT qq.query_id, l.id, l.rank
-              |  FROM ltop l, (SELECT DISTINCT query_id FROM vtop) qq),
+              |  FROM ltop l,
+              |    (SELECT unnest(ARRAY$queryIdArraySql::BIGINT[])
+              |       AS query_id) qq),
               |f AS (
               |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
               |         coalesce(a.id, b.id) AS id,

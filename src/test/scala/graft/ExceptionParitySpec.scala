@@ -190,5 +190,15 @@ class ExceptionParitySpec extends SparkTestBase {
       docs, "doc_id", "text", Seq((2L, 1L)).toDF("id", "keeper"), 80, 10)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(ok === Map(1L -> false, 2L -> true))
+    // a keeper PRESENT in docs with NULL text is not "absent": its group
+    // hash is null (polyHash(NULL)), so members fall through to their own
+    // hash — it must NOT raise the stale-table error (the join-miss
+    // marker, not the null hash, detects absence)
+    val nullDocs = Seq((1L, null.asInstanceOf[String]), (2L, "bb"))
+      .toDF("doc_id", "text")
+    val viaNull = graft.operators.Dedup.leakageSafeSplit(
+      nullDocs, "doc_id", "text", Seq((2L, 1L)).toDF("id", "keeper"),
+      80, 10).collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(viaNull === Map(1L -> false, 2L -> true))
   }
 }
