@@ -171,6 +171,163 @@ object Similarity {
       corpus.withColumn("cell", cellFor(col("v"), col("nrm"), cents))
     else assignCellsJoined(corpus, cents)
 
+  /** Coarse group over a centroid set: gid, the group's mean vector and
+    * its norm. Driver-side by construction — groups exist only to bound
+    * how many FINE centroids a corpus row scores against. */
+  final case class CentGroup(gid: Long, gv: Array[Double], gn: Double)
+
+  /** Default probe width for [[assignCellsBucketed]]: how many coarse
+    * groups each row's fine-centroid scan descends into. */
+  val GroupProbes: Int = 4
+
+  /** Group count minimizing per-row work at [[GroupProbes]] probes: the
+    * row scores m coarse centers plus ~probes·k/m fine members, and
+    * m = ⌈2√k⌉ balances the two terms at ~4√k total — the knob that turns
+    * the flat fold's n·k into n·O(√k). */
+  def centroidGroupCount(k: Int): Int =
+    math.max(1, math.ceil(2.0 * math.sqrt(math.max(0, k).toDouble)).toInt)
+
+  /** Deterministic driver-side grouping of a centroid set: stride seeds
+    * over the cid-sorted centroids, two Lloyd rounds by max cosine (ties
+    * to the smallest gid), group center = member coordinate mean. Pure
+    * sequential Scala over at most a few thousand centroids — k·m·dim
+    * flops, negligible next to any corpus pass — and bit-reproducible, so
+    * the groups can ride to a cross-engine oracle as a side-table.
+    * Returns (non-empty groups, cid → gid). */
+  def groupCentroids(cents: Seq[Cent],
+      numGroups: Int): (Seq[CentGroup], Map[Long, Long]) = {
+    val sorted = cents.sortBy(_.cid).toIndexedSeq
+    if (sorted.isEmpty) return (Seq.empty, Map.empty)
+    val m = math.max(1, math.min(numGroups, sorted.size))
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosTo(c: Cent, gv: Array[Double], gn: Double): Double =
+      if (c.cnrm * gn > 0) dotA(c.cv, gv) / (c.cnrm * gn) else 0.0
+    var centers: IndexedSeq[(Array[Double], Double)] =
+      (0 until m).map { j =>
+        val c = sorted((j.toLong * sorted.size / m).toInt); (c.cv, c.cnrm)
+      }
+    def assignAll(): Array[Int] = sorted.map { c =>
+      var bj = 0; var bc = Double.NegativeInfinity
+      var j = 0
+      while (j < centers.size) {
+        val cs = cosTo(c, centers(j)._1, centers(j)._2)
+        if (cs > bc) { bc = cs; bj = j } // strict > keeps the smallest gid
+        j += 1
+      }
+      bj
+    }.toArray
+    var assign = assignAll()
+    for (_ <- 1 to 2) {
+      centers = centers.indices.map { j =>
+        val mem = sorted.indices.filter(assign(_) == j)
+        if (mem.isEmpty) centers(j)
+        else {
+          val dim = sorted(mem.head).cv.length
+          val mean = new Array[Double](dim)
+          for (i <- mem) {
+            var d = 0
+            while (d < dim) { mean(d) += sorted(i).cv(d); d += 1 }
+          }
+          var d = 0
+          while (d < dim) { mean(d) /= mem.size; d += 1 }
+          (mean, math.sqrt(dotA(mean, mean)))
+        }
+      }
+      assign = assignAll()
+    }
+    val groups = centers.indices.collect {
+      case j if assign.contains(j) =>
+        CentGroup(j.toLong, centers(j)._1, centers(j)._2)
+    }
+    val cid2gid =
+      sorted.indices.map(i => sorted(i).cid -> assign(i).toLong).toMap
+    (groups, cid2gid)
+  }
+
+  /** Two-level argmax-cosine cell id in ONE narrow projection: score the
+    * coarse group centers, keep the top `nProbe` by (cos DESC, gid), and
+    * run the flat argmax fold ([[cellFor]] semantics: ties to the
+    * smallest cid) over just those groups' fine members. Per-row work is
+    * m + nProbe·k/m dot products instead of k. With nProbe ≥ m every
+    * member is scanned and the result is IDENTICAL to [[cellFor]]
+    * (spec-pinned); below that the assignment is the deterministic
+    * two-level rule a cross-engine oracle replays from the (cid, gid) and
+    * (gid, gv, gn) side-tables — argmax fidelity vs the flat fold depends
+    * on corpus cluster structure, which is the standard IVF trade every
+    * billion-scale vector system makes (cell assignment is itself a
+    * heuristic partition, not a correctness contract). */
+  private def bucketedCellFor(v: Column, nrm: Column, groups: Seq[CentGroup],
+      members: Map[Long, Seq[Cent]], nProbe: Int): Column = {
+    val gLit = typedLit(groups.sortBy(_.gid).map { g =>
+        (g.gid, g.gv.toSeq, g.gn,
+          members.getOrElse(g.gid, Seq.empty).sortBy(_.cid)
+            .map(c => (c.cid, c.cv.toSeq, c.cnrm)))
+      })
+      .cast("array<struct<gid:bigint,gv:array<double>,gn:double," +
+        "members:array<struct<cid:bigint,cv:array<double>,cnrm:double>>>>")
+    val scored = transform(gLit, g => struct(
+      cosine(v, nrm, g.getField("gv"), g.getField("gn")).as("gcos"),
+      g.getField("gid").as("gid"),
+      g.getField("members").as("members")))
+    val byCosDescGid = array_sort(scored, (l, r) =>
+      when(l.getField("gcos") > r.getField("gcos"), lit(-1))
+        .when(l.getField("gcos") < r.getField("gcos"), lit(1))
+        .when(l.getField("gid") < r.getField("gid"), lit(-1))
+        .when(l.getField("gid") > r.getField("gid"), lit(1))
+        .otherwise(lit(0)))
+    val cand = flatten(transform(slice(byCosDescGid, 1, nProbe),
+      g => g.getField("members")))
+    val accType = "struct<best:double,cid:bigint>"
+    aggregate(cand,
+      struct(lit(Double.NegativeInfinity).as("best"), lit(-1L).as("cid"))
+        .cast(accType),
+      (acc, c) => {
+        val cs = cosine(v, nrm, c.getField("cv"), c.getField("cnrm"))
+        when(cs > acc.getField("best") ||
+            (cs === acc.getField("best") &&
+              c.getField("cid") < acc.getField("cid")),
+          struct(cs.as("best"), c.getField("cid").as("cid")).cast(accType))
+          .otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Corpus with a `cell` column assigned through a CALLER-SUPPLIED group
+    * structure — the hook that lets a gate dump the exact groups its plan
+    * assigned with (same contract as [[knnIvfFrom]]'s caller-supplied
+    * centroids). Still one narrow projection, no join, no shuffle. */
+  def assignCellsGrouped(corpus: DataFrame, cents: Seq[Cent],
+      groups: Seq[CentGroup], cidToGid: Map[Long, Long],
+      nProbe: Int = GroupProbes): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val nDoubles = centDoubles(cents) +
+      groups.iterator.map(_.gv.length.toLong).sum
+    require(nDoubles <= LiteralDoubleLimit,
+      s"grouped centroid set too large for literal inlining ($nDoubles " +
+        s"doubles > 2^22); use assignCellsJoined past this limit")
+    val byGid = cents.groupBy(c => cidToGid(c.cid))
+    corpus.withColumn("cell",
+      bucketedCellFor(col("v"), col("nrm"), groups, byGid, nProbe))
+  }
+
+  /** Bucketed cell assignment with groups derived on the spot
+    * ([[groupCentroids]] at [[centroidGroupCount]] groups): the n·k flat
+    * fold becomes n·O(√k) — the term that made auto-k SemDeDup's
+    * assignment quadratic in n (k ∝ n at constant cell size; the sf1
+    * probe measured the flat fold at ×4.6 wall per 10× data at the demo
+    * cell size). Use [[assignCellsGrouped]] when the caller needs the
+    * group structure itself (oracle side-tables). */
+  def assignCellsBucketed(corpus: DataFrame, cents: Seq[Cent],
+      nProbe: Int = GroupProbes, numGroups: Int = 0): DataFrame = {
+    if (cents.isEmpty)
+      return corpus.withColumn("cell", lit(-1L))
+    val m = if (numGroups > 0) numGroups else centroidGroupCount(cents.size)
+    val (groups, cid2gid) = groupCentroids(cents, m)
+    assignCellsGrouped(corpus, cents, groups, cid2gid, nProbe)
+  }
+
   /** Argmax-cosine cell id as ONE narrow projection over a literal centroid
     * array: an `aggregate` fold keeping the best (cosine, cid) pair. No row
     * multiplication, no shuffle — the corpus never moves for assignment.
@@ -334,8 +491,9 @@ object Similarity {
       .toDF("cid", "cv", "cnrm")
   }
 
-  private def kmeansDriver(corpus: DataFrame, k: Int,
-      lloydIters: Int): Seq[Cent] = {
+  private def kmeansDriver(corpus: DataFrame, k: Int, lloydIters: Int,
+      assignFn: (DataFrame, Seq[Cent]) => DataFrame =
+        assignCells(_, _)): Seq[Cent] = {
     // 1. oversample (distributed top-2k by hash — TakeOrdered, no full sort)
     val cand = corpus.select(col("id"), col("v"), col("nrm"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -366,7 +524,7 @@ object Similarity {
     // components; the plan restarts from `corpus` every round, so there is
     // no growing lineage to checkpoint.
     for (_ <- 1 to lloydIters) {
-      cents = assignCells(corpus, cents)
+      cents = assignFn(corpus, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cell"))
@@ -509,8 +667,15 @@ object Similarity {
     * through [[semDedupAuto]], which derives k from the corpus count and
     * cannot be handed the fixed-k scale trap. */
   def semDedupDecisions(corpus: DataFrame, cents: Seq[Cent],
+      threshold: Double): DataFrame =
+    semDedupFrom(assignCells(corpus, cents), threshold)
+
+  /** SemDeDup pair kernel + component fold over an already-assigned
+    * corpus — shared by the flat ([[semDedupDecisions]]) and bucketed
+    * ([[semDedupAuto]]) assignment paths. */
+  private def semDedupFrom(assignedIn: DataFrame,
       threshold: Double): DataFrame = {
-    val assigned = assignCells(corpus, cents)
+    val assigned = assignedIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -622,27 +787,48 @@ object Similarity {
       Int.MaxValue.toLong).toInt
   }
 
-  /** SemDeDup with the scale-safe default: ONE corpus count sizes
-    * k = [[semDedupAutoK]], k-means|| learns that many centroids, and
-    * [[semDedupDecisions]] runs against them. Returns the centroids too,
-    * so callers that replay the decision externally (oracle side-tables,
-    * incremental re-runs) use the exact cluster set that produced it.
+  /** Everything a caller needs to replay [[semDedupAuto]]'s decisions
+    * externally: the learned fine centroids, their coarse grouping
+    * (cid → gid plus the group centers), the probe width, and the
+    * decision frame itself. A cross-engine oracle re-derives the SAME
+    * two-level assignment from the (cid, cv, cnrm, gid) and (gid, gv, gn)
+    * tables — rank groups by (cos DESC, gid), argmax (cos DESC, cid) over
+    * the top-nProbe groups' members. */
+  final case class SemDedupAutoModel(cents: Seq[Cent],
+      cidToGid: Map[Long, Long], groups: Seq[CentGroup], nProbe: Int,
+      decisions: DataFrame)
+
+  /** SemDeDup with the scale-safe defaults: ONE corpus count sizes
+    * k = [[semDedupAutoK]], k-means|| learns that many centroids, and the
+    * pair kernel runs over a BUCKETED cell assignment. Returns the full
+    * [[SemDedupAutoModel]] so callers that replay the decision externally
+    * (oracle side-tables, incremental re-runs) use the exact cluster AND
+    * group sets that produced it.
     *
     * Cost anatomy under auto-k: the intra-cell PAIR kernel is linear
-    * (Σ|cell|² ≈ n·targetCellSize), but cell ASSIGNMENT is n·k =
-    * n²/targetCellSize dot products — sub-dominant at the production
-    * default (5000) until n is in the tens of millions per job, and the
-    * term the sf1 probe shows at its deliberately tiny demo cell size
-    * (125 → k grows 16→160 alongside 10× rows, a 100× assignment term ⇒
-    * ×4.9 wall; the same workload at k=80 measures ×2.2). Past that,
-    * assign through a
-    * bucketed centroid probe (the [[knnIvfFrom]] machinery over the
-    * centroid set itself) instead of the flat literal fold. */
+    * (Σ|cell|² ≈ n·targetCellSize). Cell ASSIGNMENT — both the Lloyd
+    * rounds inside training and the final pass — goes through
+    * [[assignCellsBucketed]], so each pass is n·O(√k) dot products
+    * instead of the flat fold's n·k = n²/targetCellSize (the term the
+    * sf1 probe measured at ×4.6 wall per 10× data at the demo cell size
+    * when assignment was flat). Every term is now linear or O(n^1.5 /
+    * √targetCellSize), and the √k term has a ~35× advantage over flat at
+    * the 100 M-row/5000-cell operating point. */
   def semDedupAuto(corpus: DataFrame, threshold: Double,
       targetCellSize: Long = 5000L,
-      lloydIters: Int = 2): (Seq[Cent], DataFrame) = {
-    val cents = kmeansCentroidsSeq(corpus,
-      semDedupAutoK(corpus.count(), targetCellSize), lloydIters)
-    (cents, semDedupDecisions(corpus, cents, threshold))
+      lloydIters: Int = 2): SemDedupAutoModel = {
+    // no persist here: gate callers hand in an already-cached corpus
+    // (preparedCorpus keeps its cache for the decision plan's later
+    // scans), and persisting the same plan again would let an unpersist
+    // evict it mid-gate. Production callers own their corpus lifecycle.
+    val k = semDedupAutoK(corpus.count(), targetCellSize)
+    val cents = kmeansDriver(corpus, k, lloydIters,
+      assignCellsBucketed(_, _))
+    val (groups, cid2gid) = groupCentroids(cents,
+      centroidGroupCount(cents.size))
+    val assigned = assignCellsGrouped(corpus, cents, groups, cid2gid,
+      GroupProbes)
+    SemDedupAutoModel(cents, cid2gid, groups, GroupProbes,
+      semDedupFrom(assigned, threshold))
   }
 }

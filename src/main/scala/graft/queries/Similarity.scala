@@ -143,6 +143,15 @@ object Similarity {
     "/root/repo/target/oracle_aux/semdedup_auto_centroids_"
   private def semAutoDump(dir: String): String =
     SemAutoDumpBase + new java.io.File(dir).getName
+
+  /** Side-table for the auto gate's coarse GROUP centers — the second
+    * half of the bucketed-assignment replay (the first is the gid column
+    * on the centroid dump): the oracle ranks these by (cos DESC, gid) per
+    * row and argmaxes over the top-[[Sim.GroupProbes]] groups' members. */
+  private val SemAutoGroupsBase =
+    "/root/repo/target/oracle_aux/semdedup_auto_groups_"
+  private def semAutoGroupsDump(dir: String): String =
+    SemAutoGroupsBase + new java.io.File(dir).getName
   /** Auto-k cell-size target for the gate: small enough that the derived
     * k actually moves across scales (500 rows → k=4, 2000 → k=16),
     * proving the auto path is exercised rather than collapsing to the
@@ -168,6 +177,62 @@ object Similarity {
        |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
        |             DESC, cent.cid) AS rk
        |  FROM n, cent),
+       |assign AS (
+       |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
+       |pairs AS (
+       |  SELECT x.id AS id1, y.id AS id2
+       |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+       |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")}
+       |    >= $SemThreshold),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM edges e
+       |  JOIN reach ON e.a = reach.id),
+       |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+       |SELECT a.id, a.cell,
+       |       coalesce(g.keeper, a.id) AS keeper,
+       |       coalesce(g.keeper, a.id) = a.id AS keep
+       |FROM assign a LEFT JOIN grp g ON g.id = a.id
+       |ORDER BY a.id""".stripMargin
+
+  /** SemDeDup oracle for the BUCKETED assignment path: replays the exact
+    * two-level rule [[Sim.assignCellsGrouped]] runs — rank the dumped
+    * coarse group centers by (cos DESC, gid) per row, keep the top
+    * [[Sim.GroupProbes]], argmax (cos DESC, cid) over those groups' fine
+    * members — then the same pair/component fold as the flat oracle. Both
+    * ranking keys are the bit-exact sequential-fold cosine, so the probe
+    * set and the argmax agree across engines. */
+  private def semDedupBucketedOracleSql(centsBase: String,
+      groupsBase: String, nProbe: Int): String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
+       |cent AS (
+       |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm, gid
+       |  FROM read_parquet('${centsBase}sf0.01/*.parquet')),
+       |cgrp AS (
+       |  SELECT gid, CAST(gv AS DOUBLE[]) AS gv, gn
+       |  FROM read_parquet('${groupsBase}sf0.01/*.parquet')),
+       |gsc AS (
+       |  SELECT n.id, cgrp.gid,
+       |         row_number() OVER (PARTITION BY n.id ORDER BY
+       |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cgrp.gv", "cgrp.gn")}
+       |             DESC, cgrp.gid) AS grk
+       |  FROM n, cgrp),
+       |probe AS (SELECT id, gid FROM gsc WHERE grk <= $nProbe),
+       |ranked AS (
+       |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+       |         row_number() OVER (PARTITION BY n.id ORDER BY
+       |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
+       |             DESC, cent.cid) AS rk
+       |  FROM n JOIN probe ON probe.id = n.id
+       |  JOIN cent ON cent.gid = probe.gid),
        |assign AS (
        |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
        |pairs AS (
@@ -875,25 +940,37 @@ object Similarity {
       },
       Some(semDedupOracleSql(SemDumpBase))),
 
-    // SemDeDup with the SCALE-SAFE default: k is derived from the corpus
+    // SemDeDup with the SCALE-SAFE defaults: k is derived from the corpus
     // count (k = ceil(n / targetCellSize)) instead of pinned by the
     // caller, so the intra-cell pair kernel stays linear in n — the fix
-    // for the fixed-k gate's measured 22.3x blow-up at 10x data. The
-    // derived centroid set (4 cells at 500 rows, 16 at 2000) goes to its
-    // own side-table; the oracle replay is byte-identical in shape to the
-    // fixed-k gate's and never needs to know k.
+    // for the fixed-k gate's measured 22.3x blow-up at 10x data. Cell
+    // assignment (Lloyd rounds AND the final pass) is BUCKETED: top-4
+    // coarse groups by cosine, argmax over just their members — n·O(√k)
+    // instead of the flat fold's n·k = n²/targetCellSize, the term the
+    // sf1 probe measured at ×4.6 at the demo cell size. The derived
+    // centroids ride to the oracle WITH their gid, the coarse group
+    // centers get their own side-table, and the oracle replays the
+    // identical two-level rule (rank groups by cos DESC/gid, argmax over
+    // the probed members) — so the gate pins the production algorithm
+    // itself, not a simplified stand-in.
     "q_sim_semdedup_auto" -> Q(
       (s, dir) => {
         val corpus = preparedCorpus(s, dir)
-        val (cents, decisions) =
-          Sim.semDedupAuto(corpus, SemThreshold, SemAutoCell)
+        val model = Sim.semDedupAuto(corpus, SemThreshold, SemAutoCell)
         import s.implicits._
         writeTableAtomically(
-          cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+          model.cents.map(c =>
+              (c.cid, c.cv.toSeq, c.cnrm, model.cidToGid(c.cid)))
+            .toDF("cid", "cv", "cnrm", "gid"),
           semAutoDump(dir))
-        decisions.orderBy(col("id"))
+        writeTableAtomically(
+          model.groups.map(g => (g.gid, g.gv.toSeq, g.gn))
+            .toDF("gid", "gv", "gn"),
+          semAutoGroupsDump(dir))
+        model.decisions.orderBy(col("id"))
       },
-      Some(semDedupOracleSql(SemAutoDumpBase))),
+      Some(semDedupBucketedOracleSql(SemAutoDumpBase, SemAutoGroupsBase,
+        Sim.GroupProbes))),
 
     // kNN label classification over the exact top-k neighbors: majority
     // vote of the neighbors' labels (ties break to the smallest label) —

@@ -80,6 +80,119 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells(Long.MaxValue) === cells(0L))
   }
 
+  test("assignCellsBucketed at full probe equals the flat fold (the " +
+      "approximation vanishes, same contract as nProbe=|cells| == brute)") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      for (k <- Seq(4, 8, 16)) {
+        val cents = Similarity.kmeansCentroidsSeq(corpus, k, lloydIters = 2)
+        val m = Similarity.centroidGroupCount(cents.size)
+        val flat = Similarity.assignCells(corpus, cents)
+          .select($"id", $"cell").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val full = Similarity.assignCellsBucketed(corpus, cents,
+            nProbe = m)
+          .select($"id", $"cell").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(full === flat, s"k=$k full-probe != flat")
+      }
+    } finally corpus.unpersist()
+  }
+
+  test("assignCellsBucketed: in-memory replica parity of the two-level " +
+      "rule at partial probe, across seeds and degenerate rows") {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosA(a: Array[Double], na: Double, b: Array[Double],
+        nb: Double): Double =
+      if (na * nb > 0) dotA(a, b) / (na * nb) else 0.0
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 6
+      // 60 rows incl. an all-zero row and an exact duplicate pair —
+      // cosine guard + tie-break coverage
+      val rows = (0L until 58L).map(i =>
+          (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1))) ++
+        Seq((58L, new Array[Double](dim)),
+          (59L, Array.fill(dim)(0.5)))
+      val dup = rows.take(1).map { case (_, v) => (60L, v.clone()) }
+      val all = rows ++ dup
+      val corpus = Similarity.prepared(
+        all.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+        "embedding", "vec_id")
+      val cents = all.take(12).map { case (i, v) =>
+        Similarity.Cent(i, v, math.sqrt(dotA(v, v))) }.toSeq
+      val (groups, cid2gid) = Similarity.groupCentroids(cents, 5)
+      val p = 2
+      val got = Similarity.assignCellsGrouped(corpus, cents, groups,
+          cid2gid, nProbe = p)
+        .select($"id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byGid = cents.groupBy(c => cid2gid(c.cid))
+      val want = all.map { case (id, v) =>
+        val nv = math.sqrt(dotA(v, v))
+        val probed = groups
+          .map(g => (cosA(v, nv, g.gv, g.gn), g.gid))
+          .map { case (c, g) => (if (c == 0.0) 0.0 else c, g) } // -0.0 → 0.0
+          .sortBy { case (c, g) => (-c, g) }
+          .take(p).map(_._2)
+        var best = Double.NegativeInfinity; var bcid = -1L
+        for (g <- probed; c <- byGid(g)) {
+          val cs = cosA(v, nv, c.cv, c.cnrm)
+          if (cs > best || (cs == best && c.cid < bcid)) {
+            best = cs; bcid = c.cid
+          }
+        }
+        id -> bcid
+      }.toMap
+      assert(got === want, s"seed=$seed two-level replica mismatch")
+    }
+  }
+
+  test("groupCentroids: deterministic, every cid mapped, gids are " +
+      "non-empty groups") {
+    val cents = seedCents(8)
+    val (g1, m1) = Similarity.groupCentroids(cents, 3)
+    val (g2, m2) = Similarity.groupCentroids(cents, 3)
+    assert(g1.map(g => (g.gid, g.gv.toSeq, g.gn)) ===
+      g2.map(g => (g.gid, g.gv.toSeq, g.gn)))
+    assert(m1 === m2)
+    assert(m1.keySet === cents.map(_.cid).toSet)
+    assert(m1.values.toSet === g1.map(_.gid).toSet,
+      "every group non-empty, every assignment points at a real group")
+    // empty centroid set: no groups, no mapping, and assignment degrades
+    // to the flat fold's empty behavior (cell = -1)
+    val (ge, me) = Similarity.groupCentroids(Seq.empty, 3)
+    assert(ge.isEmpty && me.isEmpty)
+  }
+
+  test("semDedupAuto model: replayable grouping, one decision per row, " +
+      "cells are real cids") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val n = corpus.count()
+      val model = Similarity.semDedupAuto(corpus, 0.3, targetCellSize = 60L)
+      val dec = model.decisions.collect()
+      assert(dec.length === n)
+      val cids = model.cents.map(_.cid).toSet
+      assert(dec.forall(r => cids.contains(r.getLong(1))),
+        "every assigned cell is a learned centroid id")
+      assert(model.cidToGid.keySet === cids)
+      assert(model.cidToGid.values.toSet === model.groups.map(_.gid).toSet)
+      assert(dec.forall(r =>
+        r.getBoolean(3) === (r.getLong(2) === r.getLong(0))))
+      // decisions replay exactly from the model's own pieces: the same
+      // grouped assignment feeding the same pair/component fold
+      val replay = Similarity.assignCellsGrouped(corpus, model.cents,
+          model.groups, model.cidToGid, model.nProbe)
+        .select($"id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dec.map(r => r.getLong(0) -> r.getLong(1)).toMap === replay)
+    } finally corpus.unpersist()
+  }
+
   test("knnIvfFrom broadcast-join fallback equals the literal path") {
     val corpus = Similarity.prepared(emb, "embedding", "vec_id")
     val cents = seedCents(4)
