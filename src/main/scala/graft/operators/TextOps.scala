@@ -111,6 +111,48 @@ object TextOps {
       .distinct()
   }
 
+  /** Cross-document matched-span extents from winnowing fingerprints —
+    * the signal [[winnowingFingerprints]] exists to feed: an fp-EQUALITY
+    * join locates the documents pairs sharing a token run of length
+    * ≥ w + k − 1 (the MOSS theorem guarantees both sides selected at
+    * least one identical fingerprint inside any such run), and the
+    * per-pair aggregate reports how MUCH overlaps and WHERE: shared-
+    * fingerprint count plus each side's min/max matched gram position —
+    * the plagiarism / boilerplate-extent readout.
+    *
+    * `maxDf`: fingerprints appearing in more than `maxDf` documents are
+    * dropped BEFORE the self-join. This is the scale guard, not a
+    * nicety — a boilerplate fingerprint (license header, nav bar) shared
+    * by d documents contributes d²/2 join pairs, so one hot fp at
+    * corpus scale is a quadratic blowup; capping df bounds the join at
+    * |fps|·maxDf pairs (the same reasoning as the banded-LSH bucket cap
+    * and the Bayardo prefix filter). Real MOSS deployments do exactly
+    * this ("ignore matches in many documents").
+    *
+    * Scale design: fingerprints are ~2n/(w+1) per document and carry
+    * (doc_id, pos, fp) longs only — text never reaches any shuffle. The
+    * df aggregate, the fp equi-join, and the pair aggregate all key on
+    * longs; AQE broadcasts the capped-df fp list when small. */
+  def winnowingSharedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a shared fp needs 2 docs), " +
+      s"got $maxDf")
+    val fps = winnowingFingerprints(docs, textCol, idCol, k, w)
+    val rare = fps.join(
+      fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("fp")),
+      "fp")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"),
+        min(col("a.pos")).as("d1_min_pos"),
+        max(col("a.pos")).as("d1_max_pos"),
+        min(col("b.pos")).as("d2_min_pos"),
+        max(col("b.pos")).as("d2_max_pos"))
+  }
+
   /** 16 MinHash values of a shingle-hash set. */
   def minHashSig(hashes: Column): Column =
     array(HashA.zip(HashB).map { case (a, b) =>

@@ -172,6 +172,13 @@ object TextPipeline {
   private val WinK = 3
   private val WinW = 4
 
+  /** Document-frequency cap for the span-join gate: fingerprints in more
+    * than this many docs drop before the fp self-join (each such fp costs
+    * df²/2 pairs — the boilerplate-blowup guard). 16 is small enough to
+    * actually trip on the gate corpus's hottest grams, proving the cap
+    * path executes. */
+  private val WinDfCap = 16
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: group by md5(text) — only the 128-bit digest shuffles.
@@ -964,6 +971,53 @@ object TextPipeline {
               |    list_min(s)) + 1) AS BIGINT) AS pos,
               |  list_min(s) AS fp
               |FROM sl ORDER BY doc_id, pos, fp""".stripMargin)),
+
+    // Matched-span extents from the winnowing fingerprints — the signal
+    // the positional selection exists for: an fp-equality join finds the
+    // document pairs sharing a >= WinW+WinK-1 token run (MOSS theorem),
+    // and the per-pair aggregate reports shared-fp count + min/max
+    // matched gram position per side. Fingerprints over WinDfCap
+    // documents drop BEFORE the self-join (one boilerplate fp shared by
+    // d docs is d^2/2 pairs — the quadratic term the cap bounds at
+    // |fps|*cap). All three shuffles carry (doc_id, pos, fp) longs; the
+    // text never leaves the initial narrow fingerprint pass.
+    "q_pipe_winnow_spans" -> Q(
+      (s, dir) => graft.operators.TextOps.winnowingSharedSpans(
+          docs(s, dir), "text", "doc_id", WinK, WinW, WinDfCap)
+        .orderBy(col("doc1"), col("doc2")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |h AS (
+              |  SELECT doc_id, ${DuckFrag.shingleHashesAllSql(WinK)} AS g
+              |  FROM toks WHERE len(w) >= $WinK),
+              |win AS (
+              |  SELECT doc_id,
+              |         unnest(range(0, greatest(len(g) - $WinW, 0) + 1)) AS i,
+              |         g
+              |  FROM h),
+              |sl AS (
+              |  SELECT doc_id, i, list_slice(g, i + 1, i + $WinW) AS s
+              |  FROM win),
+              |sel AS (
+              |  SELECT DISTINCT doc_id,
+              |    CAST(i + (len(s) - list_position(list_reverse(s),
+              |      list_min(s)) + 1) AS BIGINT) AS pos,
+              |    list_min(s) AS fp
+              |  FROM sl),
+              |rare AS (
+              |  SELECT fp FROM (
+              |    SELECT fp, count(DISTINCT doc_id) AS df FROM sel
+              |    GROUP BY fp)
+              |  WHERE df <= $WinDfCap)
+              |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+              |       count(DISTINCT a.fp) AS n_shared,
+              |       min(a.pos) AS d1_min_pos, max(a.pos) AS d1_max_pos,
+              |       min(b.pos) AS d2_min_pos, max(b.pos) AS d2_max_pos
+              |FROM sel a
+              |JOIN rare USING (fp)
+              |JOIN sel b ON b.fp = a.fp AND a.doc_id < b.doc_id
+              |GROUP BY a.doc_id, b.doc_id
+              |ORDER BY doc1, doc2""".stripMargin)),
 
     // Gopher-style n-gram repetition signals (top-gram fraction + duplicate
     // gram fraction, word-level, k = 2 and 3). Shuffle carries only

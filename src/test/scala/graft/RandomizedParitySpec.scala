@@ -2085,6 +2085,65 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  test("winnowingSharedSpans matches the brute pair replica (fp join, df " +
+      "cap, extent aggregates) on 12 random corpora over a tiny alphabet, " +
+      "and a planted shared run always surfaces its pair") {
+    val vocab = Vector("a", "b")
+    for (seed <- 9860 until 9872) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(3)
+      val w = 1 + rnd.nextInt(4)
+      val maxDf = 2 + rnd.nextInt(4)
+      // 2-letter docs share grams heavily — the df cap actually trips
+      val base = (0L until (4 + rnd.nextInt(6)).toLong).map { i =>
+        (i, randDoc(rnd, vocab, 2 + rnd.nextInt(10)))
+      }
+      // plant one shared run of EXACTLY w+k-1 tokens (randDoc's length
+      // arg is a maximum, not exact) in two fresh docs: the theorem pair
+      val runVocab = Vector("x", "y", "z")
+      val run = (0 until (w + k - 1))
+        .map(_ => runVocab(rnd.nextInt(runVocab.length))).mkString(" ")
+      val docRows = base ++ Seq(
+        (100L, run + " " + randDoc(rnd, vocab, 3)),
+        (101L, randDoc(rnd, vocab, 3) + " " + run))
+      def winnow(text: String): Set[(Long, Long)] = {
+        val g = refShingleAll(text, k)
+        if (g.isEmpty) Set.empty
+        else (0 to math.max(g.length - w, 0)).map { i =>
+          val s = g.slice(i, i + w)
+          val m = s.min
+          ((i + s.lastIndexOf(m) + 1).toLong, m)
+        }.toSet
+      }
+      val sel = docRows.flatMap { case (id, t) =>
+        winnow(t).map { case (p, f) => (id, p, f) } }
+      val df = sel.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size).toMap
+      val rare = sel.filter { case (_, _, f) => df(f) <= maxDf }
+      val expected = (for {
+        (i1, p1, f1) <- rare; (i2, p2, f2) <- rare
+        if f1 == f2 && i1 < i2
+      } yield (i1, i2, f1, p1, p2))
+        .groupBy { case (i1, i2, _, _, _) => (i1, i2) }
+        .map { case ((i1, i2), rows) =>
+          (i1, i2, rows.map(_._3).distinct.size.toLong,
+            rows.map(_._4).min, rows.map(_._4).max,
+            rows.map(_._5).min, rows.map(_._5).max)
+        }.toSet
+      val got = graft.operators.TextOps.winnowingSharedSpans(
+          docRows.toDF("doc_id", "text"), "text", "doc_id", k, w, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSet
+      assert(got === expected, s"\nseed=$seed k=$k w=$w maxDf=$maxDf")
+      // the planted x/y/z run appears in exactly docs 100 and 101 (df=2
+      // <= maxDf, never capped), so the MOSS theorem forces the pair out
+      assert(got.exists { case (a, b, _, _, _, _, _) =>
+        a == 100L && b == 101L },
+        s"\nseed=$seed planted $w+$k-1-token run did not surface (100,101)")
+    }
+  }
+
   test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
       "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
       "knnBrute bitwise (the matryoshka exactness regime)") {
