@@ -701,7 +701,11 @@ object Similarity {
     * shortlist with the exact full-dimension cosine. The scan does
     * prefixDim/dim of the FLOPs and — in a production layout where the
     * prefix is stored as its own compact column — reads prefixDim/dim of
-    * the bytes; only shortlist·|queries| full vectors are ever fetched
+    * the bytes (MEASURED, not prose: MatryoshkaLayoutSpec builds the
+    * two-column layout and pins from the parquet column-chunk sizes that
+    * the 32-of-64 phase-1 read is < 60% of the full bytes, with the
+    * suffix chunks provably absent from the pruned scan's read schema);
+    * only shortlist·|queries| full vectors are ever fetched
     * (by id-join, broadcast candidates), so the expensive column never
     * rides a shuffle. Both phases are the same deterministic left-fold
     * cosine the oracle replays bitwise.
