@@ -338,11 +338,15 @@ object DumpPlans {
         "bounded by cell size via the cell equi-join; min-label " +
         "components keyed by cell — corpus never self-joins globally"),
       "q_sim_semdedup_auto" -> ("SemDeDup with k derived from ONE corpus " +
-        "count (ceil(n/targetCellSize)) — same plan family as the fixed-k " +
-        "gate (broadcast-centroid narrow assignment, cell-bounded " +
-        "intra-cluster equi-join, cell-keyed components) but the cell " +
-        "count grows with n, so the pair kernel stays linear where fixed " +
-        "k measured 22x at 10x data"),
+        "count (ceil(n/targetCellSize)) and BUCKETED assignment: the " +
+        "argmax runs over the top-4 coarse groups' members (one narrow " +
+        "literal-fold projection — n*O(sqrt(k)) dots instead of n*k, in " +
+        "Lloyd rounds AND the final pass; no join, no shuffle for " +
+        "assignment), then the fixed-k gate's plan family (cell-bounded " +
+        "intra-cluster equi-join, cell-keyed components); cell count " +
+        "grows with n so the pair kernel stays linear where fixed k " +
+        "measured 22x at 10x data, and the sqrt(k) assignment holds the " +
+        "sf1 probe at x2.2 where the flat fold read x4.6"),
       "q_sim_knn_matryoshka" -> ("matryoshka adaptive retrieval: ONE " +
         "narrow corpus scan scores the 32-dim PREFIX (broadcast-query " +
         "non-equi scan, allowlisted BNLJ like knn_brute), " +
@@ -360,6 +364,12 @@ object DumpPlans {
         "array lambdas (ONE narrow pass, no explode until the ~2n/(w+1) " +
         "selected fingerprints); the only exchange is the DISTINCT on " +
         "(doc_id, pos, fp) longs — text never shuffles"),
+      "q_pipe_winnow_spans" -> ("matched-span extents: the winnow " +
+        "selection stays the one narrow per-doc array pass; the df " +
+        "aggregate, the df-cap semi-join, the fp equi-self-join, and " +
+        "the per-pair extent aggregate all exchange (doc_id, pos, fp) " +
+        "longs only — text never shuffles; the cap bounds the join at " +
+        "|fps|*cap pairs so one hot boilerplate fp cannot go quadratic"),
       "q_sim_neardup_groups" -> ("LSH-bucketed near-dup components: " +
         "candidate pairs form ONLY inside hash buckets (bucket equi-join " +
         "with id< ordering), cosine verify inline, then dupGroups' " +

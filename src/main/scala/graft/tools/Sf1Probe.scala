@@ -45,7 +45,15 @@ object Sf1Probe {
       "q_sim_semdedup_auto",
       // r14 gate 169: prefix-dim scan + max(8k, n/25) shortlist + exact
       // re-rank — probes the thin-rerank scaling contrast with pq_rerank
-      "q_sim_knn_matryoshka")
+      "q_sim_knn_matryoshka",
+      // the two remaining >= 2 s gates (r14 verdict item 2): expanding-
+      // window stats (per-key cumulative frames over events) and the
+      // DISTRIBUTED dup-group path (relax+jump pointer-doubling rounds)
+      "q_expanding", "q_pipe_dup_groups_dist",
+      // r15 gate: fp-equality span join — the probe watches the pair
+      // count (copies are token-disjoint, so pairs must scale linearly,
+      // and the df cap bounds any hot fingerprint)
+      "q_pipe_winnow_spans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -123,6 +131,45 @@ object Sf1Probe {
       f"sf1 k=80 $sdScaled%6.2fs | x${sdScaled / sdBase}%.1f time " +
       "(vs fixed-k gate ratio above)")
 
+    // Append + real-watermark sessionization — the PRODUCTION session
+    // shape whose linearity the Complete-mode parity gate structurally
+    // cannot show (its whole-state re-emit per batch is oracle-harness
+    // cost, not operator cost): with a 30-minute delay the watermark
+    // passes closed sessions every batch, state EVICTS, and each session
+    // is sorted once. Late rows dropping against the tight horizon is
+    // the production semantic (cross-engine parity is the Complete
+    // gate's business — eviction itself is spec-pinned in StreamsSpec).
+    // Same state-partition sizing rule as the gate drains.
+    def sessionAppend(dir: String): Double = {
+      val staged = graft.queries.Streaming.stageEventsMulti(spark, dir)
+      val f = new java.io.File(s"$dir/events.parquet")
+      val bytes =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+        else f.length()
+      val parts = math.max(2,
+        math.min(32, ((bytes + (2L << 20) - 1) / (2L << 20)).toInt))
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.withStatePartitions(spark, parts) {
+        val stream = graft.streaming.Streams
+          .eventStream(spark, staged, maxFilesPerTrigger = Some(1))
+          .withColumn("value", col("value").cast("decimal(38,6)"))
+        val agg = graft.streaming.Streams.sessionize(stream,
+          gap = "30 minutes", maxDelay = "30 minutes")
+        val out = graft.streaming.Streams
+          .runToTableAppend(agg, "probe_session_append")
+        out.agg(bit_xor(xxhash64(struct(
+          out.columns.toIndexedSeq.map(col): _*)))).collect(): Unit
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    sessionAppend(sf01) // warm
+    val saBase = sessionAppend(sf01)
+    val saScaled = sessionAppend(sf1)
+    println(f"[probe] session append-mode: sf0.1 $saBase%6.2fs | " +
+      f"sf1 $saScaled%6.2fs | x${saScaled / saBase}%.1f time " +
+      "(production eviction path; vs Complete-mode parity gate above)")
+
     // Graph-stack probe on a supplier entity table scaled in-process:
     // the risky part at 100 TB is ED-1 deletion-neighborhood blocking
     // (candidate-pair growth) feeding pagerank/triangles, and the gates
@@ -175,7 +222,9 @@ object Sf1Probe {
       s"local[$cpus], timer wraps gate fn + materialization"
     val out = s"""{"sf1_dir": "$sf1", "copies": 10, "stat": "$stat", "semdedup_scaled_k": {"sf01_k8_sec": ${
       f"$sdBase%.3f"}, "sf1_k80_sec": ${f"$sdScaled%.3f"}, "ratio": ${
-      f"${sdScaled / sdBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
+      f"${sdScaled / sdBase}%.2f"}}, "session_append": {"sf01_sec": ${
+      f"$saBase%.3f"}, "sf1_sec": ${f"$saScaled%.3f"}, "ratio": ${
+      f"${saScaled / saBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
       f"$g1%.3f"}, "x10_sec": ${f"$g10%.3f"}, "ratio": ${
       f"${g10 / g1}%.2f"}, "x1_edges": $e1, "x10_edges": $e10}, "gates": $json}"""
     java.nio.file.Files.write(

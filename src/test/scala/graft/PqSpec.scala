@@ -131,4 +131,22 @@ class PqSpec extends SparkTestBase {
     assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "cosine"))
     assert(out.count() === 0)
   }
+
+  test("rerank breadth schedules: the gate fraction vs the sublinear " +
+      "production schedule") {
+    import graft.operators.Pq
+    // the gate fraction: ceil(2n/5), floored at k
+    assert(Pq.rerankBreadth(2000, 10) === 800)
+    assert(Pq.rerankBreadth(4, 10) === 10)
+    // the production schedule: max(8k, ceil(sqrt(n))) — sublinear, so it
+    // becomes a vanishing fraction of a growing corpus while the gate
+    // fraction stays 40% forever
+    assert(Pq.rerankBreadthSublinear(100, 10) === 80) // 8k floor
+    assert(Pq.rerankBreadthSublinear(1000000, 10) === 1000) // sqrt regime
+    assert(Pq.rerankBreadthSublinear(0, 3) === 24)
+    val n = 100000000L
+    assert(Pq.rerankBreadthSublinear(n, 10).toDouble / n <
+      Pq.rerankBreadth(n, 10).toDouble / n / 100,
+      "sublinear must be >=100x below the gate fraction at 1e8 rows")
+  }
 }
