@@ -297,19 +297,79 @@ object Similarity {
   /** Corpus with a `cell` column assigned through a CALLER-SUPPLIED group
     * structure — the hook that lets a gate dump the exact groups its plan
     * assigned with (same contract as [[knnIvfFrom]]'s caller-supplied
-    * centroids). Still one narrow projection, no join, no shuffle. */
+    * centroids). Below the literal budget this is one narrow projection
+    * (no join, no shuffle); above it ([[assignCellsGroupedJoined]]) the
+    * same two-level rule runs as broadcast joins with ONE id-keyed
+    * corpus shuffle — both spellings are bitwise-equal (spec-pinned), so
+    * the dispatch is an execution detail, never a semantic input. The
+    * literal budget matters at real embedding widths: at dim 1024 the
+    * 2^22-double cap holds only k ≈ 4000 centroids (~20 M rows per job
+    * at cellSize 5000) — a 100 TB corpus lives on the joined path. */
   def assignCellsGrouped(corpus: DataFrame, cents: Seq[Cent],
       groups: Seq[CentGroup], cidToGid: Map[Long, Long],
-      nProbe: Int = GroupProbes): DataFrame = {
+      nProbe: Int = GroupProbes,
+      literalLimit: Long = LiteralDoubleLimit): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val nDoubles = centDoubles(cents) +
       groups.iterator.map(_.gv.length.toLong).sum
-    require(nDoubles <= LiteralDoubleLimit,
-      s"grouped centroid set too large for literal inlining ($nDoubles " +
-        s"doubles > 2^22); use assignCellsJoined past this limit")
-    val byGid = cents.groupBy(c => cidToGid(c.cid))
-    corpus.withColumn("cell",
-      bucketedCellFor(col("v"), col("nrm"), groups, byGid, nProbe))
+    if (nDoubles <= literalLimit) {
+      val byGid = cents.groupBy(c => cidToGid(c.cid))
+      corpus.withColumn("cell",
+        bucketedCellFor(col("v"), col("nrm"), groups, byGid, nProbe))
+    } else assignCellsGroupedJoined(corpus, cents, groups, cidToGid, nProbe)
+  }
+
+  /** The two-level assignment for grouped centroid sets too large to
+    * inline as a literal: broadcast the GROUP-CENTER table (m rows),
+    * expand corpus × m, collapse to each row's top-`nProbe` probe list
+    * with ONE id-keyed shuffle (map-side partial collect of m tiny
+    * structs; the vector rides that single exchange), explode the probe
+    * list (n·nProbe rows), equi-join the broadcast CENTROID table by gid
+    * (n·nProbe·k/m scoring rows, never materialized past the map side),
+    * and collapse back to one (id, cell) with a map-side `max_by` whose
+    * (cos, −cid) key reproduces the literal fold's smallest-cid
+    * tie-break. Same rule, same fold arithmetic, same tie-breaks as
+    * [[bucketedCellFor]] — bitwise equal output. */
+  def assignCellsGroupedJoined(corpus: DataFrame, cents: Seq[Cent],
+      groups: Seq[CentGroup], cidToGid: Map[Long, Long],
+      nProbe: Int = GroupProbes): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    // empty centroid set: same degenerate contract as the literal fold
+    // (aggregate over nothing keeps the init acc) — every row cell = -1
+    if (groups.isEmpty || cents.isEmpty)
+      return corpus.withColumn("cell", lit(-1L))
+    val spark = corpus.sparkSession
+    val gdf = spark.createDataFrame(
+      groups.map(g => (g.gid, g.gv.toSeq, g.gn)))
+      .toDF("gid", "gv", "gn")
+    val byCosDescGid: (Column, Column) => Column = (l, r) =>
+      when(l.getField("gcos") > r.getField("gcos"), lit(-1))
+        .when(l.getField("gcos") < r.getField("gcos"), lit(1))
+        .when(l.getField("gid") < r.getField("gid"), lit(-1))
+        .when(l.getField("gid") > r.getField("gid"), lit(1))
+        .otherwise(lit(0))
+    // every duplicate row of an id carries the identical v/nrm, so the
+    // firsts are deterministic; (gcos, gid) is unique per id, so the
+    // sorted-then-sliced probe list is partition-order invariant
+    val probed = corpus.join(broadcast(gdf))
+      .select(col("id"), col("v"), col("nrm"),
+        struct(cosine(col("v"), col("nrm"), col("gv"), col("gn"))
+          .as("gcos"), col("gid").as("gid")).as("gs"))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        slice(array_sort(collect_list(col("gs")), byCosDescGid),
+          1, nProbe).as("probes"))
+    val cands = probed.select(col("id"), col("v"), col("nrm"),
+      explode(transform(col("probes"), p => p.getField("gid"))).as("gid"))
+    val cdf = spark.createDataFrame(
+      cents.map(c => (c.cid, cidToGid(c.cid), c.cv.toSeq, c.cnrm)))
+      .toDF("cid", "cgid", "cv", "cnrm")
+    val best = cands.join(broadcast(cdf), col("gid") === col("cgid"))
+      .select(col("id"), col("cid"),
+        cosine(col("v"), col("nrm"), col("cv"), col("cnrm")).as("cos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
+    corpus.join(best, "id")
   }
 
   /** Bucketed cell assignment with groups derived on the spot

@@ -151,6 +151,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("assignCellsGrouped joined fallback equals the literal fold at " +
+      "partial AND full probe (the over-literal-budget 100 TB path)") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val cents = Similarity.kmeansCentroidsSeq(corpus, 12, lloydIters = 2)
+      val (groups, cid2gid) = Similarity.groupCentroids(cents, 4)
+      for (p <- Seq(1, 2, 4)) {
+        def cells(limit: Long) =
+          Similarity.assignCellsGrouped(corpus, cents, groups, cid2gid,
+              nProbe = p, literalLimit = limit)
+            .select($"id", $"cell").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(cells(Long.MaxValue) === cells(0L), s"nProbe=$p")
+      }
+      // degenerate contract parity: empty centroid set -> every cell -1
+      // on BOTH spellings
+      val viaJoined = Similarity.assignCellsGroupedJoined(corpus,
+          Seq.empty, Seq.empty, Map.empty)
+        .select($"cell").distinct().collect().map(_.getLong(0)).toSeq
+      assert(viaJoined === Seq(-1L))
+    } finally corpus.unpersist()
+  }
+
   test("groupCentroids: deterministic, every cid mapped, gids are " +
       "non-empty groups") {
     val cents = seedCents(8)
