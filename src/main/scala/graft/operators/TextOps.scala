@@ -132,7 +132,13 @@ object TextOps {
     * Scale design: fingerprints are ~2n/(w+1) per document and carry
     * (doc_id, pos, fp) longs only — text never reaches any shuffle. The
     * df aggregate, the fp equi-join, and the pair aggregate all key on
-    * longs; AQE broadcasts the capped-df fp list when small. */
+    * longs; AQE broadcasts the capped-df fp list when small. The lazy
+    * plan references the fingerprint pass from three consumers (the df
+    * aggregate and both join sides); at corpus scale, persist the
+    * [[winnowingFingerprints]] frame first and build the join over the
+    * cached longs so the text-side array pass runs once (the sf1 probe's
+    * ×3.0 wall at ×10 data already includes the recompute — linear, just
+    * a constant factor a cache removes). */
   def winnowingSharedSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, maxDf: Int): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a shared fp needs 2 docs), " +
