@@ -151,6 +151,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("bucketed-assignment fidelity ladder: agreement with the flat " +
+      "argmax is monotone in nProbe and exact at full probe (the " +
+      "assignment analog of the nProbe recall ladder)") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val cents = Similarity.kmeansCentroidsSeq(corpus, 16, lloydIters = 2)
+      val (groups, cid2gid) = Similarity.groupCentroids(cents,
+        Similarity.centroidGroupCount(cents.size))
+      val m = groups.size
+      val flat = Similarity.assignCells(corpus, cents)
+        .select($"id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agree = (1 to m).map { p =>
+        val b = Similarity.assignCellsGrouped(corpus, cents, groups,
+            cid2gid, nProbe = p)
+          .select($"id", $"cell").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        p -> b.count { case (id, c) => flat(id) == c }.toDouble / flat.size
+      }
+      for (Seq((pa, aa), (pb, ab)) <- agree.sliding(2))
+        assert(ab >= aa, s"fidelity not monotone: p=$pa $aa -> p=$pb $ab")
+      assert(agree.last._2 === 1.0, s"full probe must equal flat: $agree")
+      // the default operating point keeps a useful majority even on this
+      // near-uniform corpus (real clustered embeddings sit far higher)
+      val atDefault = agree
+        .find(_._1 == math.min(Similarity.GroupProbes, m)).get._2
+      assert(atDefault >= 0.5, s"default-probe fidelity $atDefault")
+    } finally corpus.unpersist()
+  }
+
   test("assignCellsGrouped joined fallback equals the literal fold at " +
       "partial AND full probe (the over-literal-budget 100 TB path)") {
     val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
