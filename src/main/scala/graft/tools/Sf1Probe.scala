@@ -170,6 +170,37 @@ object Sf1Probe {
       f"sf1 $saScaled%6.2fs | x${saScaled / saBase}%.1f time " +
       "(production eviction path; vs Complete-mode parity gate above)")
 
+    // Bucketed-assignment JOINED fallback — the over-literal-budget
+    // spelling a real-width (dim ≥ 1024) corpus runs on. Forced here via
+    // literalLimit = 0 on the same data/groups the gate assigns with, so
+    // the row shows the fallback's own scaling (one id-keyed corpus
+    // shuffle + two broadcast joins) rather than trusting the
+    // spec-pinned equality alone.
+    def assignJoined(dir: String): Double = {
+      val corpus = graft.operators.Similarity
+        .prepared(graft.queries.tbl(spark, dir, "embeddings"),
+          "embedding", "vec_id")
+      val n = corpus.count()
+      val cents = graft.operators.Similarity.kmeansCentroidsSeq(
+        corpus, graft.operators.Similarity.semDedupAutoK(n, 125L),
+        lloydIters = 1)
+      val (groups, cid2gid) = graft.operators.Similarity
+        .groupCentroids(cents,
+          graft.operators.Similarity.centroidGroupCount(cents.size))
+      val t0 = System.nanoTime()
+      val df = graft.operators.Similarity.assignCellsGrouped(
+        corpus, cents, groups, cid2gid,
+        graft.operators.Similarity.GroupProbes, literalLimit = 0L)
+      df.agg(bit_xor(xxhash64(struct(col("id"), col("cell"))))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    assignJoined(sf01) // warm
+    val ajBase = assignJoined(sf01)
+    val ajScaled = assignJoined(sf1)
+    println(f"[probe] bucketed-assign joined: sf0.1 $ajBase%6.2fs | " +
+      f"sf1 $ajScaled%6.2fs | x${ajScaled / ajBase}%.1f time " +
+      "(over-literal-budget fallback, forced via literalLimit=0)")
+
     // Graph-stack probe on a supplier entity table scaled in-process:
     // the risky part at 100 TB is ED-1 deletion-neighborhood blocking
     // (candidate-pair growth) feeding pagerank/triangles, and the gates
@@ -224,7 +255,9 @@ object Sf1Probe {
       f"$sdBase%.3f"}, "sf1_k80_sec": ${f"$sdScaled%.3f"}, "ratio": ${
       f"${sdScaled / sdBase}%.2f"}}, "session_append": {"sf01_sec": ${
       f"$saBase%.3f"}, "sf1_sec": ${f"$saScaled%.3f"}, "ratio": ${
-      f"${saScaled / saBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
+      f"${saScaled / saBase}%.2f"}}, "bucketed_assign_joined": {"sf01_sec": ${
+      f"$ajBase%.3f"}, "sf1_sec": ${f"$ajScaled%.3f"}, "ratio": ${
+      f"${ajScaled / ajBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
       f"$g1%.3f"}, "x10_sec": ${f"$g10%.3f"}, "ratio": ${
       f"${g10 / g1}%.2f"}, "x1_edges": $e1, "x10_edges": $e10}, "gates": $json}"""
     java.nio.file.Files.write(
