@@ -573,9 +573,12 @@ object Dedup {
     // LEFT join: a member whose keeper found no docs row keeps a null
     // __found marker, which the output plan turns into a raise_error —
     // never a silent fall-back to the member's own hash. The marker (not
-    // __ghv) detects the join miss: a keeper PRESENT in docs with a NULL
-    // text also has a null __ghv (polyHash(NULL) is null) and must not be
-    // misreported as absent.
+    // __ghv) distinguishes the two failure modes: a keeper PRESENT in
+    // docs with a NULL text has __found set but a null __ghv
+    // (polyHash(NULL) is null) — that case must ALSO fail loud (with an
+    // accurate message), because letting members fall through to their
+    // OWN hashes would scatter one dup group across train/test, the
+    // exact silent leakage this operator exists to prevent.
     val members = groups.join(reps, Seq("keeper"), "left")
       .select(col("id").as("__mid"), col("__ghv"), col("__found"))
     val own = docs.select(col(idCol), hv(col(textCol)).as("__ohv"))
@@ -587,6 +590,13 @@ object Dedup {
             lit(" names a keeper absent from docs — a stale groups table" +
               " would silently lose the leakage guarantee")))
             .cast("string"))
+          .when(col("__mid").isNotNull && col("__ghv").isNull,
+            raise_error(concat(
+              lit("leakageSafeSplit: the keeper for id "), col("__mid"),
+              lit(" has NULL text, so the group hash is undefined —" +
+                " falling back to per-member hashes would scatter the" +
+                " dup group across splits")))
+              .cast("string"))
           .when(coalesce(col("__ghv"), col("__ohv")) < trainPct, "train")
           .when(coalesce(col("__ghv"), col("__ohv")) < trainPct + valPct,
             "val")

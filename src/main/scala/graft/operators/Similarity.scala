@@ -259,6 +259,17 @@ object Similarity {
     * on corpus cluster structure, which is the standard IVF trade every
     * billion-scale vector system makes (cell assignment is itself a
     * heuristic partition, not a correctness contract). */
+  /** The (gcos DESC, gid ASC) probe-ranking comparator — ONE definition
+    * shared by the literal fold and the joined fallback, because their
+    * bitwise equality is the spec-pinned dispatch contract: a tie-break
+    * edited in one spelling but not the other would silently break it. */
+  private val byGcosDescGid: (Column, Column) => Column = (l, r) =>
+    when(l.getField("gcos") > r.getField("gcos"), lit(-1))
+      .when(l.getField("gcos") < r.getField("gcos"), lit(1))
+      .when(l.getField("gid") < r.getField("gid"), lit(-1))
+      .when(l.getField("gid") > r.getField("gid"), lit(1))
+      .otherwise(lit(0))
+
   private def bucketedCellFor(v: Column, nrm: Column, groups: Seq[CentGroup],
       members: Map[Long, Seq[Cent]], nProbe: Int): Column = {
     val gLit = typedLit(groups.sortBy(_.gid).map { g =>
@@ -268,30 +279,33 @@ object Similarity {
       })
       .cast("array<struct<gid:bigint,gv:array<double>,gn:double," +
         "members:array<struct<cid:bigint,cv:array<double>,cnrm:double>>>>")
+    // score/sort only (gcos, gid) pairs — the members arrays (all k·dim
+    // doubles) stay put in the literal and are gathered AFTER the probe
+    // list is known, so the per-row sort payload is 2m scalars, not the
+    // whole centroid matrix
     val scored = transform(gLit, g => struct(
       cosine(v, nrm, g.getField("gv"), g.getField("gn")).as("gcos"),
-      g.getField("gid").as("gid"),
-      g.getField("members").as("members")))
-    val byCosDescGid = array_sort(scored, (l, r) =>
-      when(l.getField("gcos") > r.getField("gcos"), lit(-1))
-        .when(l.getField("gcos") < r.getField("gcos"), lit(1))
-        .when(l.getField("gid") < r.getField("gid"), lit(-1))
-        .when(l.getField("gid") > r.getField("gid"), lit(1))
-        .otherwise(lit(0)))
-    val cand = flatten(transform(slice(byCosDescGid, 1, nProbe),
-      g => g.getField("members")))
+      g.getField("gid").as("gid")))
+    val probeGids = transform(slice(array_sort(scored, byGcosDescGid),
+      1, nProbe), s => s.getField("gid"))
     val accType = "struct<best:double,cid:bigint>"
-    aggregate(cand,
-      struct(lit(Double.NegativeInfinity).as("best"), lit(-1L).as("cid"))
-        .cast(accType),
-      (acc, c) => {
-        val cs = cosine(v, nrm, c.getField("cv"), c.getField("cnrm"))
-        when(cs > acc.getField("best") ||
-            (cs === acc.getField("best") &&
-              c.getField("cid") < acc.getField("cid")),
-          struct(cs.as("best"), c.getField("cid").as("cid")).cast(accType))
-          .otherwise(acc)
-      }).getField("cid")
+    // bind the probe-gid list once (the shingleHashesAll idiom) so the
+    // member gather filters against a materialized array
+    element_at(transform(array(probeGids), pg =>
+      aggregate(
+        flatten(transform(
+          filter(gLit, g => array_contains(pg, g.getField("gid"))),
+          g => g.getField("members"))),
+        struct(lit(Double.NegativeInfinity).as("best"), lit(-1L).as("cid"))
+          .cast(accType),
+        (acc, c) => {
+          val cs = cosine(v, nrm, c.getField("cv"), c.getField("cnrm"))
+          when(cs > acc.getField("best") ||
+              (cs === acc.getField("best") &&
+                c.getField("cid") < acc.getField("cid")),
+            struct(cs.as("best"), c.getField("cid").as("cid")).cast(accType))
+            .otherwise(acc)
+        })), 1).getField("cid")
   }
 
   /** Corpus with a `cell` column assigned through a CALLER-SUPPLIED group
@@ -329,7 +343,13 @@ object Similarity {
     * and collapse back to one (id, cell) with a map-side `max_by` whose
     * (cos, −cid) key reproduces the literal fold's smallest-cid
     * tie-break. Same rule, same fold arithmetic, same tie-breaks as
-    * [[bucketedCellFor]] — bitwise equal output. */
+    * [[bucketedCellFor]] — bitwise equal output for corpora meeting the
+    * `prepared()` contract this whole family assumes: ids UNIQUE and
+    * NON-NULL (an id-keyed aggregate cannot assign two duplicate-id rows
+    * independently the way a per-row projection can, and a NULL id never
+    * matches the re-attach join). Rows whose probed groups carry no
+    * members keep the literal fold's degenerate cell = −1 via the LEFT
+    * re-attach below rather than vanishing. */
   def assignCellsGroupedJoined(corpus: DataFrame, cents: Seq[Cent],
       groups: Seq[CentGroup], cidToGid: Map[Long, Long],
       nProbe: Int = GroupProbes): DataFrame = {
@@ -342,22 +362,16 @@ object Similarity {
     val gdf = spark.createDataFrame(
       groups.map(g => (g.gid, g.gv.toSeq, g.gn)))
       .toDF("gid", "gv", "gn")
-    val byCosDescGid: (Column, Column) => Column = (l, r) =>
-      when(l.getField("gcos") > r.getField("gcos"), lit(-1))
-        .when(l.getField("gcos") < r.getField("gcos"), lit(1))
-        .when(l.getField("gid") < r.getField("gid"), lit(-1))
-        .when(l.getField("gid") > r.getField("gid"), lit(1))
-        .otherwise(lit(0))
-    // every duplicate row of an id carries the identical v/nrm, so the
-    // firsts are deterministic; (gcos, gid) is unique per id, so the
-    // sorted-then-sliced probe list is partition-order invariant
+    // (gcos, gid) is unique per id, so the sorted-then-sliced probe list
+    // is partition-order invariant; under the unique-id precondition the
+    // firsts are single-row and deterministic
     val probed = corpus.join(broadcast(gdf))
       .select(col("id"), col("v"), col("nrm"),
         struct(cosine(col("v"), col("nrm"), col("gv"), col("gn"))
           .as("gcos"), col("gid").as("gid")).as("gs"))
       .groupBy(col("id"))
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        slice(array_sort(collect_list(col("gs")), byCosDescGid),
+        slice(array_sort(collect_list(col("gs")), byGcosDescGid),
           1, nProbe).as("probes"))
     val cands = probed.select(col("id"), col("v"), col("nrm"),
       explode(transform(col("probes"), p => p.getField("gid"))).as("gid"))
@@ -369,7 +383,12 @@ object Similarity {
         cosine(col("v"), col("nrm"), col("cv"), col("cnrm")).as("cos"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
-    corpus.join(best, "id")
+    // LEFT + coalesce: a row whose probed groups had no members (possible
+    // only with caller-supplied degenerate groupings) keeps the literal
+    // fold's cell = -1 instead of silently vanishing from the corpus
+    corpus.join(best.withColumnRenamed("cell", "__cell"), Seq("id"), "left")
+      .withColumn("cell", coalesce(col("__cell"), lit(-1L)))
+      .drop("__cell")
   }
 
   /** Bucketed cell assignment with groups derived on the spot

@@ -125,9 +125,15 @@ object TextOps {
     * nicety — a boilerplate fingerprint (license header, nav bar) shared
     * by d documents contributes d²/2 join pairs, so one hot fp at
     * corpus scale is a quadratic blowup; capping df bounds the join at
-    * |fps|·maxDf pairs (the same reasoning as the banded-LSH bucket cap
-    * and the Bayardo prefix filter). Real MOSS deployments do exactly
-    * this ("ignore matches in many documents").
+    * |doc-fp rows|·maxDf pairs (the same reasoning as the banded-LSH
+    * bucket cap and the Bayardo prefix filter). Real MOSS deployments do
+    * exactly this ("ignore matches in many documents"). The join runs
+    * over ONE row per (doc, fp) — positions pre-aggregate to per-doc
+    * min/max first — so WITHIN-document fingerprint multiplicity (a
+    * document that is one token repeated 10k times selects the same fp
+    * at every window) cannot blow the join up either; the per-pair
+    * extents are identical to the position-level join's (min of mins,
+    * max of maxes, one fp per doc pair per fingerprint).
     *
     * Scale design: fingerprints are ~2n/(w+1) per document and carry
     * (doc_id, pos, fp) longs only — text never reaches any shuffle. The
@@ -144,19 +150,22 @@ object TextOps {
     require(maxDf >= 2, s"maxDf must be >= 2 (a shared fp needs 2 docs), " +
       s"got $maxDf")
     val fps = winnowingFingerprints(docs, textCol, idCol, k, w)
-    val rare = fps.join(
-      fps.groupBy(col("fp"))
-        .agg(countDistinct(col("doc_id")).as("__df"))
+    // ONE row per (doc, fp) with its positional extent — this collapse is
+    // what makes the self-join immune to within-doc multiplicity
+    val docFp = fps.groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
+    val rare = docFp.join(
+      docFp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("fp")),
       "fp")
     rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(countDistinct(col("a.fp")).as("n_shared"),
-        min(col("a.pos")).as("d1_min_pos"),
-        max(col("a.pos")).as("d1_max_pos"),
-        min(col("b.pos")).as("d2_min_pos"),
-        max(col("b.pos")).as("d2_max_pos"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.pmin")).as("d1_min_pos"),
+        max(col("a.pmax")).as("d1_max_pos"),
+        min(col("b.pmin")).as("d2_min_pos"),
+        max(col("b.pmax")).as("d2_max_pos"))
   }
 
   /** 16 MinHash values of a shingle-hash set. */

@@ -771,11 +771,14 @@ object Relational {
     // run's overwrite-delete with the other's read-back. Reaping is
     // scoped: dirs whose nonce THIS process created go at the 1-hour
     // cutoff (an earlier invocation in this JVM has been collected long
-    // before that), while foreign dirs wait out 24 hours — a wall-clock
-    // cutoff short enough to race a live CONCURRENT process (an hour, on
-    // a loaded machine) must not delete a dir this process did not
-    // create, because dir mtime is set at write and never refreshed by
-    // the later lazy read-back.
+    // before that, and its nonce leaves the tracking set when its dirs
+    // do), while foreign dirs wait out 3 hours — a wall-clock cutoff
+    // short enough to race a live CONCURRENT process (an hour, on a
+    // loaded machine — the longest observed run class) must not delete
+    // a dir this process did not create, because dir mtime is set at
+    // write and never refreshed by the later lazy read-back; 3 h keeps
+    // that margin without letting a day of separate-JVM bench/verify
+    // runs pile staged copies of the documents table up for 24 h.
     "q_layout_compact" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -786,13 +789,15 @@ object Relational {
           f.delete(): Unit
         }
         val hourCutoff = System.currentTimeMillis() - 3600L * 1000
-        val deadCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        val deadCutoff = System.currentTimeMillis() - 3L * 3600 * 1000
         for (f <- Option(stagingRoot.listFiles()).getOrElse(Array.empty)
              if f.getName.startsWith("compact_") &&
                (if (compactNonces.contains(f.getName.split('_').last))
                   f.lastModified < hourCutoff
-                else f.lastModified < deadCutoff))
+                else f.lastModified < deadCutoff)) {
           rmTree(f)
+          compactNonces.remove(f.getName.split('_').last): Unit
+        }
         val nonce = java.util.UUID.randomUUID().toString.take(8)
         compactNonces.add(nonce): Unit
         val frag = s"/root/repo/target/staging/compact_src_${sfx}_$nonce"

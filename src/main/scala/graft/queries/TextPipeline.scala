@@ -976,11 +976,15 @@ object TextPipeline {
     // the positional selection exists for: an fp-equality join finds the
     // document pairs sharing a >= WinW+WinK-1 token run (MOSS theorem),
     // and the per-pair aggregate reports shared-fp count + min/max
-    // matched gram position per side. Fingerprints over WinDfCap
-    // documents drop BEFORE the self-join (one boilerplate fp shared by
-    // d docs is d^2/2 pairs — the quadratic term the cap bounds at
-    // |fps|*cap). All three shuffles carry (doc_id, pos, fp) longs; the
-    // text never leaves the initial narrow fingerprint pass.
+    // matched gram position per side. Positions collapse to ONE
+    // (doc, fp) extent row before any join (within-doc multiplicity
+    // can't explode the join), and fingerprints over WinDfCap documents
+    // drop BEFORE the self-join (one boilerplate fp shared by d docs is
+    // d^2/2 pairs — the quadratic term the cap bounds at
+    // |doc-fp rows|*cap). Every shuffle carries long tuples; the text
+    // never leaves the initial narrow fingerprint pass. The oracle
+    // replays the position-level join — provably equal extents (min of
+    // mins, max of maxes, one fp per pair per doc).
     "q_pipe_winnow_spans" -> Q(
       (s, dir) => graft.operators.TextOps.winnowingSharedSpans(
           docs(s, dir), "text", "doc_id", WinK, WinW, WinDfCap)

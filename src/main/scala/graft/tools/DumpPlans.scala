@@ -365,11 +365,13 @@ object DumpPlans {
         "selected fingerprints); the only exchange is the DISTINCT on " +
         "(doc_id, pos, fp) longs — text never shuffles"),
       "q_pipe_winnow_spans" -> ("matched-span extents: the winnow " +
-        "selection stays the one narrow per-doc array pass; the df " +
-        "aggregate, the df-cap semi-join, the fp equi-self-join, and " +
-        "the per-pair extent aggregate all exchange (doc_id, pos, fp) " +
-        "longs only — text never shuffles; the cap bounds the join at " +
-        "|fps|*cap pairs so one hot boilerplate fp cannot go quadratic"),
+        "selection stays the one narrow per-doc array pass; positions " +
+        "collapse to ONE (doc, fp) extent row before any join, so " +
+        "within-doc multiplicity cannot explode the self-join; the df " +
+        "aggregate, df-cap semi-join, fp equi-self-join, and per-pair " +
+        "extent aggregate all exchange long tuples only — text never " +
+        "shuffles; the cap bounds the join at |doc-fp rows|*cap pairs " +
+        "so one hot boilerplate fp cannot go quadratic either"),
       "q_sim_neardup_groups" -> ("LSH-bucketed near-dup components: " +
         "candidate pairs form ONLY inside hash buckets (bucket equi-join " +
         "with id< ordering), cosine verify inline, then dupGroups' " +

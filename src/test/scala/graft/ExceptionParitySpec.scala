@@ -190,15 +190,19 @@ class ExceptionParitySpec extends SparkTestBase {
       docs, "doc_id", "text", Seq((2L, 1L)).toDF("id", "keeper"), 80, 10)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(ok === Map(1L -> false, 2L -> true))
-    // a keeper PRESENT in docs with NULL text is not "absent": its group
-    // hash is null (polyHash(NULL)), so members fall through to their own
-    // hash — it must NOT raise the stale-table error (the join-miss
-    // marker, not the null hash, detects absence)
+    // a keeper PRESENT in docs with NULL text is not "absent" — but the
+    // group hash is undefined (polyHash(NULL) is null), and letting the
+    // members fall through to their OWN hashes would scatter one dup
+    // group across splits. It must raise the ACCURATE error (keeper text
+    // NULL), not the misleading stale-table one.
     val nullDocs = Seq((1L, null.asInstanceOf[String]), (2L, "bb"))
       .toDF("doc_id", "text")
-    val viaNull = graft.operators.Dedup.leakageSafeSplit(
+    val e2 = intercept[Exception](graft.operators.Dedup.leakageSafeSplit(
       nullDocs, "doc_id", "text", Seq((2L, 1L)).toDF("id", "keeper"),
-      80, 10).collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(viaNull === Map(1L -> false, 2L -> true))
+      80, 10).collect())
+    def msgOf(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(_.getMessage).getOrElse("")
+    assert(msgOf(e2).contains("has NULL text"), msgOf(e2))
+    assert(!msgOf(e2).contains("keeper absent"), msgOf(e2))
   }
 }
