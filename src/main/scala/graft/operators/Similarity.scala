@@ -480,6 +480,14 @@ object Similarity {
   def kmeansCentroidsSeq(corpus: DataFrame, k: Int,
       lloydIters: Int): Seq[Cent] = kmeansDriver(corpus, k, lloydIters)
 
+  /** [[kmeansCentroidsSeq]] with the Lloyd assignment forced to the flat
+    * n·k fold regardless of k — a probe hook only, so Sf1Probe can
+    * measure the flat-vs-bucketed Lloyd term side by side at a
+    * production-scale k instead of trusting the complexity argument. */
+  private[graft] def kmeansCentroidsSeqFlat(corpus: DataFrame, k: Int,
+      lloydIters: Int): Seq[Cent] =
+    kmeansDriver(corpus, k, lloydIters, assignCells(_, _))
+
   /** Top-`p` centroid cells by cosine, as an array of cids — the nProbe
     * probe list. Same literal centroid array as [[cellFor]]; the sort is a
     * per-row array_sort over ≤ |cents| scored structs. */
@@ -570,9 +578,28 @@ object Similarity {
       .toDF("cid", "cv", "cnrm")
   }
 
+  /** k threshold above which the Lloyd rounds default to the bucketed
+    * two-level assignment: per-row cost is ~4√k dot products vs the flat
+    * fold's k, so the crossover where the two-level dispatch pays for
+    * itself is k ≈ 16 (4√16 = 16); 64 leaves margin for the grouping and
+    * probe-sort overhead (at k = 64 bucketed does ~32 dots vs 64 flat,
+    * at k = 4096 ~256 vs 4096). Every oracle gate trains at k below
+    * this, so gate centroids are bitwise unchanged; production k
+    * (thousands of cells at constant cell size) stops paying the n·k
+    * Lloyd term the r15 round killed for SemDeDup's final pass —
+    * `knnIvfLearned` was the remaining flat-by-default caller
+    * (r15 verdict item 2). Below full probe the bucketed argmax is the
+    * deterministic two-level rule, not the exact argmax — the same trade
+    * [[semDedupAuto]] documents, and the full-probe exactness sweep in
+    * SimilaritySpec pins where they coincide. */
+  private[graft] val LloydBucketedMinK = 64
+
   private def kmeansDriver(corpus: DataFrame, k: Int, lloydIters: Int,
-      assignFn: (DataFrame, Seq[Cent]) => DataFrame =
-        assignCells(_, _)): Seq[Cent] = {
+      assignFn: (DataFrame, Seq[Cent]) => DataFrame = null): Seq[Cent] = {
+    val assign: (DataFrame, Seq[Cent]) => DataFrame =
+      if (assignFn != null) assignFn
+      else if (k >= LloydBucketedMinK) assignCellsBucketed(_, _)
+      else assignCells(_, _)
     // 1. oversample (distributed top-2k by hash — TakeOrdered, no full sort)
     val cand = corpus.select(col("id"), col("v"), col("nrm"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -597,13 +624,14 @@ object Similarity {
     var cents: Seq[Cent] = picked.zipWithIndex.map { case ((v, n), i) =>
       Cent(i.toLong, v, n)
     }.toSeq
-    // 3. Lloyd rounds: narrow argmax assignment over the literal centroids
-    // (see cellFor — no join, no window), then per-(cell,dim) mean via a
-    // two-stage reduce. Each round collects only the k·dim new centroid
-    // components; the plan restarts from `corpus` every round, so there is
-    // no growing lineage to checkpoint.
+    // 3. Lloyd rounds: narrow argmax assignment (flat literal fold below
+    // LloydBucketedMinK, the n·O(√k) bucketed two-level rule above — see
+    // `assign`; no join, no window on the literal paths), then a
+    // per-(cell,dim) mean via a two-stage reduce. Each round collects only
+    // the k·dim new centroid components; the plan restarts from `corpus`
+    // every round, so there is no growing lineage to checkpoint.
     for (_ <- 1 to lloydIters) {
-      cents = assignFn(corpus, cents)
+      cents = assign(corpus, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cell"))

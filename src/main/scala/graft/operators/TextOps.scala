@@ -139,21 +139,33 @@ object TextOps {
     * (doc_id, pos, fp) longs only — text never reaches any shuffle. The
     * df aggregate, the fp equi-join, and the pair aggregate all key on
     * longs; AQE broadcasts the capped-df fp list when small. The lazy
-    * plan references the fingerprint pass from three consumers (the df
-    * aggregate and both join sides); at corpus scale, persist the
-    * [[winnowingFingerprints]] frame first and build the join over the
-    * cached longs so the text-side array pass runs once (the sf1 probe's
-    * ×3.0 wall at ×10 data already includes the recompute — linear, just
-    * a constant factor a cache removes). */
+    * plan references the per-(doc, fp) extent frame from THREE consumers
+    * (the df aggregate and both join sides), and exchange reuse does not
+    * dedupe them across the self-join's aliasing — so with
+    * `cache = true` (default) that frame is persisted MEMORY_AND_DISK
+    * and the text-side array pass runs ONCE per action instead of three
+    * times (the r15 sf1 probe's ×3.9 wall at ×10 data included the
+    * recompute). The cached frame is 4 longs per (doc, fp) — a vanishing
+    * fraction of the corpus — spills to disk under pressure, and keeps
+    * its lineage (fault-tolerant recompute on a real cluster, unlike a
+    * local checkpoint). It stays registered for the returned plan's
+    * lifetime; a long-lived session can drop it with
+    * `spark.catalog.clearCache()` once the result is consumed.
+    * `cache = false` is the pure-lazy spelling (results are identical —
+    * spec-pinned). */
   def winnowingSharedSpans(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int, maxDf: Int): DataFrame = {
+      k: Int, w: Int, maxDf: Int, cache: Boolean = true): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a shared fp needs 2 docs), " +
       s"got $maxDf")
     val fps = winnowingFingerprints(docs, textCol, idCol, k, w)
     // ONE row per (doc, fp) with its positional extent — this collapse is
     // what makes the self-join immune to within-doc multiplicity
-    val docFp = fps.groupBy(col("doc_id"), col("fp"))
+    val docFpLazy = fps.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
+    val docFp =
+      if (cache) docFpLazy.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docFpLazy
     val rare = docFp.join(
       docFp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("fp")),

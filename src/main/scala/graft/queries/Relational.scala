@@ -13,8 +13,9 @@ import graft.functions.GraftFunctions._
 object Relational {
 
   /** Nonces of compaction staging dirs created by THIS process — the only
-    * dirs the q_layout_compact entry reaper may delete young (see the
-    * gate's comment; cross-JVM leftovers wait out a 24 h mtime cutoff). */
+    * dirs the q_layout_compact entry reaper may delete young (cutoffs and
+    * rationale live at the gate's comment; foreign leftovers wait out the
+    * longer cutoff there). */
   private val compactNonces =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -769,16 +770,22 @@ object Relational {
     // the returned plan, so two concurrent same-scale invocations (bench
     // sampling overlapping a verify run) would otherwise interleave one
     // run's overwrite-delete with the other's read-back. Reaping is
-    // scoped: dirs whose nonce THIS process created go at the 1-hour
+    // scoped: dirs whose nonce THIS process created go at a 2-hour
     // cutoff (an earlier invocation in this JVM has been collected long
-    // before that, and its nonce leaves the tracking set when its dirs
-    // do), while foreign dirs wait out 3 hours — a wall-clock cutoff
-    // short enough to race a live CONCURRENT process (an hour, on a
-    // loaded machine — the longest observed run class) must not delete
-    // a dir this process did not create, because dir mtime is set at
-    // write and never refreshed by the later lazy read-back; 3 h keeps
-    // that margin without letting a day of separate-JVM bench/verify
-    // runs pile staged copies of the documents table up for 24 h.
+    // before that; 2 h leaves a full hour of margin over the longest
+    // observed run class — an hour, on a loaded machine — so a live
+    // concurrent SAME-JVM invocation near that duration is never raced
+    // by a sibling's reap), while foreign dirs wait out 3 hours —
+    // a wall-clock cutoff short enough to race a live concurrent
+    // PROCESS must not delete a dir this process did not create,
+    // because dir mtime is set at write and never refreshed by the
+    // later lazy read-back; 3 h keeps that margin without letting a day
+    // of separate-JVM bench/verify runs pile staged copies up. Nonce
+    // membership is SNAPSHOTTED before the sweep and a nonce leaves the
+    // tracking set only when NO surviving dir still carries it —
+    // reaping the first dir of a src/out pair must not reclassify the
+    // same-nonce sibling as foreign mid-sweep (it would then wait the
+    // 3 h cutoff instead of being reaped with its pair).
     "q_layout_compact" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -788,16 +795,23 @@ object Relational {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
           f.delete(): Unit
         }
-        val hourCutoff = System.currentTimeMillis() - 3600L * 1000
+        val ownCutoff = System.currentTimeMillis() - 2L * 3600 * 1000
         val deadCutoff = System.currentTimeMillis() - 3L * 3600 * 1000
-        for (f <- Option(stagingRoot.listFiles()).getOrElse(Array.empty)
-             if f.getName.startsWith("compact_") &&
-               (if (compactNonces.contains(f.getName.split('_').last))
-                  f.lastModified < hourCutoff
-                else f.lastModified < deadCutoff)) {
-          rmTree(f)
-          compactNonces.remove(f.getName.split('_').last): Unit
+        val ownNonces = { // snapshot: a mid-sweep remove must not
+          import scala.jdk.CollectionConverters._ // reclassify a sibling
+          compactNonces.iterator().asScala.toSet
         }
+        def nonceOf(f: java.io.File) = f.getName.split('_').last
+        val staged = Option(stagingRoot.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("compact_"))
+        val reaped = staged.filter(f =>
+          if (ownNonces.contains(nonceOf(f))) f.lastModified < ownCutoff
+          else f.lastModified < deadCutoff)
+        reaped.foreach(rmTree)
+        // prune a nonce only once BOTH dirs carrying it are gone
+        val surviving = staged.filterNot(reaped.contains).map(nonceOf).toSet
+        for (n <- reaped.map(nonceOf).distinct if !surviving.contains(n))
+          compactNonces.remove(n): Unit
         val nonce = java.util.UUID.randomUUID().toString.take(8)
         compactNonces.add(nonce): Unit
         val frag = s"/root/repo/target/staging/compact_src_${sfx}_$nonce"

@@ -419,22 +419,33 @@ object Similarity {
     * 0.74/0.50). On real MRL vectors the same machinery runs at 8-16 of
     * 768 dims; prefix width is the caller's knob.
     *
-    * Shortlist: max(8·K, ⌈n/25⌉) — a small multiple of k with a gentle 4%
-    * corpus floor. On MRL-true embeddings the k-multiple alone suffices;
-    * on this evenly-spread corpus the constant-40 point measured 0.74 at
-    * sf0.01 but 0.50 at sf0.1 (the same shrinking-fraction trend the PQ
-    * re-rank fix addressed), and the 4% floor lifts sf0.1 to 0.66 while
-    * staying 10× cheaper than pq_rerank's 40% repair — the honest
-    * contrast between "good prefix ordering, thin exact pass" and
-    * "coarse ADC ordering, wide exact repair". */
+    * Shortlist: max(8·K, 2·⌈√n⌉) — a small multiple of k with a SUBLINEAR
+    * corpus term ([[graft.operators.Pq.rerankBreadthSublinear]]'s shape;
+    * the 2× multiplier is the recall-preserving constant on this
+    * evenly-spread corpus). On MRL-true embeddings the k-multiple alone
+    * suffices; on this corpus a constant 40 measured 0.74 at sf0.01 but
+    * 0.50 at sf0.1 (the shrinking-fraction trend the PQ re-rank fix
+    * addressed). The earlier ⌈n/25⌉ corpus floor repaired that (0.66 at
+    * sf0.1) but is LINEAR in n — the sf1 probe measured its shortlist
+    * shuffle growing ×1778 per ×10 data (tiny absolute MB, wrong growth
+    * law for 100 TB). 2·⌈√n⌉ sits at the same gate-scale operating
+    * points (46 vs 40 at n=500, 90 vs 80 at n=2000 — recall re-measured
+    * 0.775/0.685, up from 0.74/0.66) while the exact pass shrinks as a
+    * corpus fraction, like the PQ production schedule. Exactness regime
+    * preserved: prefix = dim ∧ shortlist = n is still brute
+    * (RandomizedParitySpec pins it). ⌈√n⌉ crosses engines bit-exactly:
+    * IEEE-754 requires sqrt correctly rounded, n < 2⁵³ converts exactly,
+    * so Spark's and DuckDB's ceil(sqrt(n)) are the same integer. */
   private val MatPrefixDim = 32
   private val MatShortlistMin = 8 * K
   private def matShortlistFor(n: Long): Int =
-    math.min(math.max(MatShortlistMin.toLong, (n + 24L) / 25L),
+    math.min(math.max(MatShortlistMin.toLong,
+      2L * math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong),
       Int.MaxValue.toLong).toInt
   /** DuckDB mirror of [[matShortlistFor]] over the prepared-corpus CTE. */
   private val MatShortlistSql =
-    s"greatest($MatShortlistMin, ((SELECT count(*) FROM n) + 24) // 25)"
+    s"greatest($MatShortlistMin, 2 * CAST(ceil(sqrt(" +
+      "(SELECT count(*) FROM n))) AS BIGINT))"
 
   /** Hybrid-retrieval RRF fusion sizing: lexical shortlist = vector
     * shortlist = 50, fused top-10, the canonical rrfK = 60 (Cormack et

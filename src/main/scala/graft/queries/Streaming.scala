@@ -167,15 +167,35 @@ object Streaming {
     * and batch membership is a pure function of the data, so the oracle
     * reproduces the drop set in SQL. Complete-mode aggregations are
     * unaffected (Spark drops late rows only in Append/Update mode —
-    * StreamsSpec pins this too), so the window/session parity oracles stay
-    * the plain whole-table SQL. */
+    * StreamsSpec pins this too), so the window parity oracle stays the
+    * plain whole-table SQL.
+    *
+    * `withSentinels = true` (a SEPARATE staged variant — the 3-file
+    * gates replay the plain layout unchanged) appends two
+    * watermark-advancer files b4/b5: one event each, user_id = −1,
+    * event times 91 and 92 days past the real maximum. Purpose: let an
+    * APPEND-mode session drain emit every real session exactly once
+    * against the whole-table oracle. With the gate's 60-day delay the
+    * replay's own watermark never passes any real session end (the data
+    * spans ~30 days), so Append over the 3 real files would emit
+    * NOTHING; the b4 sentinel lifts the watermark to max+31d — past
+    * every real session end (≤ max+30min) — and under the
+    * two-watermark lag (eviction uses the watermark committed after the
+    * PREVIOUS batch) the b5 sentinel forces one more data-carrying
+    * batch in which that watermark is operative, so eviction does not
+    * depend on an optional no-data final micro-batch. The sentinels'
+    * own sessions end 91+ days out, where no watermark ever reaches:
+    * they are never emitted, so the oracle over the REAL events table
+    * stays truthful row-for-row. */
   private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String, withSentinels: Boolean = false): String = {
     val san = sanitizedName(dir, "events.parquet")
-    // variant class `_multi\d+`: the GC prunes BOTH stale fingerprints
-    // (data regenerations) and stale SplitRuleVersions of this source
-    staged(san, "_multi\\d+",
-        s"${san}_multi${SplitRuleVersion}_${fingerprint(dir, "events.parquet")}") {
+    // variant classes `_multi\d+` / `_multis\d+` (disjoint regexes): the
+    // GC prunes BOTH stale fingerprints (data regenerations) and stale
+    // SplitRuleVersions of this source, per variant class
+    val variant = if (withSentinels) "multis" else "multi"
+    staged(san, s"_$variant\\d+",
+        s"${san}_$variant${SplitRuleVersion}_${fingerprint(dir, "events.parquet")}") {
         stage =>
       // canonicalize at stage time: the staged replay files always carry
       // BIGINT-nanos ts whatever unit the source parquet was regenerated
@@ -184,19 +204,15 @@ object Streaming {
       val df = canonicalizeTime(s.read.parquet(s"$dir/events.parquet"))
       val mm = df.agg(min(col("ts")), max(col("ts"))).head()
       val t0 = mm.getLong(0)
-      val span = mm.getLong(1) - t0
+      val maxTs = mm.getLong(1)
+      val span = maxTs - t0
       val cut1 = t0 + span * 6L / 10L
       val cut2 = t0 + span * 85L / 100L
       val straggler =
         col("event_id") % 50 === 0 && col("ts") <= cut1 - TwoHoursNs
-      val batches = Seq(
-        col("ts") <= cut1 && !straggler,
-        col("ts") > cut1 && col("ts") <= cut2,
-        col("ts") > cut2 || straggler)
-      batches.zipWithIndex.foreach { case (pred, i) =>
+      def writeBatch(frame: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         val tmp = stage.resolve(s"b${i + 1}.tmpdir")
-        df.filter(pred).coalesce(1).write.mode("overwrite")
-          .parquet(tmp.toString)
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = listClosing(tmp)
           .find(_.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file under $tmp"))
@@ -207,6 +223,29 @@ object Streaming {
         // source sorts oldest-first); constants keep re-stages stable
         target.toFile.setLastModified(1700000000000L + i * 60000L)
         deleteRecursively(tmp)
+      }
+      val batches = Seq(
+        col("ts") <= cut1 && !straggler,
+        col("ts") > cut1 && col("ts") <= cut2,
+        col("ts") > cut2 || straggler)
+      batches.zipWithIndex.foreach { case (pred, i) =>
+        writeBatch(df.filter(pred), i)
+      }
+      if (withSentinels) {
+        val dayNs = 86400000000000L
+        Seq(91L, 92L).zipWithIndex.foreach { case (days, j) =>
+          // one deterministic row, canonical column shape: the five
+          // contract columns carry the sentinel, anything else rides NULL
+          val sent = df.limit(1).select(df.columns.toIndexedSeq.map {
+            case "event_id" => lit(-(j + 1).toLong).as("event_id")
+            case "ts" => lit(maxTs + days * dayNs).as("ts")
+            case "user_id" => lit(-1L).as("user_id")
+            case "event_type" => lit("__sentinel").as("event_type")
+            case "value" => lit(0.0).as("value")
+            case c => lit(null).cast(df.schema(c).dataType).as(c)
+          }: _*)
+          writeBatch(sent, 3 + j)
+        }
       }
     }
   }
@@ -286,25 +325,30 @@ object Streaming {
     // oracle to stay truthful. Late-drop semantics are q_stream_late_drop's
     // business.
     //
-    // Scale note (sf1 probe): this is the costliest streaming gate by
-    // DESIGN of the parity harness, not the operator — Complete mode
-    // (required for the whole-table oracle; the replay's watermark never
-    // passes the sessions, so Append would emit nothing) re-sorts and
-    // re-emits the ENTIRE session state on each of the 3 batches, ≈ 3×
-    // the data in state-store merge sorts. With state partitions sized
-    // to input (statePartitionsFor) the probe reads ×4.5 at 10× data —
-    // down from ×7.7 when the sort ran on 2 partitions; the residual
-    // above ~×3 IS the 3× re-emit. A production session job runs Append
-    // + a real watermark: state EVICTS, each session is sorted once, and
-    // per-batch cost tracks live sessions, not history.
+    // APPEND drain (r15 verdict item 5 — the production output mode):
+    // through r15 this gate drained in Complete mode, which re-sorts and
+    // re-emits the ENTIRE session state on every batch — the harness
+    // cost behind its ×3.8-×4.5 sf1 probe rows (the in-process Append
+    // demo beside it measured ×2.67). The whole-table oracle needs every
+    // session EMITTED, and the replay's own watermark (60-day delay over
+    // a ~30-day span) never passes any session end — so the staged
+    // layout adds two watermark-advancer sentinel files (user −1, 91/92
+    // days out; see stageEventsMulti's withSentinels doc for the
+    // two-watermark-lag reasoning) that push the eviction watermark past
+    // every REAL session end during the replay. Each real session is
+    // emitted exactly once from state eviction, the sentinels' own
+    // sessions never are, and the oracle stays the same whole-table SQL.
+    // State now EVICTS instead of accumulating, each session is sorted
+    // once — per-batch cost tracks live sessions, the production shape.
     "q_stream_session_parity" -> Q(
       (s, dir) => {
-        val stream = Streams.eventStream(s, stageEventsMulti(s, dir),
+        val stream = Streams.eventStream(s,
+            stageEventsMulti(s, dir, withSentinels = true),
             maxFilesPerTrigger = Some(1))
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",
           maxDelay = "60 days")
-        drain(agg, "stream_session_parity", dir)
+        drainAppend(agg, "stream_session_parity", dir)
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
             col("session_value").cast("double").as("session_value"))

@@ -201,6 +201,84 @@ object Sf1Probe {
       f"sf1 $ajScaled%6.2fs | x${ajScaled / ajBase}%.1f time " +
       "(over-literal-budget fallback, forced via literalLimit=0)")
 
+    // PQ re-rank at the PRODUCTION sublinear schedule (r15 verdict item
+    // 4): the shipped gate runs the ceil(2n/5) corpus-fraction breadth
+    // its recall spec pins (shuffle x228 per x10 data — linear-in-n by
+    // construction); Pq.rerankBreadthSublinear (max(8k, ceil(sqrt n)))
+    // was unit-pinned only. This measures it end to end — same gate
+    // codebooks (m=4, 8 cents, 2 Lloyd rounds), 40-query recall panel
+    // vs exact brute — so the production operating point ships as a
+    // measurement (time, breadth, recall at BOTH scales), not prose.
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def pqSublinear(dir: String): (Double, Int, Double) = {
+      val emb = graft.queries.tbl(spark, dir, "embeddings")
+      val corpus = graft.operators.Similarity
+        .prepared(emb, "embedding", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val k = 5
+        val breadth = graft.operators.Pq
+          .rerankBreadthSublinear(corpus.count(), k)
+        val cbs = graft.operators.Pq.trainCodebooks(corpus, 4, 8,
+          lloydIters = 2)
+        val panel = graft.queries.Similarity.RecallPanel
+        val t0 = System.nanoTime()
+        val ann = topSets(graft.operators.Pq.knnPqFrom(
+          corpus, cbs, panel, k, rerank = breadth))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val brute = topSets(graft.operators.Similarity.knnBrute(
+          emb, "embedding", "vec_id", panel, k))
+        val recall = brute.toSeq.map { case (q, b) =>
+          ann.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+        }.sum / brute.size
+        (sec, breadth, recall)
+      } finally corpus.unpersist()
+    }
+    pqSublinear(sf01) // warm
+    val (pqsBase, pqsBreadth01, pqsRec01) = pqSublinear(sf01)
+    val (pqsScaled, pqsBreadth1, pqsRec1) = pqSublinear(sf1)
+    println(f"[probe] pq rerank sublinear: sf0.1 $pqsBase%6.2fs " +
+      f"breadth=$pqsBreadth01 recall=$pqsRec01%.3f | " +
+      f"sf1 $pqsScaled%6.2fs breadth=$pqsBreadth1 recall=$pqsRec1%.3f | " +
+      f"x${pqsScaled / pqsBase}%.1f time (gate breadth=ceil(2n/5), " +
+      "recall 0.90 — the spec-pinned floor point)")
+
+    // Learned-IVF Lloyd rounds at a production-scale k (r15 verdict item
+    // 2): kmeansDriver now defaults to the bucketed n*O(sqrt k)
+    // assignment at k >= 64 — every oracle gate trains below that, so
+    // this row is the only measurement of the new default. k held FIXED
+    // across scales so the ratio reads Lloyd-pass linearity in n; the
+    // flat fold is timed beside it at sf1 for the constant-factor
+    // comparison the threshold claims (4*sqrt(k) ~ 45 vs k = 128 dots
+    // per row).
+    def lloyd(dir: String, flat: Boolean): Double = {
+      val corpus = graft.operators.Similarity
+        .prepared(graft.queries.tbl(spark, dir, "embeddings"),
+          "embedding", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        corpus.count()
+        val t0 = System.nanoTime()
+        if (flat)
+          graft.operators.Similarity.kmeansCentroidsSeqFlat(
+            corpus, 128, lloydIters = 2)
+        else
+          graft.operators.Similarity.kmeansCentroidsSeq(
+            corpus, 128, lloydIters = 2)
+        (System.nanoTime() - t0) / 1e9
+      } finally corpus.unpersist()
+    }
+    lloyd(sf01, flat = false) // warm
+    val lbBase = lloyd(sf01, flat = false)
+    val lbScaled = lloyd(sf1, flat = false)
+    val lfScaled = lloyd(sf1, flat = true)
+    println(f"[probe] lloyd k=128 bucketed: sf0.1 $lbBase%6.2fs | " +
+      f"sf1 $lbScaled%6.2fs | x${lbScaled / lbBase}%.1f time | " +
+      f"flat sf1 $lfScaled%6.2fs (bucketed default above k=64)")
+
     // Graph-stack probe on a supplier entity table scaled in-process:
     // the risky part at 100 TB is ED-1 deletion-neighborhood blocking
     // (candidate-pair growth) feeding pagerank/triangles, and the gates
@@ -242,10 +320,23 @@ object Sf1Probe {
       f"x10 $g10%6.2fs ($e10 edges) | x${g10 / g1}%.1f time " +
       f"x${e10.toDouble / e1}%.1f edges")
 
+    // Self-describing rows (r15 verdict item 6): a reader of this file
+    // alone must not mistake a deliberately-retained demonstration for a
+    // scale failure — the tag rides in the artifact, not just PLANS.md.
+    val noteFor = Map(
+      "q_sim_semdedup" -> ("pinned fixed-k trap demonstration (oracle " +
+        "replays k=8, making intra-cell verify n^2/k) — super-linear BY " +
+        "DESIGN; the production default is auto-k: see q_sim_semdedup_auto" +
+        " and semdedup_scaled_k"),
+      "q_sim_knn_pq_rerank" -> ("gate runs the ceil(2n/5) corpus-fraction" +
+        " breadth its recall spec pins (linear-in-n by construction); the" +
+        " production sublinear schedule is measured in pq_rerank_sublinear"))
     val json = rows.map { case (g, (s01, s1, mb01, mb1)) =>
+      val note =
+        noteFor.get(g).map(n => s""", "note": "$n"""").getOrElse("")
       f"""  "$g": {"sf01_sec": $s01%.3f, "sf1_sec": $s1%.3f, "ratio": ${
         s1 / s01}%.2f, "sf01_shuffle_mb": $mb01%.3f, "sf1_shuffle_mb": $mb1%.3f, "shuffle_ratio": ${
-        if (mb01 > 0) mb1 / mb01 else 0.0}%.2f}"""
+        if (mb01 > 0) mb1 / mb01 else 0.0}%.2f$note}"""
     }.mkString("{\n", ",\n", "\n}")
     val stat = "single_run_per_scale after per-gate sf0.1 warmup (the " +
       "first-ever run of a gate pays its codegen/JIT; timing the second " +
@@ -257,7 +348,14 @@ object Sf1Probe {
       f"$saBase%.3f"}, "sf1_sec": ${f"$saScaled%.3f"}, "ratio": ${
       f"${saScaled / saBase}%.2f"}}, "bucketed_assign_joined": {"sf01_sec": ${
       f"$ajBase%.3f"}, "sf1_sec": ${f"$ajScaled%.3f"}, "ratio": ${
-      f"${ajScaled / ajBase}%.2f"}}, "graph_scaled_supplier": {"x1_sec": ${
+      f"${ajScaled / ajBase}%.2f"}}, "pq_rerank_sublinear": {"sf01_sec": ${
+      f"$pqsBase%.3f"}, "sf1_sec": ${f"$pqsScaled%.3f"}, "ratio": ${
+      f"${pqsScaled / pqsBase}%.2f"}, "sf01_breadth": $pqsBreadth01, "sf1_breadth": $pqsBreadth1, "sf01_recall": ${
+      f"$pqsRec01%.3f"}, "sf1_recall": ${
+      f"$pqsRec1%.3f"}}, "lloyd_bucketed_k128": {"sf01_sec": ${
+      f"$lbBase%.3f"}, "sf1_sec": ${f"$lbScaled%.3f"}, "ratio": ${
+      f"${lbScaled / lbBase}%.2f"}, "flat_sf1_sec": ${
+      f"$lfScaled%.3f"}}, "graph_scaled_supplier": {"x1_sec": ${
       f"$g1%.3f"}, "x10_sec": ${f"$g10%.3f"}, "ratio": ${
       f"${g10 / g1}%.2f"}, "x1_edges": $e1, "x10_edges": $e10}, "gates": $json}"""
     java.nio.file.Files.write(

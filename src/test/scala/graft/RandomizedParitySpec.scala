@@ -2144,6 +2144,28 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  test("winnowingSharedSpans cached (default) and uncached spellings are " +
+      "identical — the extent-frame persist is an execution detail, " +
+      "never a semantic input (r15 verdict item 1)") {
+    val vocab = Vector("a", "b", "c")
+    for (seed <- 9890 until 9894) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(3)
+      val w = 1 + rnd.nextInt(4)
+      val maxDf = 2 + rnd.nextInt(4)
+      val docRows = (0L until (5 + rnd.nextInt(6)).toLong)
+        .map(i => (i, randDoc(rnd, vocab, 3 + rnd.nextInt(10))))
+      val df = docRows.toDF("doc_id", "text")
+      def run(cache: Boolean) = graft.operators.TextOps
+        .winnowingSharedSpans(df, "text", "doc_id", k, w, maxDf, cache)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSet
+      assert(run(cache = true) === run(cache = false),
+        s"\nseed=$seed k=$k w=$w maxDf=$maxDf")
+    }
+  }
+
   test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
       "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
       "knnBrute bitwise (the matryoshka exactness regime)") {

@@ -26,6 +26,30 @@ class SimilaritySpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+  test("kmeansCentroidsSeq Lloyd dispatch (r15 verdict item 2): below " +
+      "LloydBucketedMinK the default equals the forced-flat hook bitwise; " +
+      "at the threshold the bucketed default kicks in (differs from flat " +
+      "on this corpus), is deterministic, and is layout-invariant") {
+    def key(cs: Seq[Similarity.Cent]) =
+      cs.map(c => (c.cid, c.cv.toSeq, c.cnrm))
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val below = Similarity.LloydBucketedMinK - 1
+      assert(key(Similarity.kmeansCentroidsSeq(corpus, below, 1)) ===
+        key(Similarity.kmeansCentroidsSeqFlat(corpus, below, 1)))
+      val k = Similarity.LloydBucketedMinK
+      val a = key(Similarity.kmeansCentroidsSeq(corpus.repartition(3), k, 1))
+      val b = key(Similarity.kmeansCentroidsSeq(corpus.repartition(7), k, 1))
+      assert(a.length === k)
+      assert(a === b) // partition count is an execution detail
+      // the default at k >= threshold really is the two-level rule: on
+      // this corpus the 4-probe assignment diverges from the flat argmax
+      // for some rows, so the Lloyd means must differ (if a change ever
+      // silently re-flattened the default, this catches it)
+      assert(a !== key(Similarity.kmeansCentroidsSeqFlat(corpus, k, 1)))
+    } finally { corpus.unpersist(); () }
+  }
+
   test("knnIvfLearned returns k neighbors per query with sane recall") {
     val k = 5
     val brute = Similarity.knnBrute(emb, "embedding", "vec_id", queryIds, k)
@@ -438,10 +462,11 @@ class SimilaritySpec extends SparkTestBase {
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
       "q_sim_knn_ivfpq" -> 0.70, "q_sim_knn_sq8" -> 0.80,
       "q_sim_knn_pq_rerank" -> 0.80,
-      // matryoshka shortlist max(8k, n/25): the 4% corpus floor lifts the
-      // evenly-spread synthetic corpus to 0.66 at sf0.1 (constant 40 had
-      // measured 0.50 — the shrinking-fraction trend) at a tenth of
-      // pq_rerank's 40% repair breadth
+      // matryoshka shortlist max(8k, 2*ceil(sqrt n)) — SUBLINEAR in the
+      // corpus (r16; the earlier n/25 floor was linear-in-n). Measured
+      // 0.685 at sf0.1 (constant 40 had measured 0.50 — the
+      // shrinking-fraction trend) at a tiny fraction of pq_rerank's 40%
+      // repair breadth
       "q_sim_knn_matryoshka" -> 0.60)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
