@@ -250,12 +250,18 @@ class StreamsSpec extends SparkTestBase {
     assert(u7.head.getAs[Timestamp]("s_end").toString === "2024-01-01 01:50:00.0")
   }
 
-  test("the staged parity gates really replay three micro-batches") {
+  test("the staged parity gates really replay three micro-batches (five " +
+      "for the session gate: three real + two watermark sentinels)") {
     for (gate <- Seq("q_stream_session_parity", "q_stream_late_drop",
         "q_stream_stream_join", "q_stream_outer_join")) {
+      // the session gate's Append drain replays the sentinel variant —
+      // two extra one-row watermark-advancer batches (see
+      // stageEventsMulti's withSentinels doc); lastRunBatches counts
+      // data-carrying batches, so they show up here
+      val want = if (gate == "q_stream_session_parity") 5 else 3
       SparkEntry.queries(gate)(spark, sf0001).collect()
-      assert(Streams.lastRunBatches === 3,
-        s"$gate drained ${Streams.lastRunBatches} batches, want 3")
+      assert(Streams.lastRunBatches === want,
+        s"$gate drained ${Streams.lastRunBatches} batches, want $want")
     }
   }
 
