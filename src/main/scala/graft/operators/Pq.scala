@@ -194,7 +194,19 @@ object Pq {
     * so the exact-cosine repair pass stays a vanishing fraction of n while
     * still growing with it (a constant breadth decays, see
     * [[rerankBreadth]]'s recall history). The 8k floor keeps small corpora
-    * from starving the re-rank below a useful candidate pool. */
+    * from starving the re-rank below a useful candidate pool.
+    *
+    * PRECONDITION — codebook fidelity: a √n shortlist only repairs what
+    * the ADC ordering ranks near the top, so this schedule assumes
+    * production-shaped codebooks (small subspaces, tens of centroids —
+    * the standard PQ regime). Measured on the 64-dim gate corpus
+    * (sf1 probe, 10× sweep): at m=16/32-cent codebooks recall holds
+    * 0.835→0.840 across a 10× corpus growth under this schedule; at the
+    * oracle gate's deliberately-coarse m=4/8-cent codebook (coarse so
+    * DuckDB can replay the scoring) the same schedule starves to
+    * 0.20→0.12 — that codebook needs [[rerankBreadth]]'s wide ⌈2n/5⌉
+    * fraction to reach its pinned 0.90, which is the GATE operating
+    * point, not the production one. */
   def rerankBreadthSublinear(n: Long, k: Int): Int = {
     val root = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong
     math.min(math.max(8L * k, root), Int.MaxValue.toLong).toInt

@@ -175,26 +175,52 @@ object Streaming {
     * watermark-advancer files b4/b5: one event each, user_id = −1,
     * event times 91 and 92 days past the real maximum. Purpose: let an
     * APPEND-mode session drain emit every real session exactly once
-    * against the whole-table oracle. With the gate's 60-day delay the
-    * replay's own watermark never passes any real session end (the data
-    * spans ~30 days), so Append over the 3 real files would emit
-    * NOTHING; the b4 sentinel lifts the watermark to max+31d — past
-    * every real session end (≤ max+30min) — and under the
-    * two-watermark lag (eviction uses the watermark committed after the
-    * PREVIOUS batch) the b5 sentinel forces one more data-carrying
-    * batch in which that watermark is operative, so eviction does not
-    * depend on an optional no-data final micro-batch. The sentinels'
-    * own sessions end 91+ days out, where no watermark ever reaches:
-    * they are never emitted, so the oracle over the REAL events table
-    * stays truthful row-for-row. */
+    * against the whole-table oracle. Under the two-watermark lag
+    * (eviction uses the watermark committed after the PREVIOUS batch)
+    * the b4 sentinel lifts the watermark past every real session end
+    * and the b5 sentinel forces one more data-carrying batch in which
+    * that watermark is operative, so flushing every real session does
+    * not depend on an optional no-data final micro-batch. The b5
+    * sentinel's own session ends 92 days out, where no watermark ever
+    * reaches — never emitted; the b4 sentinel's MAY be emitted by a
+    * trailing no-data batch once b5's watermark is operative, which is
+    * why the session gate filters `user_id = −1` after the drain (the
+    * sentinels are replay scaffolding, not data — the oracle reads the
+    * real events table only).
+    *
+    * `ordered = true` (the session gate's variant) splits by TIME ONLY —
+    * no straggler rerouting (late-arrival semantics are
+    * q_stream_late_drop's business, on the unordered layout). This is
+    * what lets the session drain run a PRODUCTION-SHAPED watermark
+    * (1 hour) instead of a 60-day one: batches are disjoint ascending
+    * time ranges, so no real event ever lands under the late filter
+    * (batch N's filter watermark is max(batch ≤ N−2) − delay, strictly
+    * below batch N's minimum), while state EVICTS progressively — a
+    * session ending below max(batch N−1) − 1h is emitted in batch N and
+    * can never receive later events (any later event starts > 1h ≥ 2×gap
+    * after its end). With the 60-day delay the r15→r16 first spelling
+    * kept ALL state resident across every batch (nothing evicted until
+    * the sentinel batches); the ordered variant holds only LIVE sessions
+    * per batch — bounded state, the production shape. Per-batch
+    * telemetry shows the remaining wall time is real sessionization
+    * work, not state accumulation: at 10× data, batch 1 alone creates
+    * 57% of all session state rows (600k events → 573k sessions) and
+    * costs ~half the total trigger time, state-store commit stays
+    * sub-second, and the gate's shuffle bytes are scale-invariant. */
   private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
-      dir: String, withSentinels: Boolean = false): String = {
+      dir: String, withSentinels: Boolean = false,
+      ordered: Boolean = false): String = {
+    require(!ordered || withSentinels,
+      "ordered split is only spelled with sentinels (the session gate)")
     val san = sanitizedName(dir, "events.parquet")
-    // variant classes `_multi\d+` / `_multis\d+` (disjoint regexes): the
+    // variant classes `_multi\d+` / `_multiso\d+` (disjoint regexes): the
     // GC prunes BOTH stale fingerprints (data regenerations) and stale
-    // SplitRuleVersions of this source, per variant class
-    val variant = if (withSentinels) "multis" else "multi"
-    staged(san, s"_$variant\\d+",
+    // SplitRuleVersions of this source, per variant class; the ordered
+    // class regex also sweeps the retired r16 `_multis\d+` spelling
+    val variant =
+      if (ordered) "multiso" else if (withSentinels) "multis" else "multi"
+    val variantRe = if (ordered) "_multiso?\\d+" else s"_$variant\\d+"
+    staged(san, variantRe,
         s"${san}_$variant${SplitRuleVersion}_${fingerprint(dir, "events.parquet")}") {
         stage =>
       // canonicalize at stage time: the staged replay files always carry
@@ -208,8 +234,9 @@ object Streaming {
       val span = maxTs - t0
       val cut1 = t0 + span * 6L / 10L
       val cut2 = t0 + span * 85L / 100L
-      val straggler =
-        col("event_id") % 50 === 0 && col("ts") <= cut1 - TwoHoursNs
+      // ordered variant: pure time ranges — no straggler rerouting
+      val straggler = if (ordered) lit(false)
+        else col("event_id") % 50 === 0 && col("ts") <= cut1 - TwoHoursNs
       def writeBatch(frame: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         val tmp = stage.resolve(s"b${i + 1}.tmpdir")
         frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -310,7 +337,8 @@ object Streaming {
              |ORDER BY w_start, event_type""".stripMargin)),
 
     // Streaming SESSION windows vs the oracle's gap-session SQL, replayed
-    // across three micro-batches — at sf0.01/sf0.1 at least one user's
+    // across five staged micro-batches (three time-ordered data ranges +
+    // two watermark sentinels) — at sf0.01/sf0.1 at least one user's
     // events straddle the batch-1/batch-2 cut inside the gap, so session
     // state MUST merge across batches for the hash to match. Boundary
     // semantics pinned exactly: Spark's session window is [start, last+gap)
@@ -318,37 +346,49 @@ object Streaming {
     // previous one starts a NEW session (windows [t1,t1+g) and [t2,t2+g)
     // merge iff t2 < t1+g). The oracle therefore flags `diff >= gap`, NOT
     // the `diff > gap` of the batch Sessionize operator's oracle.
-    // maxDelay exceeds the ~30-day replay span because SESSION aggregation
-    // drops late input rows even in Complete mode (unlike plain windows —
-    // StreamsSpec pins the asymmetry); the batch-3 stragglers must be
-    // deduped/merged by STATE, not silently vanish, for the whole-table
-    // oracle to stay truthful. Late-drop semantics are q_stream_late_drop's
-    // business.
+    // APPEND drain over the ORDERED staged split (r15 verdict item 5 —
+    // the production output mode AND the production watermark shape):
+    // through r15 this gate drained in Complete mode, re-sorting and
+    // re-emitting the ENTIRE session state on every batch; the first
+    // Append spelling kept the 60-day delay, which evicted nothing until
+    // the sentinel batches — every micro-batch still re-merged the full
+    // accumulated history (measured ×4.9 at 10× data, WORSE than
+    // Complete). The fix is in the STAGING, not the drain: the `ordered`
+    // variant splits by time only (no straggler rerouting — late-drop
+    // semantics live in q_stream_late_drop on the unordered layout), so
+    // a 1-hour delay never late-filters a real event (each batch's
+    // filter watermark sits below the batch's minimum ts) while closed
+    // sessions EVICT progressively batch-by-batch — state holds LIVE
+    // sessions only, the production shape. The two watermark-advancer
+    // sentinel files flush the tail sessions during the replay's final
+    // data batch (see stageEventsMulti's doc); the b4 sentinel's own
+    // session can surface from a trailing no-data batch, so the drain
+    // filters user_id = −1 — replay scaffolding, never data — and the
+    // oracle stays the same whole-table SQL over the real events table.
+    // Every real session is emitted exactly once; session state still
+    // MERGES across batches (the straddling users sit inside the gap at
+    // both cuts in the ordered layout too).
     //
-    // APPEND drain (r15 verdict item 5 — the production output mode):
-    // through r15 this gate drained in Complete mode, which re-sorts and
-    // re-emits the ENTIRE session state on every batch — the harness
-    // cost behind its ×3.8-×4.5 sf1 probe rows (the in-process Append
-    // demo beside it measured ×2.67). The whole-table oracle needs every
-    // session EMITTED, and the replay's own watermark (60-day delay over
-    // a ~30-day span) never passes any session end — so the staged
-    // layout adds two watermark-advancer sentinel files (user −1, 91/92
-    // days out; see stageEventsMulti's withSentinels doc for the
-    // two-watermark-lag reasoning) that push the eviction watermark past
-    // every REAL session end during the replay. Each real session is
-    // emitted exactly once from state eviction, the sentinels' own
-    // sessions never are, and the oracle stays the same whole-table SQL.
-    // State now EVICTS instead of accumulating, each session is sorted
-    // once — per-batch cost tracks live sessions, the production shape.
+    // The sentinel filter MUST run post-drain (on the materialized batch
+    // table), never inside the streaming plan: inlined before the drain,
+    // Catalyst pushes the user_id predicate through the session
+    // aggregation and BELOW the EventTimeWatermark node to the file
+    // scan, the sentinel rows vanish at the source, the watermark never
+    // advances past the real data, and the tail sessions are silently
+    // retained instead of flushed (measured: 185 sessions short at
+    // sf0.1). The oracle gate would catch the row loss, but the failure
+    // reads as "flaky streaming", not "predicate pushdown ate the
+    // watermark advancer" — hence this note.
     "q_stream_session_parity" -> Q(
       (s, dir) => {
         val stream = Streams.eventStream(s,
-            stageEventsMulti(s, dir, withSentinels = true),
+            stageEventsMulti(s, dir, withSentinels = true, ordered = true),
             maxFilesPerTrigger = Some(1))
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",
-          maxDelay = "60 days")
+          maxDelay = "1 hour")
         drainAppend(agg, "stream_session_parity", dir)
+          .filter(col("user_id") =!= lit(-1L))
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
             col("session_value").cast("double").as("session_value"))

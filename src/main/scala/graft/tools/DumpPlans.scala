@@ -350,7 +350,8 @@ object DumpPlans {
       "q_sim_knn_matryoshka" -> ("matryoshka adaptive retrieval: ONE " +
         "narrow corpus scan scores the 32-dim PREFIX (broadcast-query " +
         "non-equi scan, allowlisted BNLJ like knn_brute), " +
-        "WindowGroupLimit keeps the max(8k, n/25) shortlist per query, exact " +
+        "WindowGroupLimit keeps the max(8k, 2*ceil(sqrt n)) shortlist " +
+        "(sublinear in the corpus) per query, exact " +
         "re-rank fetches only shortlist*|queries| full vectors by " +
         "id-join — the full-dim column never rides a shuffle"),
       "q_hybrid_rrf" -> ("RRF hybrid fusion: lexical top-50 is " +
@@ -397,8 +398,11 @@ object DumpPlans {
         "(numRowsRemoved > 0 spec-pinned in StreamingSpec) — cost is " +
         "harness replay, not data movement"),
       "q_stream_session_parity" -> ("streaming session window parity: " +
-        "sink read below; stream side = session gap aggregation with " +
-        "state eviction under watermark, keyed by user — state bounded " +
+        "sink read below (post-drain sentinel filter — inlining it " +
+        "would push the predicate below the watermark node and eat the " +
+        "advancer rows); stream side = Append session gap aggregation " +
+        "over the ordered 5-file staging, 1h production watermark, " +
+        "progressive state eviction, keyed by user — state bounded " +
         "by live sessions, not history"),
       "q_stream_stream_join" -> ("stream-stream interval join: sink " +
         "read below; stream side buffers ONLY the minimal projected " +

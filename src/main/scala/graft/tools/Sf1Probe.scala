@@ -205,15 +205,24 @@ object Sf1Probe {
     // 4): the shipped gate runs the ceil(2n/5) corpus-fraction breadth
     // its recall spec pins (shuffle x228 per x10 data — linear-in-n by
     // construction); Pq.rerankBreadthSublinear (max(8k, ceil(sqrt n)))
-    // was unit-pinned only. This measures it end to end — same gate
-    // codebooks (m=4, 8 cents, 2 Lloyd rounds), 40-query recall panel
-    // vs exact brute — so the production operating point ships as a
-    // measurement (time, breadth, recall at BOTH scales), not prose.
+    // was unit-pinned only. This measures it end to end at the
+    // PRODUCTION-SHAPED codebook (m=16, 32 cents — 4-dim subspaces over
+    // the 64-dim corpus, the standard PQ regime), 40-query recall panel
+    // vs exact brute, at BOTH scales — so the production operating point
+    // ships as a measurement (time, breadth, recall), not prose. The
+    // gate's own m=4/8-cent codebook (coarse BY DESIGN so DuckDB can
+    // replay the ADC scoring) is measured beside it: a sqrt(n) shortlist
+    // only repairs what ADC ranks near the top, so the coarse codebook
+    // starves under this schedule (the r16 fidelity sweep measured
+    // 0.20->0.12 across 10x) while the production codebook HOLDS recall
+    // flat across the same growth — the precondition now documented on
+    // rerankBreadthSublinear itself.
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    def pqSublinear(dir: String): (Double, Int, Double) = {
+    def pqSublinear(dir: String, m: Int, cents: Int)
+        : (Double, Int, Double) = {
       val emb = graft.queries.tbl(spark, dir, "embeddings")
       val corpus = graft.operators.Similarity
         .prepared(emb, "embedding", "vec_id")
@@ -222,7 +231,7 @@ object Sf1Probe {
         val k = 5
         val breadth = graft.operators.Pq
           .rerankBreadthSublinear(corpus.count(), k)
-        val cbs = graft.operators.Pq.trainCodebooks(corpus, 4, 8,
+        val cbs = graft.operators.Pq.trainCodebooks(corpus, m, cents,
           lloydIters = 2)
         val panel = graft.queries.Similarity.RecallPanel
         val t0 = System.nanoTime()
@@ -237,24 +246,29 @@ object Sf1Probe {
         (sec, breadth, recall)
       } finally corpus.unpersist()
     }
-    pqSublinear(sf01) // warm
-    val (pqsBase, pqsBreadth01, pqsRec01) = pqSublinear(sf01)
-    val (pqsScaled, pqsBreadth1, pqsRec1) = pqSublinear(sf1)
-    println(f"[probe] pq rerank sublinear: sf0.1 $pqsBase%6.2fs " +
+    pqSublinear(sf01, 16, 32) // warm
+    val (pqsBase, pqsBreadth01, pqsRec01) = pqSublinear(sf01, 16, 32)
+    val (pqsScaled, pqsBreadth1, pqsRec1) = pqSublinear(sf1, 16, 32)
+    val (_, _, pqsGateRec01) = pqSublinear(sf01, 4, 8)
+    val (_, _, pqsGateRec1) = pqSublinear(sf1, 4, 8)
+    println(f"[probe] pq rerank sublinear (m=16/32c): sf0.1 $pqsBase%6.2fs " +
       f"breadth=$pqsBreadth01 recall=$pqsRec01%.3f | " +
       f"sf1 $pqsScaled%6.2fs breadth=$pqsBreadth1 recall=$pqsRec1%.3f | " +
-      f"x${pqsScaled / pqsBase}%.1f time (gate breadth=ceil(2n/5), " +
-      "recall 0.90 — the spec-pinned floor point)")
+      f"x${pqsScaled / pqsBase}%.1f time | gate-codebook (m=4/8c) recall " +
+      f"$pqsGateRec01%.3f -> $pqsGateRec1%.3f (starved — needs the " +
+      "ceil(2n/5) gate fraction for its pinned 0.90)")
 
     // Learned-IVF Lloyd rounds at a production-scale k (r15 verdict item
     // 2): kmeansDriver now defaults to the bucketed n*O(sqrt k)
     // assignment at k >= 64 — every oracle gate trains below that, so
-    // this row is the only measurement of the new default. k held FIXED
-    // across scales so the ratio reads Lloyd-pass linearity in n; the
-    // flat fold is timed beside it at sf1 for the constant-factor
-    // comparison the threshold claims (4*sqrt(k) ~ 45 vs k = 128 dots
-    // per row).
-    def lloyd(dir: String, flat: Boolean): Double = {
+    // these rows are the only measurement of the new default. k held
+    // FIXED across scales so the ratio reads Lloyd-pass linearity in n;
+    // the flat fold is timed beside it at sf1 for the constant-factor
+    // comparison the threshold claims. Two k points: at k=128 per-row
+    // work is small either way and plan overhead dominates (the r16
+    // first run measured a wash, 2.72s vs 2.67s); k=512 is where the
+    // n*k term separates (4*sqrt(512) ~ 90 vs 512 dots per row).
+    def lloyd(dir: String, k: Int, flat: Boolean): Double = {
       val corpus = graft.operators.Similarity
         .prepared(graft.queries.tbl(spark, dir, "embeddings"),
           "embedding", "vec_id")
@@ -264,20 +278,27 @@ object Sf1Probe {
         val t0 = System.nanoTime()
         if (flat)
           graft.operators.Similarity.kmeansCentroidsSeqFlat(
-            corpus, 128, lloydIters = 2)
+            corpus, k, lloydIters = 2)
         else
           graft.operators.Similarity.kmeansCentroidsSeq(
-            corpus, 128, lloydIters = 2)
+            corpus, k, lloydIters = 2)
         (System.nanoTime() - t0) / 1e9
       } finally corpus.unpersist()
     }
-    lloyd(sf01, flat = false) // warm
-    val lbBase = lloyd(sf01, flat = false)
-    val lbScaled = lloyd(sf1, flat = false)
-    val lfScaled = lloyd(sf1, flat = true)
+    lloyd(sf01, 128, flat = false) // warm
+    val lbBase = lloyd(sf01, 128, flat = false)
+    val lbScaled = lloyd(sf1, 128, flat = false)
+    val lfScaled = lloyd(sf1, 128, flat = true)
     println(f"[probe] lloyd k=128 bucketed: sf0.1 $lbBase%6.2fs | " +
       f"sf1 $lbScaled%6.2fs | x${lbScaled / lbBase}%.1f time | " +
       f"flat sf1 $lfScaled%6.2fs (bucketed default above k=64)")
+    val lb512Base = lloyd(sf01, 512, flat = false)
+    val lb512Scaled = lloyd(sf1, 512, flat = false)
+    val lf512Scaled = lloyd(sf1, 512, flat = true)
+    println(f"[probe] lloyd k=512 bucketed: sf0.1 $lb512Base%6.2fs | " +
+      f"sf1 $lb512Scaled%6.2fs | x${lb512Scaled / lb512Base}%.1f time | " +
+      f"flat sf1 $lf512Scaled%6.2fs (the n*k-vs-n*sqrt(k) separation " +
+      "point)")
 
     // Graph-stack probe on a supplier entity table scaled in-process:
     // the risky part at 100 TB is ED-1 deletion-neighborhood blocking
@@ -330,7 +351,20 @@ object Sf1Probe {
         " and semdedup_scaled_k"),
       "q_sim_knn_pq_rerank" -> ("gate runs the ceil(2n/5) corpus-fraction" +
         " breadth its recall spec pins (linear-in-n by construction); the" +
-        " production sublinear schedule is measured in pq_rerank_sublinear"))
+        " production sublinear schedule is measured in pq_rerank_sublinear"),
+      "q_sim_knn_matryoshka" -> ("shuffle_ratio reads huge only because " +
+        "the sf0.1 base is ~0 (compressed KBs): the one real exchange " +
+        "carries shortlist(=2*ceil(sqrt n)) * partitions * |queries| " +
+        "candidate tuples from the partial WindowGroupLimit — SUBLINEAR " +
+        "in n by the r16 schedule (the r15 n/25 shortlist was linear)"),
+      "q_stream_session_parity" -> ("Append drain over the ordered " +
+        "5-file staging with a 1h production watermark (r16): state " +
+        "evicts progressively and shuffle is x1.0; the wall ratio is the " +
+        "state-store term — per-batch telemetry shows ~half the trigger " +
+        "time is batch 0 creating 57% of all sessions (600k rows -> 573k " +
+        "session state rows at sf1), i.e. real sessionization work " +
+        "growing ~linearly while the wall grows slower; the in-process " +
+        "session_append demo isolates the same eviction path"))
     val json = rows.map { case (g, (s01, s1, mb01, mb1)) =>
       val note =
         noteFor.get(g).map(n => s""", "note": "$n"""").getOrElse("")
@@ -350,12 +384,17 @@ object Sf1Probe {
       f"$ajBase%.3f"}, "sf1_sec": ${f"$ajScaled%.3f"}, "ratio": ${
       f"${ajScaled / ajBase}%.2f"}}, "pq_rerank_sublinear": {"sf01_sec": ${
       f"$pqsBase%.3f"}, "sf1_sec": ${f"$pqsScaled%.3f"}, "ratio": ${
-      f"${pqsScaled / pqsBase}%.2f"}, "sf01_breadth": $pqsBreadth01, "sf1_breadth": $pqsBreadth1, "sf01_recall": ${
+      f"${pqsScaled / pqsBase}%.2f"}, "sf01_breadth": $pqsBreadth01, "sf1_breadth": $pqsBreadth1, "codebook": "m=16, 32 cents (production-shaped; 4-dim subspaces)", "sf01_recall": ${
       f"$pqsRec01%.3f"}, "sf1_recall": ${
-      f"$pqsRec1%.3f"}}, "lloyd_bucketed_k128": {"sf01_sec": ${
+      f"$pqsRec1%.3f"}, "gate_codebook_sf01_recall": ${
+      f"$pqsGateRec01%.3f"}, "gate_codebook_sf1_recall": ${
+      f"$pqsGateRec1%.3f"}, "note": "the sqrt(n) schedule needs codebook fidelity: the gate's m=4/8-cent codebook (coarse so DuckDB replays the ADC scoring) starves under it and needs the gate's ceil(2n/5) fraction for its pinned 0.90 — see Pq.rerankBreadthSublinear scaladoc"}, "lloyd_bucketed_k128": {"sf01_sec": ${
       f"$lbBase%.3f"}, "sf1_sec": ${f"$lbScaled%.3f"}, "ratio": ${
       f"${lbScaled / lbBase}%.2f"}, "flat_sf1_sec": ${
-      f"$lfScaled%.3f"}}, "graph_scaled_supplier": {"x1_sec": ${
+      f"$lfScaled%.3f"}}, "lloyd_bucketed_k512": {"sf01_sec": ${
+      f"$lb512Base%.3f"}, "sf1_sec": ${f"$lb512Scaled%.3f"}, "ratio": ${
+      f"${lb512Scaled / lb512Base}%.2f"}, "flat_sf1_sec": ${
+      f"$lf512Scaled%.3f"}}, "graph_scaled_supplier": {"x1_sec": ${
       f"$g1%.3f"}, "x10_sec": ${f"$g10%.3f"}, "ratio": ${
       f"${g10 / g1}%.2f"}, "x1_edges": $e1, "x10_edges": $e10}, "gates": $json}"""
     java.nio.file.Files.write(
