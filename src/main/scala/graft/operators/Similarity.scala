@@ -486,7 +486,7 @@ object Similarity {
     * production-scale k instead of trusting the complexity argument. */
   private[graft] def kmeansCentroidsSeqFlat(corpus: DataFrame, k: Int,
       lloydIters: Int): Seq[Cent] =
-    kmeansDriver(corpus, k, lloydIters, assignCells(_, _))
+    kmeansDriver(corpus, k, lloydIters, Some(assignCells(_, _)))
 
   /** Top-`p` centroid cells by cosine, as an array of cids — the nProbe
     * probe list. Same literal centroid array as [[cellFor]]; the sort is a
@@ -595,11 +595,12 @@ object Similarity {
   private[graft] val LloydBucketedMinK = 64
 
   private def kmeansDriver(corpus: DataFrame, k: Int, lloydIters: Int,
-      assignFn: (DataFrame, Seq[Cent]) => DataFrame = null): Seq[Cent] = {
+      assignFn: Option[(DataFrame, Seq[Cent]) => DataFrame] = None)
+      : Seq[Cent] = {
     val assign: (DataFrame, Seq[Cent]) => DataFrame =
-      if (assignFn != null) assignFn
-      else if (k >= LloydBucketedMinK) assignCellsBucketed(_, _)
-      else assignCells(_, _)
+      assignFn.getOrElse(
+        if (k >= LloydBucketedMinK) assignCellsBucketed(_, _)
+        else assignCells(_, _))
     // 1. oversample (distributed top-2k by hash — TakeOrdered, no full sort)
     val cand = corpus.select(col("id"), col("v"), col("nrm"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -934,7 +935,7 @@ object Similarity {
     // evict it mid-gate. Production callers own their corpus lifecycle.
     val k = semDedupAutoK(corpus.count(), targetCellSize)
     val cents = kmeansDriver(corpus, k, lloydIters,
-      assignCellsBucketed(_, _))
+      Some(assignCellsBucketed(_, _)))
     val (groups, cid2gid) = groupCentroids(cents,
       centroidGroupCount(cents.size))
     val assigned = assignCellsGrouped(corpus, cents, groups, cid2gid,

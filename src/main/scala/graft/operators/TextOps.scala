@@ -17,6 +17,13 @@ object TextOps {
 
   val PolyMod = 1000000007L
 
+  /** The extent frame [[winnowingSharedSpans]] last persisted — the next
+    * cache=true call unpersists it so repeated invocations in one JVM pin
+    * at most one frame (see the comment at the persist site). */
+  private val lastCachedSpans =
+    new java.util.concurrent.atomic.AtomicReference[
+      Option[org.apache.spark.sql.DataFrame]](None)
+
   /** MinHash affine family h_j(x) = (A(j)·x + B(j)) mod P — 16 functions,
     * 4 bands × 4 rows (standard LSH banding for τ ≈ 0.5-0.8). */
   val HashA: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L,
@@ -148,11 +155,12 @@ object TextOps {
     * recompute). The cached frame is 4 longs per (doc, fp) — a vanishing
     * fraction of the corpus — spills to disk under pressure, and keeps
     * its lineage (fault-tolerant recompute on a real cluster, unlike a
-    * local checkpoint). It stays registered for the returned plan's
-    * lifetime; a long-lived session can drop it with
-    * `spark.catalog.clearCache()` once the result is consumed.
-    * `cache = false` is the pure-lazy spelling (results are identical —
-    * spec-pinned). */
+    * local checkpoint). Repeated invocations in one JVM pin at most ONE
+    * frame: each cache=true call unpersists the previous call's frame
+    * (correctness-safe — an unpersisted plan falls back to lazy
+    * recompute), so a long bench session cannot accumulate cached
+    * copies. `cache = false` is the pure-lazy spelling (results are
+    * identical — spec-pinned). */
   def winnowingSharedSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, maxDf: Int, cache: Boolean = true): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a shared fp needs 2 docs), " +
@@ -163,9 +171,20 @@ object TextOps {
     val docFpLazy = fps.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
     val docFp =
-      if (cache) docFpLazy.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else docFpLazy
+      if (cache) {
+        // Bound cache growth across repeated invocations in one JVM (a
+        // bench session samples the gate many times): unpersist the frame
+        // the PREVIOUS call registered before registering this one.
+        // Unpersist is always correctness-safe — a still-referenced older
+        // plan silently falls back to lazy recompute — so at most one
+        // extent frame is ever pinned by this operator.
+        lastCachedSpans.getAndSet(Some(docFpLazy)) match {
+          case Some(prev) => prev.unpersist(blocking = false): Unit
+          case None => ()
+        }
+        docFpLazy.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else docFpLazy
     val rare = docFp.join(
       docFp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("fp")),

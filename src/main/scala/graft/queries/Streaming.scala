@@ -140,6 +140,14 @@ object Streaming {
   private val SplitRuleVersion = 3
   private val TwoHoursNs = 7200000000000L
 
+  /** user_id carried by the session gate's watermark-sentinel rows.
+    * Staging fails fast if the real data ever contains this key (see
+    * the guard in [[stageEventsMulti]]); the gate's post-drain filter
+    * tests it NULL-SAFELY so a legitimate NULL-user session is kept —
+    * NULL <=> −1 is false, and the oracle's GROUP BY keeps the NULL
+    * group too. */
+  private val SentinelUser = -1L
+
   /** Multi-file staging of the events table: split deterministically into
     * THREE parquet files with ascending modification times, so the file
     * source under `maxFilesPerTrigger=1` + AvailableNow replays them as
@@ -210,15 +218,20 @@ object Streaming {
   private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
       dir: String, withSentinels: Boolean = false,
       ordered: Boolean = false): String = {
-    require(!ordered || withSentinels,
-      "ordered split is only spelled with sentinels (the session gate)")
+    // sentinels ⇔ ordered: the unordered-sentinel spelling is RETIRED
+    // (the r16 first Append draft) and its staging class `_multis\d+` is
+    // swept by the ordered class's GC regex below — permitting a caller
+    // to stage it again would let the session gate's sweep delete a LIVE
+    // staging mid-replay
+    require(ordered == withSentinels,
+      "sentinels and ordered split go together (the session gate " +
+        "spelling); the unordered-sentinel layout is retired")
     val san = sanitizedName(dir, "events.parquet")
     // variant classes `_multi\d+` / `_multiso\d+` (disjoint regexes): the
     // GC prunes BOTH stale fingerprints (data regenerations) and stale
     // SplitRuleVersions of this source, per variant class; the ordered
     // class regex also sweeps the retired r16 `_multis\d+` spelling
-    val variant =
-      if (ordered) "multiso" else if (withSentinels) "multis" else "multi"
+    val variant = if (ordered) "multiso" else "multi"
     val variantRe = if (ordered) "_multiso?\\d+" else s"_$variant\\d+"
     staged(san, variantRe,
         s"${san}_$variant${SplitRuleVersion}_${fingerprint(dir, "events.parquet")}") {
@@ -259,6 +272,16 @@ object Streaming {
         writeBatch(df.filter(pred), i)
       }
       if (withSentinels) {
+        // fail-fast guard: the session gate filters user_id = −1 rows
+        // out post-drain as replay scaffolding, so a REAL −1 user in a
+        // regenerated corpus would be silently dropped from the Spark
+        // side while the whole-table oracle keeps it — a parity mismatch
+        // that would read as flaky streaming. Refuse to stage instead.
+        val clash = df.filter(col("user_id") <=> lit(SentinelUser)).count()
+        require(clash == 0L,
+          s"events at $dir carry $clash row(s) with user_id = " +
+            s"$SentinelUser — the sentinel key must be out of the data " +
+            "domain for the session gate's post-drain filter to be exact")
         val dayNs = 86400000000000L
         Seq(91L, 92L).zipWithIndex.foreach { case (days, j) =>
           // one deterministic row, canonical column shape: the five
@@ -266,7 +289,7 @@ object Streaming {
           val sent = df.limit(1).select(df.columns.toIndexedSeq.map {
             case "event_id" => lit(-(j + 1).toLong).as("event_id")
             case "ts" => lit(maxTs + days * dayNs).as("ts")
-            case "user_id" => lit(-1L).as("user_id")
+            case "user_id" => lit(SentinelUser).as("user_id")
             case "event_type" => lit("__sentinel").as("event_type")
             case "value" => lit(0.0).as("value")
             case c => lit(null).cast(df.schema(c).dataType).as(c)
@@ -388,7 +411,10 @@ object Streaming {
         val agg = Streams.sessionize(stream, gap = "30 minutes",
           maxDelay = "1 hour")
         drainAppend(agg, "stream_session_parity", dir)
-          .filter(col("user_id") =!= lit(-1L))
+          // null-safe: a NULL-user session must survive this filter (the
+          // oracle's GROUP BY keeps the NULL group); staging guarantees
+          // no REAL row carries SentinelUser
+          .filter(!(col("user_id") <=> lit(SentinelUser)))
           .select(col("user_id"), col("s_start"), col("s_end"),
             col("n_events"),
             col("session_value").cast("double").as("session_value"))

@@ -288,12 +288,18 @@ object Sf1Probe {
     lloyd(sf01, 128, flat = false) // warm
     val lbBase = lloyd(sf01, 128, flat = false)
     val lbScaled = lloyd(sf1, 128, flat = false)
+    lloyd(sf01, 128, flat = true) // warm the flat literal-fold codegen
     val lfScaled = lloyd(sf1, 128, flat = true)
     println(f"[probe] lloyd k=128 bucketed: sf0.1 $lbBase%6.2fs | " +
       f"sf1 $lbScaled%6.2fs | x${lbScaled / lbBase}%.1f time | " +
       f"flat sf1 $lfScaled%6.2fs (bucketed default above k=64)")
+    // k=512 plans are shape-distinct from k=128 (literal sizes, group
+    // count), so they get their own warmups — the artifact's stat field
+    // promises every timed number follows a same-shape warm run
+    lloyd(sf01, 512, flat = false) // warm
     val lb512Base = lloyd(sf01, 512, flat = false)
     val lb512Scaled = lloyd(sf1, 512, flat = false)
+    lloyd(sf01, 512, flat = true) // warm
     val lf512Scaled = lloyd(sf1, 512, flat = true)
     println(f"[probe] lloyd k=512 bucketed: sf0.1 $lb512Base%6.2fs | " +
       f"sf1 $lb512Scaled%6.2fs | x${lb512Scaled / lb512Base}%.1f time | " +

@@ -45,4 +45,48 @@ class StagingSpec extends SparkTestBase {
         graft.queries.Streaming.deleteRecursively(p)
     }
   }
+
+  test("sentinel staging refuses a corpus whose data domain contains the " +
+      "sentinel user key (the session gate's post-drain filter would " +
+      "silently drop a real user's sessions)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stage-clash")
+    val src = dir.resolve("events.parquet")
+    // one real event rewritten to carry the sentinel key −1
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .limit(5)
+      .withColumn("user_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Streaming.stageEventsMulti(spark, dir.toString,
+        withSentinels = true, ordered = true)
+    }
+    assert(e.getMessage.contains("user_id"), e.getMessage)
+    // the failed staging must not leave a half-staged dir that a later
+    // call would trust: no .staged marker anywhere under the stage root
+    // for this temp source
+    val root = Paths.get("/tmp/graft_stream_stage")
+    if (Files.isDirectory(root)) {
+      val st = Files.list(root)
+      val leaked = try st.toArray.map(_.toString)
+          .filter(_.contains(dir.getFileName.toString))
+        finally st.close()
+      assert(!leaked.exists(p => Files.exists(Paths.get(p, ".staged"))),
+        s"half-staged dir carries a marker: ${leaked.mkString(",")}")
+      leaked.foreach(p => graft.queries.Streaming
+        .deleteRecursively(Paths.get(p)))
+    }
+  }
+
+  test("the retired unordered-sentinel staging spelling is rejected " +
+      "(its class would be swept by the ordered variant's GC)") {
+    intercept[IllegalArgumentException] {
+      graft.queries.Streaming.stageEventsMulti(spark, sf0001,
+        withSentinels = true, ordered = false)
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.Streaming.stageEventsMulti(spark, sf0001,
+        withSentinels = false, ordered = true)
+    }
+  }
 }
