@@ -10,13 +10,13 @@ object Bench {
       qsMedian: String, qsCpu: String, qsGc: String, qsMem: String,
       qsShuffle: String, qsShufRec: String, qsBcast: String,
       recallJson: String, failed: String, sf: String,
-      calib: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf"}"""
+      calib: String, env: String = "{}"): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"env":$env,"queries":$qs,"queries_median":$qsMedian,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_peak_mem":$qsMem,"queries_shuffle_mb":$qsShuffle,"queries_shuffle_rec":$qsShufRec,"queries_broadcast_mb":$qsBcast,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf"}"""
 
   private[graft] def compactLine(total: String, stat: String, qs: String,
       recallJson: String, failed: String, sf: String, detail: String,
-      calib: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"queries":$qs,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
+      calib: String, env: String = "{}"): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"env":$env,"queries":$qs,"queries_recall":$recallJson,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
 
   private[graft] def tinyLine(total: String, stat: String, nQueries: Int,
       failed: String, sf: String, detail: String, calib: String): String =
@@ -72,7 +72,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrationRun() // untimed warmup (codegen for the calibration plan)
-    var calibSec = calibrationRun()
+    val calibPre = calibrationRun()
     // Per-query: one untimed warmup (plan compile + codegen cache), then 5
     // timed runs recording wall time, process CPU time, GC time and peak
     // heap. The round-7 driver bench reported phantom 4-12x regressions on
@@ -131,6 +131,17 @@ object Bench {
     // track_size_* in /root/reference/benchmarks/boolean.py:24-39).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Host context for the artifact (r16 verdict: a 3.7× calibration swing
+    // between two same-code runs made "calibration-normalized" claims
+    // unfalsifiable). load_avg is the 1-minute system load at the two
+    // sample points — calibration read on a loaded box is a property of
+    // the WINDOW, not the host; cpu_model + cpus fingerprint the host so
+    // two artifacts normalizing against each other can first check they
+    // ran on comparable silicon. Consumer rule: when calibration_pre and
+    // calibration_post disagree by >2×, or load_avg is high at either
+    // endpoint, do NOT normalize across artifacts — re-run on a quiet
+    // window instead.
+    val loadStart = osBean.getSystemLoadAverage
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
@@ -211,8 +222,24 @@ object Bench {
     // recall is a deterministic per-dataset constant — ANY change without a
     // code change is a bug, and a recall drop at unchanged wall time is the
     // silent-regression class the timing stats cannot see.
-    calibSec = math.min(calibSec, calibrationRun())
+    val calibPost = calibrationRun()
+    val loadEnd = osBean.getSystemLoadAverage
+    val calibSec = math.min(calibPre, calibPost)
     val calib = (math.rint(calibSec * 10000) / 10000).toString
+    def r4(x: Double): String = (math.rint(x * 10000) / 10000).toString
+    val cpuModel = try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Throwable => "unknown" }
+    val envJson = s"""{"cpu_model":"${
+      cpuModel.replace("\\", "\\\\").replace("\"", "\\\"")
+    }","cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadEnd)},""" +
+      s""""calibration_pre":${r4(calibPre)},"calibration_post":${r4(calibPost)}}"""
     val recall: Map[String, Double] =
       if (filter.isDefined) Map.empty
       else try queries.Similarity.recallVsBrute(spark, sfDir)
@@ -252,7 +279,8 @@ object Bench {
     // 83 timings, BENCH_r09 parsed null), so the full line goes to a FILE
     // and stdout carries a compact line that fits a tail grab.
     val full = fullLine(total, stat, qs, qsMedian, qsCpu, qsGc, qsMem,
-      qsShuffle, qsShufRec, qsBcast, recallJson, failed, sfDir, calib)
+      qsShuffle, qsShufRec, qsBcast, recallJson, failed, sfDir, calib,
+      envJson)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -261,7 +289,7 @@ object Bench {
     // 92 queries vs ~13 KB with all five maps). "detail" names the full
     // artifact.
     println(compactLine(total, stat, jmap(_._1, round = true), recallJson,
-      failed, sfDir, out, calib))
+      failed, sfDir, out, calib, envJson))
     // FINAL line is tiny (~150 bytes): the driver's stdout capture is a
     // bounded TAIL, and r9/r10 proved even the compact per-query line can
     // overflow it (BENCH "parsed": null, head of the line clipped). Totals +

@@ -400,6 +400,7 @@ object Similarity {
     * group structure itself (oracle side-tables). */
   def assignCellsBucketed(corpus: DataFrame, cents: Seq[Cent],
       nProbe: Int = GroupProbes, numGroups: Int = 0): DataFrame = {
+    bucketedAssignCalls.incrementAndGet(): Unit
     if (cents.isEmpty)
       return corpus.withColumn("cell", lit(-1L))
     val m = if (numGroups > 0) numGroups else centroidGroupCount(cents.size)
@@ -593,6 +594,15 @@ object Similarity {
     * [[semDedupAuto]] documents, and the full-probe exactness sweep in
     * SimilaritySpec pins where they coincide. */
   private[graft] val LloydBucketedMinK = 64
+
+  /** Invocations of [[assignCellsBucketed]] — the observability counter
+    * that lets a spec (and the k ≥ [[LloydBucketedMinK]] oracle gate's
+    * definition-of-done) PROVE a training run's Lloyd rounds dispatched
+    * to the bucketed two-level rule rather than trusting the dispatch
+    * expression: snapshot, train, assert the delta equals the Lloyd
+    * round count. Monotonic; never reset. */
+  private[graft] val bucketedAssignCalls =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   private def kmeansDriver(corpus: DataFrame, k: Int, lloydIters: Int,
       assignFn: Option[(DataFrame, Seq[Cent]) => DataFrame] = None)

@@ -17,12 +17,49 @@ object TextOps {
 
   val PolyMod = 1000000007L
 
-  /** The extent frame [[winnowingSharedSpans]] last persisted — the next
-    * cache=true call unpersists it so repeated invocations in one JVM pin
-    * at most one frame (see the comment at the persist site). */
-  private val lastCachedSpans =
-    new java.util.concurrent.atomic.AtomicReference[
-      Option[org.apache.spark.sql.DataFrame]](None)
+  /** Bounded LRU registry of the extent frames [[winnowingSharedSpans]]
+    * has persisted, keyed by (session, analyzed-plan semantic hash).
+    * Three invariants (each spec-pinned in DedupSpec):
+    *   - repeated invocations over the SAME corpus re-find the persisted
+    *     frame instead of dropping and re-registering it (the r16 single
+    *     slot paid a full recompute per invocation);
+    *   - two INTERLEAVED corpora each keep their cache benefit (the r16
+    *     slot silently unpersisted the other's frame on every call);
+    *   - at most [[MaxCachedSpanFrames]] frames are ever pinned — the
+    *     least-recently-used is unpersisted on overflow (correctness-safe:
+    *     an unpersisted plan lazily recomputes), so a long bench session
+    *     cannot accumulate cached copies.
+    * All mutation runs under the map's lock: the r16 getAndSet/unpersist/
+    * persist sequence was not atomic, so two concurrent calls could leave
+    * a persisted frame untracked (and so never unpersisted). */
+  private val MaxCachedSpanFrames = 2
+  private val cachedSpans = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, Int),
+    org.apache.spark.sql.DataFrame](4, 0.75f, true)
+  /** Cache-registry hits — the observability hook DedupSpec uses to prove
+    * interleaved corpora each retain their frame. */
+  private[graft] val spanCacheHits =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def cachedSpanFrameCount: Int =
+    cachedSpans.synchronized(cachedSpans.size)
+
+  private def cachedSpanFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = cachedSpans.synchronized {
+    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash())
+    val hit = cachedSpans.get(key) // get() refreshes LRU access order
+    if (hit != null) { spanCacheHits.incrementAndGet(); hit }
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cachedSpans.put(key, df)
+      if (cachedSpans.size > MaxCachedSpanFrames) {
+        val it = cachedSpans.entrySet().iterator()
+        val eldest = it.next()
+        it.remove()
+        eldest.getValue.unpersist(blocking = false): Unit
+      }
+      df
+    }
+  }
 
   /** MinHash affine family h_j(x) = (A(j)·x + B(j)) mod P — 16 functions,
     * 4 bands × 4 rows (standard LSH banding for τ ≈ 0.5-0.8). */
@@ -155,11 +192,12 @@ object TextOps {
     * recompute). The cached frame is 4 longs per (doc, fp) — a vanishing
     * fraction of the corpus — spills to disk under pressure, and keeps
     * its lineage (fault-tolerant recompute on a real cluster, unlike a
-    * local checkpoint). Repeated invocations in one JVM pin at most ONE
-    * frame: each cache=true call unpersists the previous call's frame
-    * (correctness-safe — an unpersisted plan falls back to lazy
-    * recompute), so a long bench session cannot accumulate cached
-    * copies. `cache = false` is the pure-lazy spelling (results are
+    * local checkpoint). Cached frames are SCOPED per input plan via the
+    * bounded [[cachedSpans]] LRU registry: repeated invocations over one
+    * corpus reuse the persisted frame, interleaved corpora each keep
+    * theirs, and at most [[MaxCachedSpanFrames]] frames are ever pinned
+    * (the LRU one is unpersisted on overflow — correctness-safe, lazy
+    * recompute). `cache = false` is the pure-lazy spelling (results are
     * identical — spec-pinned). */
   def winnowingSharedSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, maxDf: Int, cache: Boolean = true): DataFrame = {
@@ -171,20 +209,8 @@ object TextOps {
     val docFpLazy = fps.groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
     val docFp =
-      if (cache) {
-        // Bound cache growth across repeated invocations in one JVM (a
-        // bench session samples the gate many times): unpersist the frame
-        // the PREVIOUS call registered before registering this one.
-        // Unpersist is always correctness-safe — a still-referenced older
-        // plan silently falls back to lazy recompute — so at most one
-        // extent frame is ever pinned by this operator.
-        lastCachedSpans.getAndSet(Some(docFpLazy)) match {
-          case Some(prev) => prev.unpersist(blocking = false): Unit
-          case None => ()
-        }
-        docFpLazy.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      } else docFpLazy
+      if (cache) cachedSpanFrame(docFpLazy)
+      else docFpLazy
     val rare = docFp.join(
       docFp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("fp")),

@@ -122,6 +122,57 @@ object Similarity {
     * operating point); cost stays linear — breadth·|queries| exact
     * cosines by id-join. */
   private def pqRerankFor(n: Long): Int = graft.operators.Pq.rerankBreadth(n, K)
+
+  /** PRODUCTION PQ operating point (r16 verdict item 3 — probe-only
+    * through r16, oracle-gated from r17): m=16 subspaces × 32 centroids
+    * (the production-shaped codebook whose ADC ordering is good enough
+    * for a sublinear repair pass — [[graft.operators.Pq
+    * .rerankBreadthSublinear]]'s documented precondition) with re-rank
+    * breadth max(8k, ⌈√n⌉) — SUBLINEAR in the corpus, unlike the
+    * coarse-codebook gate's deliberately wide ⌈2n/5⌉ fraction. The sf1
+    * probe measured this point holding recall 0.835→0.840 across a 10×
+    * corpus growth while the exact pass shrinks as a corpus fraction.
+    * Codebook side-table contract identical to [[PqDumpBase]]. */
+  private val PqProdM = 16
+  private val PqProdK = 32
+  private val PqProdSubDim = Dim / PqProdM
+  private val PqProdDumpBase =
+    "/root/repo/target/oracle_aux/pq_codebooks_prod_"
+  private def pqProdDump(dir: String): String =
+    PqProdDumpBase + new java.io.File(dir).getName
+  private def pqProdRerankFor(n: Long): Int =
+    graft.operators.Pq.rerankBreadthSublinear(n, K)
+  /** DuckDB mirror of [[Pq.rerankBreadthSublinear]]: IEEE-754 requires
+    * sqrt correctly rounded and n < 2⁵³ converts exactly, so both
+    * engines' ceil(sqrt(n)) are the same integer (the matryoshka
+    * shortlist's established cross-engine argument). */
+  private val ProdRerankSql =
+    s"greatest(${8 * K}, CAST(ceil(sqrt(" +
+      "(SELECT count(*) FROM n))) AS BIGINT))"
+
+  /** Production-PQ training without the dump (recall-panel entry). */
+  private def pqProdTrainOnly(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]]) = {
+    val corpus = preparedCorpus(s, dir)
+    val cbs = graft.operators.Pq.trainCodebooks(corpus, PqProdM, PqProdK,
+      lloydIters = 2)
+    (corpus, cbs)
+  }
+
+  /** [[pqProdTrainOnly]] + the oracle side-table. */
+  private def pqProdTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]]) = {
+    val (corpus, cbs) = pqProdTrainOnly(s, dir)
+    import s.implicits._
+    writeTableAtomically(
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (cv, cid) => (sub, cid, cv.toSeq) }
+      }.toDF("sub", "cid", "cv"),
+      pqProdDump(dir))
+    (corpus, cbs)
+  }
   /** DuckDB mirror of [[Pq.rerankBreadth]] over the prepared-corpus CTE
     * `n` — same ceil-division integers, computed from the same table. */
   private val RerankBreadthSql =
@@ -341,14 +392,51 @@ object Similarity {
     (corpus, cents)
   }
 
-  /** Oracle prelude shared by the PQ gates: per-(row, sub, cid) squared L2
-    * distances, 0-based codes per row, and per-query ADC tables — all from
-    * the dumped codebooks, mirroring Pq.codesFor/qtabFor fold-for-fold. */
-  private def pqCtes: String = {
-    val sub = s"list_slice(n.v, cb.sub*$PqSubDim + 1, cb.sub*$PqSubDim + $PqSubDim)"
+  /** PRODUCTION-dispatch IVF training: k = [[Sim.LloydBucketedMinK]], so
+    * `kmeansDriver`'s DEFAULT dispatch (no override) runs every Lloyd
+    * round through the bucketed two-level assignment — the code path
+    * every production caller (thousands of cells at constant cell size)
+    * actually hits, which through r16 was pinned only by specs and the
+    * sf1 probe, never by a DuckDB oracle hash (r16 verdict item 1; the
+    * 8-cell learned gate deliberately trains BELOW the threshold so its
+    * centroids stayed bitwise unchanged when the default flipped).
+    * SimilaritySpec pins, via [[Sim.bucketedAssignCalls]], that this
+    * training really dispatches bucketed — one invocation per Lloyd
+    * round. The oracle replay is unchanged in shape: training hands the
+    * centroid set to DuckDB via the parquet side-table, and the oracle
+    * recomputes assign/probe/score/rank bitwise from it — so a change
+    * anywhere in the bucketed Lloyd trajectory changes the dumped
+    * centroids and the gate hash with it. */
+  private val K64Cells: Int = Sim.LloydBucketedMinK
+  private val K64Lloyd = 2
+  /** Probe breadth: 16 of ~64 cells ≈ 25% scan, the same scan fraction
+    * as the LSH gates; cells that lose every member during Lloyd vanish
+    * from the centroid set, so the effective probe count is
+    * min(16, |cents|) — mirrored in SQL as least(16, count(cent)). */
+  private val K64Probe = 16
+  private val K64DumpBase =
+    "/root/repo/target/oracle_aux/ivf_centroids_k64_"
+  private def k64Dump(dir: String): String =
+    K64DumpBase + new java.io.File(dir).getName
+
+  private def ivfK64TrainOnly(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[Sim.Cent]) = {
+    val corpus = preparedCorpus(s, dir)
+    val cents = Sim.kmeansCentroidsSeq(corpus, k = K64Cells,
+      lloydIters = K64Lloyd)
+    (corpus, cents)
+  }
+
+  /** Oracle prelude shared by the PQ gates (parameterized over the dumped
+    * codebook table and its (m, subDim) shape): per-(row, sub, cid)
+    * squared L2 distances, 0-based codes per row, and per-query ADC
+    * tables — all from the dumped codebooks, mirroring
+    * Pq.codesFor/qtabFor fold-for-fold. */
+  private def pqCtesFor(dumpBase: String, m: Int, subDim: Int): String = {
+    val sub = s"list_slice(n.v, cb.sub*$subDim + 1, cb.sub*$subDim + $subDim)"
     s"""cb AS (
        |  SELECT sub, cid, CAST(cv AS DOUBLE[]) AS cv
-       |  FROM read_parquet('${PqDumpBase}sf0.01/*.parquet')),
+       |  FROM read_parquet('${dumpBase}sf0.01/*.parquet')),
        |dist AS (
        |  SELECT n.id, cb.sub, cb.cid,
        |         ${DuckFrag.l2sqSql(sub, "cb.cv")} AS d
@@ -367,7 +455,7 @@ object Similarity {
        |adc AS (
        |  SELECT q.query_id, c.id AS neighbor_id,
        |         list_reduce(list_prepend(0.0, list_transform(
-       |           range(1, $PqM + 1), s -> q.qtab[s][c.codes[s] + 1])),
+       |           range(1, $m + 1), s -> q.qtab[s][c.codes[s] + 1])),
        |           (acc, x) -> acc + x) AS adc_dist
        |  FROM codes c, qtab q WHERE c.id <> q.query_id),
        |radc AS (
@@ -375,6 +463,9 @@ object Similarity {
        |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) rn
        |  FROM adc)""".stripMargin
   }
+
+  /** The two coarse-codebook PQ gates' prelude (the r13-era shape). */
+  private def pqCtes: String = pqCtesFor(PqDumpBase, PqM, PqSubDim)
 
   /** DuckDB prelude: corpus as DOUBLE[] vectors with precomputed norms —
     * mirrors Sim.prepared. */
@@ -480,6 +571,11 @@ object Similarity {
       val (corpus, cents) = ivfTrainOnly(s, dir)
       Sim.knnIvfFrom(corpus, cents, q, K, nProbe = IvfLearnedProbe)
     }),
+    "q_sim_knn_ivf_learned_k64" -> ((s, dir, q) => {
+      val (corpus, cents) = ivfK64TrainOnly(s, dir)
+      Sim.knnIvfFrom(corpus, cents, q, K,
+        nProbe = math.min(K64Probe, cents.size))
+    }),
     "q_sim_knn_pq" -> ((s, dir, q) => {
       val (corpus, cbs) = pqTrainOnly(s, dir)
       graft.operators.Pq.knnPqFrom(corpus, cbs, q, K)
@@ -493,6 +589,11 @@ object Similarity {
       val (corpus, cbs) = pqTrainOnly(s, dir)
       graft.operators.Pq.knnPqFrom(corpus, cbs, q, K,
         rerank = pqRerankFor(corpus.count()))
+    }),
+    "q_sim_knn_pq_prod" -> ((s, dir, q) => {
+      val (corpus, cbs) = pqProdTrainOnly(s, dir)
+      graft.operators.Pq.knnPqFrom(corpus, cbs, q, K,
+        rerank = pqProdRerankFor(corpus.count()))
     }),
     "q_sim_knn_sq8" -> ((s, dir, q) =>
       graft.operators.Sq.knnSq8(tbl(s, dir, "embeddings"), "embedding",
@@ -524,9 +625,10 @@ object Similarity {
     * run-to-run statistics. */
   def recallVsBrute(s: org.apache.spark.sql.SparkSession, dir: String,
       annNames: Seq[String] = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_pq",
-        "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq", "q_sim_knn_sq8",
-        "q_sim_knn_matryoshka"))
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned",
+        "q_sim_knn_ivf_learned_k64", "q_sim_knn_pq",
+        "q_sim_knn_pq_rerank", "q_sim_knn_pq_prod", "q_sim_knn_ivfpq",
+        "q_sim_knn_sq8", "q_sim_knn_matryoshka"))
       : Map[String, Double] = {
     def sets(name: String): Map[Long, Set[Long]] =
       AnnCores(name)(s, dir, RecallPanel)
@@ -700,6 +802,51 @@ object Similarity {
               |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
               |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    // IVF ANN trained at k = LloydBucketedMinK through kmeansDriver's
+    // DEFAULT dispatch — every Lloyd round runs the bucketed two-level
+    // assignment, the production training path (see K64Cells' scaladoc).
+    // Same side-table contract as q_sim_knn_ivf_learned: the trained
+    // centroids are dumped to parquet and the oracle replays cell
+    // assignment, the min(16, |cents|) probe list, and top-k bitwise.
+    "q_sim_knn_ivf_learned_k64" -> Q(
+      (s, dir) => {
+        val (corpus, cents) = ivfK64TrainOnly(s, dir)
+        import s.implicits._
+        writeTableAtomically(
+          cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm"),
+          k64Dump(dir))
+        Sim.knnIvfFrom(corpus, cents, QueryIds, K,
+            nProbe = math.min(K64Probe, cents.size))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$preparedCte,
+              |cent AS (
+              |  SELECT cid, CAST(cv AS DOUBLE[]) AS cv, cnrm
+              |  FROM read_parquet('${K64DumpBase}sf0.01/*.parquet')),
+              |ranked AS (
+              |  SELECT n.id, n.v, n.nrm, cent.cid AS cell,
+              |         row_number() OVER (PARTITION BY n.id ORDER BY
+              |           ${DuckFrag.cosineSql("n.v", "n.nrm", "cent.cv", "cent.cnrm")}
+              |             DESC, cent.cid) AS rk
+              |  FROM n, cent),
+              |assign AS (
+              |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
+              |q AS (
+              |  SELECT id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+              |  FROM ranked
+              |  WHERE rk <= least($K64Probe, (SELECT count(*) FROM cent))
+              |    AND id IN $queryIdList),
+              |s AS (
+              |  SELECT query_id, id AS neighbor_id,
+              |         ${DuckFrag.cosineSql("qv", "qn", "v", "nrm")} AS cosine
+              |  FROM assign, q WHERE cell = qcell AND id <> query_id),
+              |r AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM s)
+              |SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // Product-quantization ANN, pure ADC: the corpus is stored as m=4
     // one-byte codes per vector and queries score candidates with m table
     // lookups instead of a dim-wide dot product — the memory-compression
@@ -735,6 +882,39 @@ object Similarity {
               |$pqCtes,
               |cand AS (
               |  SELECT query_id, neighbor_id FROM radc WHERE rn <= $RerankBreadthSql),
+              |ex AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |         ${DuckFrag.cosineSql("q.v", "q.nrm", "b.v", "b.nrm")}
+              |           AS cosine
+              |  FROM cand c
+              |  JOIN n b ON b.id = c.neighbor_id
+              |  JOIN n q ON q.id = c.query_id),
+              |rex AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn
+              |  FROM ex)
+              |SELECT query_id, neighbor_id, cosine FROM rex WHERE rn <= $K
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // The PRODUCTION PQ operating point, oracle-gated (see PqProdM's
+    // scaladoc): m=16/32-cent codebooks + the SUBLINEAR max(8k, ⌈√n⌉)
+    // exact re-rank — the configuration whose 10×-growth recall the sf1
+    // probe measured flat (0.835→0.840), vs the coarse-codebook gate
+    // above whose ⌈2n/5⌉ breadth is gate-only. The oracle recomputes
+    // encoding, ADC tables, the sublinear shortlist, and the exact
+    // re-rank fold-for-fold from the dumped codebook side-table.
+    "q_sim_knn_pq_prod" -> Q(
+      (s, dir) => {
+        val (corpus, cbs) = pqProdTrained(s, dir)
+        graft.operators.Pq.knnPqFrom(corpus, cbs, QueryIds, K,
+            rerank = pqProdRerankFor(corpus.count()))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$preparedCte,
+              |${pqCtesFor(PqProdDumpBase, PqProdM, PqProdSubDim)},
+              |cand AS (
+              |  SELECT query_id, neighbor_id FROM radc
+              |  WHERE rn <= $ProdRerankSql),
               |ex AS (
               |  SELECT c.query_id, c.neighbor_id,
               |         ${DuckFrag.cosineSql("q.v", "q.nrm", "b.v", "b.nrm")}

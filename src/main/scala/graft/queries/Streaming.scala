@@ -178,7 +178,7 @@ object Streaming {
     * StreamsSpec pins this too), so the window parity oracle stays the
     * plain whole-table SQL.
     *
-    * `withSentinels = true` (a SEPARATE staged variant — the 3-file
+    * `sessionGate = true` (a SEPARATE staged variant — the 3-file
     * gates replay the plain layout unchanged) appends two
     * watermark-advancer files b4/b5: one event each, user_id = −1,
     * event times 91 and 92 days past the real maximum. Purpose: let an
@@ -196,8 +196,8 @@ object Streaming {
     * sentinels are replay scaffolding, not data — the oracle reads the
     * real events table only).
     *
-    * `ordered = true` (the session gate's variant) splits by TIME ONLY —
-    * no straggler rerouting (late-arrival semantics are
+    * The same flag also splits by TIME ONLY — no straggler rerouting
+    * (late-arrival semantics are
     * q_stream_late_drop's business, on the unordered layout). This is
     * what lets the session drain run a PRODUCTION-SHAPED watermark
     * (1 hour) instead of a 60-day one: batches are disjoint ascending
@@ -216,16 +216,16 @@ object Streaming {
     * costs ~half the total trigger time, state-store commit stays
     * sub-second, and the gate's shuffle bytes are scale-invariant. */
   private[graft] def stageEventsMulti(s: org.apache.spark.sql.SparkSession,
-      dir: String, withSentinels: Boolean = false,
-      ordered: Boolean = false): String = {
-    // sentinels ⇔ ordered: the unordered-sentinel spelling is RETIRED
-    // (the r16 first Append draft) and its staging class `_multis\d+` is
-    // swept by the ordered class's GC regex below — permitting a caller
-    // to stage it again would let the session gate's sweep delete a LIVE
-    // staging mid-replay
-    require(ordered == withSentinels,
-      "sentinels and ordered split go together (the session gate " +
-        "spelling); the unordered-sentinel layout is retired")
+      dir: String, sessionGate: Boolean = false): String = {
+    // ONE flag covers both the sentinel files and the ordered split:
+    // sentinels without the ordered layout is the RETIRED r16 first
+    // Append draft, whose staging class `_multis\d+` is swept by the
+    // ordered class's GC regex below — staging it again would let the
+    // session gate's sweep delete a LIVE staging mid-replay. A single
+    // parameter makes that spelling unrepresentable at the call site
+    // (the r16 shape was two booleans runtime-required to be equal).
+    val withSentinels = sessionGate
+    val ordered = sessionGate
     val san = sanitizedName(dir, "events.parquet")
     // variant classes `_multi\d+` / `_multiso\d+` (disjoint regexes): the
     // GC prunes BOTH stale fingerprints (data regenerations) and stale
@@ -241,6 +241,20 @@ object Streaming {
       // with, so the split arithmetic below and every downstream reader see
       // one shape
       val df = canonicalizeTime(s.read.parquet(s"$dir/events.parquet"))
+      if (withSentinels) {
+        // fail-fast guard, BEFORE any batch write: the session gate
+        // filters user_id = −1 rows out post-drain as replay scaffolding,
+        // so a REAL −1 user in a regenerated corpus would be silently
+        // dropped from the Spark side while the whole-table oracle keeps
+        // it — a parity mismatch that would read as flaky streaming.
+        // Refusing up front also means a refused corpus writes NOTHING
+        // (no marker-less half-staged directory to reclaim later).
+        val clash = df.filter(col("user_id") <=> lit(SentinelUser)).count()
+        require(clash == 0L,
+          s"events at $dir carry $clash row(s) with user_id = " +
+            s"$SentinelUser — the sentinel key must be out of the data " +
+            "domain for the session gate's post-drain filter to be exact")
+      }
       val mm = df.agg(min(col("ts")), max(col("ts"))).head()
       val t0 = mm.getLong(0)
       val maxTs = mm.getLong(1)
@@ -272,16 +286,6 @@ object Streaming {
         writeBatch(df.filter(pred), i)
       }
       if (withSentinels) {
-        // fail-fast guard: the session gate filters user_id = −1 rows
-        // out post-drain as replay scaffolding, so a REAL −1 user in a
-        // regenerated corpus would be silently dropped from the Spark
-        // side while the whole-table oracle keeps it — a parity mismatch
-        // that would read as flaky streaming. Refuse to stage instead.
-        val clash = df.filter(col("user_id") <=> lit(SentinelUser)).count()
-        require(clash == 0L,
-          s"events at $dir carry $clash row(s) with user_id = " +
-            s"$SentinelUser — the sentinel key must be out of the data " +
-            "domain for the session gate's post-drain filter to be exact")
         val dayNs = 86400000000000L
         Seq(91L, 92L).zipWithIndex.foreach { case (days, j) =>
           // one deterministic row, canonical column shape: the five
@@ -405,7 +409,7 @@ object Streaming {
     "q_stream_session_parity" -> Q(
       (s, dir) => {
         val stream = Streams.eventStream(s,
-            stageEventsMulti(s, dir, withSentinels = true, ordered = true),
+            stageEventsMulti(s, dir, sessionGate = true),
             maxFilesPerTrigger = Some(1))
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.sessionize(stream, gap = "30 minutes",

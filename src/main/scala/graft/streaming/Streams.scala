@@ -177,6 +177,43 @@ object Streams {
 
   private val _lastRunBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store residency of a finished drain, read from the engine's
+    * progress telemetry: total state rows and bytes across the LAST
+    * micro-batch progress that reported state operators, summed over
+    * operators. This is the 100×-scale wall the session gate's verdict
+    * item flagged — state rows grow with live sessions, and the default
+    * on-heap HDFSBackedStateStore holds all of them per executor — so
+    * residency must be a MEASUREMENT in the probe artifact, not a claim.
+    * `bytes` is the provider's own memory estimate (on-heap map size for
+    * the default provider; block-cache + memtable usage for RocksDB). */
+  case class StateTelemetry(rows: Long, bytes: Long)
+
+  private val _lastRunState =
+    new java.util.concurrent.atomic.AtomicReference[Option[StateTelemetry]](None)
+
+  /** State telemetry of the most recent drain, or None for a stateless
+    * plan (e.g. the stream-static join). */
+  def lastRunStateTelemetry: Option[StateTelemetry] = _lastRunState.get()
+
+  /** The default state store holds every state row ON-HEAP per executor —
+    * at 100× the session corpus that heap residency is the first
+    * streaming wall. This scopes a drain to the RocksDB provider
+    * (off-heap native memory + local SST files, the production choice for
+    * large state), restoring the previous provider afterwards. Results
+    * are provider-invariant (StreamsSpec pins the session gate's output
+    * equal under both providers); only residency and commit mechanics
+    * change. The rocksdbjni natives ship with Spark's jars. */
+  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Number of micro-batches WITH input rows the most recent
     * [[runToTable]]/[[runToTableAppend]] drain executed — the observability
     * hook that lets specs prove a staged replay really spanned multiple
@@ -186,8 +223,14 @@ object Streams {
   def lastRunBatches: Int = _lastRunBatches.get()
 
   private def recordBatches(
-      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     _lastRunBatches.set(q.recentProgress.count(_.numInputRows > 0))
+    _lastRunState.set(
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty).map { p =>
+        StateTelemetry(p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)
+      })
+  }
 
   /** Run `body` with the session's shuffle-partition count clamped to `n`,
     * restored afterwards. A streaming query pins its STATE-STORE partition

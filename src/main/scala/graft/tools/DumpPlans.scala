@@ -61,6 +61,11 @@ object DumpPlans {
       "q_sim_knn_ivf_learned" -> ("learned k-means|| centroids folded as ONE " +
         "literal; narrow argmax cell assignment (no join/window for assign); " +
         "nProbe=2 expansion on the broadcast query side only"),
+      "q_sim_knn_ivf_learned_k64" -> ("k=64 training through the DEFAULT " +
+        "bucketed-Lloyd dispatch (this dump shows the post-training " +
+        "SCORING plan: 64-cent literal argmax assign, 16-cell probe " +
+        "expansion broadcast-side only; the bucketed Lloyd rounds are " +
+        "counter-pinned in SimilaritySpec)"),
       "q_pipe_dup_groups_dist" -> ("distributed min-label + pointer-jump " +
         "components: per-round shuffles only (id,label) longs; plan " +
         "truncated by checkpoint each round (this dump shows the final " +
@@ -123,6 +128,11 @@ object DumpPlans {
       "q_sim_knn_pq_rerank" -> ("ADC candidates re-scored exact: the " +
         "id-join fetches only rerank·|queries| full vectors; queries stay " +
         "broadcast in both the ADC and the re-rank joins"),
+      "q_sim_knn_pq_prod" -> ("the PRODUCTION PQ point: m=16/32-cent " +
+        "codebook literal encodes in one narrow fold; re-rank breadth " +
+        "max(8k, ceil sqrt n) — SUBLINEAR in the corpus, so the exact " +
+        "id-join fetches a vanishing fraction of n (vs the gate-only " +
+        "ceil(2n/5) fraction above)"),
       "q_sim_knn_sq8" -> ("int8 scalar-quantization ANN: range learning " +
         "shuffles dim-rows only (partial min/max below the exchange); " +
         "encoding is a narrow fold over the 2·dim range literal; query " +

@@ -140,7 +140,8 @@ object Sf1Probe {
     // the production semantic (cross-engine parity is the Complete
     // gate's business — eviction itself is spec-pinned in StreamsSpec).
     // Same state-partition sizing rule as the gate drains.
-    def sessionAppend(dir: String): Double = {
+    def sessionAppend(dir: String, rocks: Boolean = false)
+        : (Double, Option[graft.streaming.Streams.StateTelemetry]) = {
       val staged = graft.queries.Streaming.stageEventsMulti(spark, dir)
       val f = new java.io.File(s"$dir/events.parquet")
       val bytes =
@@ -149,26 +150,42 @@ object Sf1Probe {
         else f.length()
       val parts = math.max(2,
         math.min(32, ((bytes + (2L << 20) - 1) / (2L << 20)).toInt))
+      def drain(): Unit =
+        graft.streaming.Streams.withStatePartitions(spark, parts) {
+          val stream = graft.streaming.Streams
+            .eventStream(spark, staged, maxFilesPerTrigger = Some(1))
+            .withColumn("value", col("value").cast("decimal(38,6)"))
+          val agg = graft.streaming.Streams.sessionize(stream,
+            gap = "30 minutes", maxDelay = "30 minutes")
+          val out = graft.streaming.Streams
+            .runToTableAppend(agg, "probe_session_append")
+          out.agg(bit_xor(xxhash64(struct(
+            out.columns.toIndexedSeq.map(col): _*)))).collect(): Unit
+        }
       val t0 = System.nanoTime()
-      graft.streaming.Streams.withStatePartitions(spark, parts) {
-        val stream = graft.streaming.Streams
-          .eventStream(spark, staged, maxFilesPerTrigger = Some(1))
-          .withColumn("value", col("value").cast("decimal(38,6)"))
-        val agg = graft.streaming.Streams.sessionize(stream,
-          gap = "30 minutes", maxDelay = "30 minutes")
-        val out = graft.streaming.Streams
-          .runToTableAppend(agg, "probe_session_append")
-        out.agg(bit_xor(xxhash64(struct(
-          out.columns.toIndexedSeq.map(col): _*)))).collect(): Unit
-      }
-      (System.nanoTime() - t0) / 1e9
+      if (rocks) graft.streaming.Streams.withRocksDBStateStore(spark)(drain())
+      else drain()
+      ((System.nanoTime() - t0) / 1e9,
+        graft.streaming.Streams.lastRunStateTelemetry)
     }
     sessionAppend(sf01) // warm
-    val saBase = sessionAppend(sf01)
-    val saScaled = sessionAppend(sf1)
+    val (saBase, stBase) = sessionAppend(sf01)
+    val (saScaled, stScaled) = sessionAppend(sf1)
+    def stFmt(t: Option[graft.streaming.Streams.StateTelemetry]): String =
+      t.map(s => f"${s.rows} rows/${s.bytes / 1e6}%.1f MB").getOrElse("n/a")
     println(f"[probe] session append-mode: sf0.1 $saBase%6.2fs | " +
       f"sf1 $saScaled%6.2fs | x${saScaled / saBase}%.1f time " +
-      "(production eviction path; vs Complete-mode parity gate above)")
+      "(production eviction path; vs Complete-mode parity gate above; " +
+      s"final-batch LIVE state ${stFmt(stBase)} -> ${stFmt(stScaled)} — " +
+      "the residency the default provider holds ON-HEAP per executor)")
+    // Same drain under the RocksDB provider — the production answer to
+    // that on-heap residency (off-heap native memory + local SST files).
+    // The row makes "RocksDB at scale" a measurement: wall overhead vs
+    // the default provider at 10x data, with the same state row count.
+    val (saRocks, stRocks) = sessionAppend(sf1, rocks = true)
+    println(f"[probe] session append-mode sf1 under RocksDB: $saRocks%6.2fs" +
+      f" (x${saRocks / saScaled}%.2f vs default provider) | " +
+      s"state ${stFmt(stRocks)}")
 
     // Bucketed-assignment JOINED fallback — the over-literal-budget
     // spelling a real-width (dim ≥ 1024) corpus runs on. Forced here via
@@ -257,6 +274,41 @@ object Sf1Probe {
       f"x${pqsScaled / pqsBase}%.1f time | gate-codebook (m=4/8c) recall " +
       f"$pqsGateRec01%.3f -> $pqsGateRec1%.3f (starved — needs the " +
       "ceil(2n/5) gate fraction for its pinned 0.90)")
+
+    // Matryoshka shortlist-FLOOR sweep (r16 verdict item 7): the
+    // operating shortlist is max(MatShortlistMin, 2*ceil(sqrt n)) with
+    // MatShortlistMin = 8k = 40. Sweeping the floor 40 -> 80 at these
+    // scales shows where the knob is even live: the sqrt term passes 80
+    // at n = 1600, so at sf0.1 (n=2000, shortlist 90) and sf1 (n=20000,
+    // shortlist ~284) BOTH floors resolve to the SAME shortlist — the
+    // floor is a small-corpus knob only (it moves the sf0.01 gate point,
+    // 46 vs 80, measured in PROGRESS). The row records recall at each
+    // floor so the recall-per-byte claim is a measurement.
+    def matSweep(dir: String, shortMin: Int): (Int, Double) = {
+      val emb = graft.queries.tbl(spark, dir, "embeddings")
+      val n = emb.count()
+      val k = 5
+      val shortlist = math.max(shortMin,
+        2 * math.ceil(math.sqrt(n.toDouble)).toInt)
+      val panel = graft.queries.Similarity.RecallPanel
+      val ann = topSets(graft.operators.Similarity.knnTruncated(
+        emb, "embedding", "vec_id", panel, k, 32, shortlist))
+      val brute = topSets(graft.operators.Similarity.knnBrute(
+        emb, "embedding", "vec_id", panel, k))
+      val recall = brute.toSeq.map { case (q, b) =>
+        ann.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+      (shortlist, recall)
+    }
+    val (ms01a, mr01a) = matSweep(sf01, 40)
+    val (ms01b, mr01b) = matSweep(sf01, 80)
+    val (ms1a, mr1a) = matSweep(sf1, 40)
+    val (ms1b, mr1b) = matSweep(sf1, 80)
+    println(f"[probe] matryoshka floor sweep: sf0.1 floor40->short=$ms01a " +
+      f"recall=$mr01a%.3f vs floor80->short=$ms01b recall=$mr01b%.3f | " +
+      f"sf1 floor40->short=$ms1a recall=$mr1a%.3f vs floor80->short=$ms1b " +
+      f"recall=$mr1b%.3f (sqrt term dominates past n=1600 — the floor is " +
+      "a small-corpus knob)")
 
     // Learned-IVF Lloyd rounds at a production-scale k (r15 verdict item
     // 2): kmeansDriver now defaults to the bucketed n*O(sqrt k)

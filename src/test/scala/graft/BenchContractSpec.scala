@@ -45,6 +45,29 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("env object: full and compact lines carry the host fingerprint and " +
+      "BOTH calibration samples (r16 verdict item 6 — a 3.7x calibration " +
+      "swing between same-code runs must be visible in the artifact, not " +
+      "discovered by adjudication reruns)") {
+    val env = """{"cpu_model":"Test(R) CPU","cpus":32,""" +
+      """"load_avg_start":0.06,"load_avg_end":1.5,""" +
+      """"calibration_pre":1.09,"calibration_post":4.07}"""
+    val full = Bench.fullLine("69.1", "min_of_3x2", qs, qs, qs, qs, qs, qs,
+      qs, qs, recall, "[]", "/sf", "1.09", env)
+    val compact = Bench.compactLine("69.1", "min_of_3x2", qs, recall, "[]",
+      "/sf", "out.json", "1.09", env)
+    for (line <- Seq(full, compact)) {
+      val e = om.readTree(line).get("env")
+      for (k <- Seq("cpu_model", "cpus", "load_avg_start", "load_avg_end",
+          "calibration_pre", "calibration_post"))
+        assert(e.has(k), s"missing env.$k in $line")
+      // the consumer rule the fields exist for: pre/post disagreeing by
+      // >2x flags the run as non-normalizable
+      assert(e.get("calibration_post").asDouble /
+        e.get("calibration_pre").asDouble > 2.0)
+    }
+  }
+
   test("the committed sf0.1 artifact parses and agrees with its own totals") {
     val p = java.nio.file.Paths.get("/root/repo/bench_times.json")
     assume(java.nio.file.Files.exists(p))

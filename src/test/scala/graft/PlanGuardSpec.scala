@@ -37,13 +37,18 @@ class PlanGuardSpec extends SparkTestBase {
   //     row — same shape as q_pipe_tfidf's n_docs attach.
   //   q_sim_knn_matryoshka — the same broadcast-query non-equi scan as
   //     q_sim_knn_brute, scoring only the dim prefix.
+  //   q_sim_knn_pq_prod — knnPqFrom's broadcast-query ADC scan (the
+  //     id =!= query_id non-equi condition, same as _pq/_pq_rerank) at
+  //     the production m=16/32-cent codebook; the corpus side never
+  //     shuffles and the re-rank fetch is a sublinear id-equi-join.
   //   q_hybrid_rrf — inherits q_sim_knn_brute's scan for its vector
   //     shortlist, plus a 50-row-literal x 4-query-id crossJoin of two
   //     broadcasts (both sides constant-bounded).
   private val bnljAllowed = Set("q_sim_knn_brute", "q_sim_knn_sq8",
-    "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_pipe_tfidf",
-    "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi", "q_benford",
-    "q_pipe_decontam_bloom", "q_sim_knn_matryoshka", "q_hybrid_rrf")
+    "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_pq_prod",
+    "q_pipe_tfidf", "q_sim_knn_classify", "q_bm25", "q_pipe_ppmi",
+    "q_benford", "q_pipe_decontam_bloom", "q_sim_knn_matryoshka",
+    "q_hybrid_rrf")
 
   private def plans: Seq[(String, org.apache.spark.sql.DataFrame)] = {
     // AQE wraps the physical plan in AdaptiveSparkPlanExec (opaque to

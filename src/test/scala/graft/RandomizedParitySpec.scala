@@ -2166,6 +2166,41 @@ class RandomizedParitySpec extends SparkTestBase {
     }
   }
 
+  test("winnowingSharedSpans' frame registry: interleaved corpora each " +
+      "keep their cached frame (the r16 single slot thrashed them), " +
+      "repeats re-find it, and the pin count stays bounded at 2 with LRU " +
+      "eviction (r16 verdict residual 4)") {
+    val rnd = new Random(9911)
+    val vocab = Vector("a", "b", "c")
+    def corpus(n: Long) = (0L until n)
+      .map(i => (i, randDoc(rnd, vocab, 4 + rnd.nextInt(8))))
+      .toDF("doc_id", "text")
+    val (dfA, dfB, dfC) = (corpus(6), corpus(7), corpus(8))
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.TextOps
+      .winnowingSharedSpans(df, "text", "doc_id", 2, 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    val (a1, b1) = (run(dfA), run(dfB)) // cold: two registrations
+    val h0 = graft.operators.TextOps.spanCacheHits.get()
+    val (a2, b2) = (run(dfA), run(dfB)) // interleaved repeats: both HIT
+    assert(graft.operators.TextOps.spanCacheHits.get() - h0 === 2L,
+      "each interleaved corpus must re-find its own persisted frame")
+    assert(a1 === a2); assert(b1 === b2)
+    assert(graft.operators.TextOps.cachedSpanFrameCount <= 2)
+    // third corpus: the registry evicts the least-recently-used frame
+    // (A — access order after the repeats is A then B) and stays bounded
+    run(dfC)
+    assert(graft.operators.TextOps.cachedSpanFrameCount <= 2,
+      "registry must stay bounded at MaxCachedSpanFrames")
+    // the evicted corpus still computes correctly (lazy recompute) and
+    // re-registers as a miss, not a hit
+    val h1 = graft.operators.TextOps.spanCacheHits.get()
+    assert(run(dfA) === a1)
+    assert(graft.operators.TextOps.spanCacheHits.get() === h1,
+      "an evicted frame must re-register (miss), not phantom-hit")
+  }
+
   test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
       "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
       "knnBrute bitwise (the matryoshka exactness regime)") {

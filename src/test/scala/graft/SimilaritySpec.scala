@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkTestBase {
     } finally { corpus.unpersist(); () }
   }
 
+  test("k >= LloydBucketedMinK training PROVABLY runs the bucketed " +
+      "assignment in every Lloyd round (the q_sim_knn_ivf_learned_k64 " +
+      "gate's definition-of-done — counter, not dispatch-expression " +
+      "trust; r16 verdict item 1)") {
+    val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
+    try {
+      val lloydIters = 2 // the k64 gate's training depth
+      val before = Similarity.bucketedAssignCalls.get()
+      Similarity.kmeansCentroidsSeq(corpus, Similarity.LloydBucketedMinK,
+        lloydIters)
+      assert(Similarity.bucketedAssignCalls.get() - before ===
+        lloydIters.toLong,
+        "expected exactly one bucketed-assignment invocation per Lloyd round")
+      // the forced-flat probe hook must never touch the bucketed rule
+      val b2 = Similarity.bucketedAssignCalls.get()
+      Similarity.kmeansCentroidsSeqFlat(corpus,
+        Similarity.LloydBucketedMinK, 1)
+      assert(Similarity.bucketedAssignCalls.get() === b2)
+      // and below the threshold the default stays flat
+      Similarity.kmeansCentroidsSeq(corpus,
+        Similarity.LloydBucketedMinK - 1, 1)
+      assert(Similarity.bucketedAssignCalls.get() === b2)
+    } finally { corpus.unpersist(); () }
+  }
+
   test("knnIvfLearned returns k neighbors per query with sane recall") {
     val k = 5
     val brute = Similarity.knnBrute(emb, "embedding", "vec_id", queryIds, k)
@@ -390,9 +415,10 @@ class SimilaritySpec extends SparkTestBase {
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.01",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_sq8",
-        "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_ivfpq",
-        "q_sim_knn_matryoshka"))
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned",
+        "q_sim_knn_ivf_learned_k64", "q_sim_knn_sq8",
+        "q_sim_knn_pq", "q_sim_knn_pq_rerank", "q_sim_knn_pq_prod",
+        "q_sim_knn_ivfpq", "q_sim_knn_matryoshka"))
     assert(rec("q_sim_knn_brute") === 1.0)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
     for (ann <- Seq("q_sim_knn_lsh", "q_sim_knn_lsh_mp", "q_sim_knn_ivf",
@@ -409,9 +435,21 @@ class SimilaritySpec extends SparkTestBase {
     val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.65,
       "q_sim_knn_ivfpq" -> 0.75, "q_sim_knn_pq_rerank" -> 0.75,
-      "q_sim_knn_matryoshka" -> 0.65)
+      "q_sim_knn_matryoshka" -> 0.65,
+      // the two r17 production-path gates (measured sf0.01: k64 0.740 —
+      // 16-of-64-cell probing out-recalls the 8-cell gates at equal
+      // ~25% scan; pq_prod 0.900 — the m=16/32-cent codebook's ADC
+      // ordering is good enough that the SUBLINEAR max(8k, ceil sqrt n)
+      // re-rank repairs it fully, the rerankBreadthSublinear
+      // precondition made into a bar)
+      "q_sim_knn_ivf_learned_k64" -> 0.65, "q_sim_knn_pq_prod" -> 0.80)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor pinned floor: $rec")
+    // the production PQ point must dominate coarse ADC-alone by an order
+    // of magnitude — it exists because codebook fidelity plus a sublinear
+    // repair beats breadth (the coarse gate needs a 40%-of-corpus pass)
+    assert(rec("q_sim_knn_pq_prod") > rec("q_sim_knn_pq"),
+      s"production PQ below coarse ADC: $rec")
     // Multi-probe exists to buy multi-table recall without storing L
     // index copies; at the gates' equal ~25% expected candidate scan a
     // multi-probe that loses to the table gate is a mis-sized operating
@@ -456,12 +494,20 @@ class SimilaritySpec extends SparkTestBase {
     val rec = graft.queries.Similarity.recallVsBrute(spark,
       "/root/testdata/sf0.1",
       annNames = Seq("q_sim_knn_brute", "q_sim_knn_lsh", "q_sim_knn_lsh_mp",
-        "q_sim_knn_ivf", "q_sim_knn_ivf_learned", "q_sim_knn_ivfpq",
-        "q_sim_knn_sq8", "q_sim_knn_pq_rerank", "q_sim_knn_matryoshka"))
+        "q_sim_knn_ivf", "q_sim_knn_ivf_learned",
+        "q_sim_knn_ivf_learned_k64", "q_sim_knn_ivfpq",
+        "q_sim_knn_sq8", "q_sim_knn_pq_rerank", "q_sim_knn_pq_prod",
+        "q_sim_knn_matryoshka"))
     val floors = Seq("q_sim_knn_lsh" -> 0.40, "q_sim_knn_lsh_mp" -> 0.48,
       "q_sim_knn_ivf" -> 0.55, "q_sim_knn_ivf_learned" -> 0.60,
       "q_sim_knn_ivfpq" -> 0.70, "q_sim_knn_sq8" -> 0.80,
       "q_sim_knn_pq_rerank" -> 0.80,
+      // r17 production paths, measured sf0.1: k64 0.675 (vs learned
+      // 0.670 at the same scan fraction), pq_prod 0.835 — the sf1 probe
+      // measured this exact point holding 0.835→0.840 at 10× data, so
+      // the floor pins the sublinear schedule's operating recall where
+      // the bench reports it
+      "q_sim_knn_ivf_learned_k64" -> 0.60, "q_sim_knn_pq_prod" -> 0.78,
       // matryoshka shortlist max(8k, 2*ceil(sqrt n)) — SUBLINEAR in the
       // corpus (r16; the earlier n/25 floor was linear-in-n). Measured
       // 0.685 at sf0.1 (constant 40 had measured 0.50 — the

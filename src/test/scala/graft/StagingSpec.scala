@@ -59,34 +59,31 @@ class StagingSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(src.toString)
     val e = intercept[IllegalArgumentException] {
       graft.queries.Streaming.stageEventsMulti(spark, dir.toString,
-        withSentinels = true, ordered = true)
+        sessionGate = true)
     }
     assert(e.getMessage.contains("user_id"), e.getMessage)
-    // the failed staging must not leave a half-staged dir that a later
-    // call would trust: no .staged marker anywhere under the stage root
-    // for this temp source
+    // the refused staging must write NOTHING: the guard runs before any
+    // batch write, so there is no half-staged directory (marker-less or
+    // otherwise) under the stage root for this source at all
     val root = Paths.get("/tmp/graft_stream_stage")
     if (Files.isDirectory(root)) {
       val st = Files.list(root)
       val leaked = try st.toArray.map(_.toString)
           .filter(_.contains(dir.getFileName.toString))
         finally st.close()
-      assert(!leaked.exists(p => Files.exists(Paths.get(p, ".staged"))),
-        s"half-staged dir carries a marker: ${leaked.mkString(",")}")
+      assert(leaked.forall { p =>
+        val s = Files.list(Paths.get(p))
+        try s.count() == 0L finally s.close()
+      }, s"refused staging left files behind: ${leaked.mkString(",")}")
       leaked.foreach(p => graft.queries.Streaming
         .deleteRecursively(Paths.get(p)))
     }
   }
 
-  test("the retired unordered-sentinel staging spelling is rejected " +
-      "(its class would be swept by the ordered variant's GC)") {
-    intercept[IllegalArgumentException] {
-      graft.queries.Streaming.stageEventsMulti(spark, sf0001,
-        withSentinels = true, ordered = false)
-    }
-    intercept[IllegalArgumentException] {
-      graft.queries.Streaming.stageEventsMulti(spark, sf0001,
-        withSentinels = false, ordered = true)
-    }
-  }
+  // The retired unordered-sentinel staging spelling (r16's first Append
+  // draft — sentinels without the ordered split) is now UNREPRESENTABLE:
+  // stageEventsMulti takes one `sessionGate` flag covering both, so no
+  // call site can stage the layout whose class the ordered variant's GC
+  // regex sweeps. (r16 enforced the same invariant with a runtime
+  // require over two booleans.)
 }

@@ -256,13 +256,42 @@ class StreamsSpec extends SparkTestBase {
         "q_stream_stream_join", "q_stream_outer_join")) {
       // the session gate's Append drain replays the sentinel variant —
       // two extra one-row watermark-advancer batches (see
-      // stageEventsMulti's withSentinels doc); lastRunBatches counts
+      // stageEventsMulti's sessionGate doc); lastRunBatches counts
       // data-carrying batches, so they show up here
       val want = if (gate == "q_stream_session_parity") 5 else 3
       SparkEntry.queries(gate)(spark, sf0001).collect()
       assert(Streams.lastRunBatches === want,
         s"$gate drained ${Streams.lastRunBatches} batches, want $want")
     }
+  }
+
+  test("session gate output is state-store-provider invariant: RocksDB " +
+      "(the production residency choice — off-heap native memory + local " +
+      "SST files instead of the default provider's on-heap map) produces " +
+      "identical rows, and both drains report state-residency telemetry") {
+    def run() = SparkEntry.queries("q_stream_session_parity")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val defRows = run()
+    val defState = Streams.lastRunStateTelemetry
+    assert(defState.exists(_.rows > 0),
+      s"default-provider drain reported no state telemetry: $defState")
+    assert(defState.exists(_.bytes > 0),
+      s"default-provider drain reported no state bytes: $defState")
+    val (rocksRows, rocksState) = Streams.withRocksDBStateStore(spark) {
+      val r = run(); (r, Streams.lastRunStateTelemetry)
+    }
+    assert(rocksRows === defRows,
+      "session output must not depend on the state store provider")
+    assert(rocksState.exists(_.rows > 0),
+      s"RocksDB drain reported no state telemetry: $rocksState")
+    // a provider swap must not change WHAT is held, only WHERE: the final
+    // data-batch's live-state row count is provider-invariant
+    assert(rocksState.map(_.rows) === defState.map(_.rows),
+      s"state row counts diverge across providers: $rocksState vs $defState")
+    // stateless plans report None, not stale telemetry from a prior drain
+    SparkEntry.queries("q_stream_static_join")(spark, sf0001).collect()
+    assert(Streams.lastRunStateTelemetry.isEmpty,
+      "a stateless drain must clear the telemetry slot")
   }
 
   test("q_stream_outer_join emits both matched pairs and eviction-driven " +
