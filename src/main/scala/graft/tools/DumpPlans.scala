@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * annotated with the scale property each plan is expected to show. The
   * plan-shape assertions live in PlanGuardSpec; this dump is the
   * human-readable audit trail.
+  *
+  * DEFINITION OF DONE for any commit that touches a gate: re-run this
+  * dump so the committed audit matches the shipped plan. The r16 round
+  * shipped a correct null-safe sentinel filter while PLANS.md still
+  * showed the NULL-dropping pre-fix spelling — anyone auditing plans
+  * would have concluded the bug was live (r16 verdict hygiene item).
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
