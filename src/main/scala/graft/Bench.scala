@@ -23,6 +23,15 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"n_queries":$nQueries,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
 
   def main(args: Array[String]): Unit = {
+    // Sample the 1-minute load BEFORE any Spark work: this is the
+    // co-tenant-load signal the env consumer rule keys on, and the
+    // bench's own warmup + calibration scans would otherwise contaminate
+    // it (a quiet box read 1.35 when sampled after them). load_avg_end
+    // is sampled after everything and INCLUDES self-load by construction
+    // — it is only comparable same-code-run to same-code-run.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val loadStart = osBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional comma-separated subset for fast local iteration on one
@@ -129,19 +138,15 @@ object Bench {
     // jumps across rounds with unchanged wall is building bigger intermediate
     // state — the regression class wall clock hides (reference analog: asv
     // track_size_* in /root/reference/benchmarks/boolean.py:24-39).
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // Host context for the artifact (r16 verdict: a 3.7× calibration swing
     // between two same-code runs made "calibration-normalized" claims
-    // unfalsifiable). load_avg is the 1-minute system load at the two
-    // sample points — calibration read on a loaded box is a property of
-    // the WINDOW, not the host; cpu_model + cpus fingerprint the host so
-    // two artifacts normalizing against each other can first check they
-    // ran on comparable silicon. Consumer rule: when calibration_pre and
-    // calibration_post disagree by >2×, or load_avg is high at either
-    // endpoint, do NOT normalize across artifacts — re-run on a quiet
-    // window instead.
-    val loadStart = osBean.getSystemLoadAverage
+    // unfalsifiable). load_avg_start is sampled at process start (above),
+    // BEFORE any Spark work, so it reads co-tenant load only; cpu_model +
+    // cpus fingerprint the host so two artifacts normalizing against each
+    // other can first check they ran on comparable silicon. Consumer
+    // rule: when calibration_pre and calibration_post disagree by >2×, or
+    // load_avg_start is high, do NOT normalize across artifacts — re-run
+    // on a quiet window instead.
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum

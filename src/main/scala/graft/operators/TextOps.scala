@@ -45,10 +45,19 @@ object TextOps {
 
   private def cachedSpanFrame(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = cachedSpans.synchronized {
-    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash())
+    val analyzed = df.queryExecution.analyzed
+    val key = (df.sparkSession, analyzed.semanticHash())
     val hit = cachedSpans.get(key) // get() refreshes LRU access order
-    if (hit != null) { spanCacheHits.incrementAndGet(); hit }
-    else {
+    // sameResult confirms the 32-bit hash: a collision between two
+    // distinct corpora must be a REPLACE, never a silent wrong-corpus
+    // serve. (A source file regenerated in place mid-JVM re-lists at
+    // read time into a different relation snapshot → different plan →
+    // miss; an identical snapshot serving the cached frame is the same
+    // contract as Spark's own persist.)
+    if (hit != null && hit.queryExecution.analyzed.sameResult(analyzed)) {
+      spanCacheHits.incrementAndGet(); hit
+    } else {
+      if (hit != null) hit.unpersist(blocking = false): Unit
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cachedSpans.put(key, df)
       if (cachedSpans.size > MaxCachedSpanFrames) {
