@@ -22,6 +22,32 @@ object Bench {
       failed: String, sf: String, detail: String, calib: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","calibration_sec":$calib,"n_queries":$nQueries,"failed":$failed,"sf":"$sf","detail":"$detail"}"""
 
+  /** QUANTIFIED loaded-host rule (the r17 consumer rule said only "load is
+    * high"): a 1-minute load average above cpus/8 at process start means
+    * co-tenant work already owned a material slice of the machine before
+    * this bench ran anything — do NOT normalize the artifact across
+    * rounds; re-capture on a quiet window. cpus/8 separates the observed
+    * regimes by an order of magnitude each way: quiet captures read
+    * 0.3-1.3 on 32 cpus (limit 4.0) while the loaded r17 driver run read
+    * 8.59. Negative samples mean "platform can't measure" (see
+    * [[loadJson]]) and never warn. */
+  private[graft] def loadLimit(cpus: Int): Double = cpus / 8.0
+  private[graft] def loadWarning(loadStart: Double, cpus: Int)
+      : Option[String] =
+    if (loadStart >= 0 && loadStart > loadLimit(cpus))
+      Some(f"[bench] WARNING: load_avg_start=$loadStart%.2f exceeds " +
+        f"${loadLimit(cpus)}%.1f (cpus/8 on $cpus cpus) — co-tenant load " +
+        "BEFORE any Spark work; timings in this artifact are NOT " +
+        "normalizable across rounds, re-run on a quiet window")
+    else None
+
+  /** JSON value for a sampled load average: getSystemLoadAverage returns
+    * -1.0 where the platform cannot sample it, and writing -1 into the
+    * artifact would read as a real (impossible) measurement to the
+    * high-load consumer rule — emit null instead. */
+  private[graft] def loadJson(load: Double): String =
+    if (load < 0) "null" else (math.rint(load * 10000) / 10000).toString
+
   def main(args: Array[String]): Unit = {
     // Sample the 1-minute load BEFORE any Spark work: this is the
     // co-tenant-load signal the env consumer rule keys on, and the
@@ -32,6 +58,12 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val loadStart = osBean.getSystemLoadAverage
+    // self-identify a loaded host in the DRIVER'S LOG, not just the
+    // artifact (r17: the driver's own bench ran at load 8.59 and only the
+    // env block showed it) — both streams, so any capture mode sees it;
+    // stdout is safe here, the driver's tail grab reads the FINAL lines
+    loadWarning(loadStart, Runtime.getRuntime.availableProcessors)
+      .foreach { w => println(w); System.err.println(w) }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional comma-separated subset for fast local iteration on one
@@ -145,8 +177,10 @@ object Bench {
     // cpus fingerprint the host so two artifacts normalizing against each
     // other can first check they ran on comparable silicon. Consumer
     // rule: when calibration_pre and calibration_post disagree by >2×, or
-    // load_avg_start is high, do NOT normalize across artifacts — re-run
-    // on a quiet window instead.
+    // load_avg_start exceeds cpus/8 (the quantified limit in loadLimit —
+    // the run also self-identifies with a WARNING line at start), do NOT
+    // normalize across artifacts — re-run on a quiet window instead.
+    // load_avg_start: null means the platform could not sample it.
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
@@ -243,7 +277,7 @@ object Bench {
     val envJson = s"""{"cpu_model":"${
       cpuModel.replace("\\", "\\\\").replace("\"", "\\\"")
     }","cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadEnd)},""" +
+      s""""load_avg_start":${loadJson(loadStart)},"load_avg_end":${loadJson(loadEnd)},""" +
       s""""calibration_pre":${r4(calibPre)},"calibration_post":${r4(calibPost)}}"""
     val recall: Map[String, Double] =
       if (filter.isDefined) Map.empty

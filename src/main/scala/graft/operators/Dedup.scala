@@ -336,9 +336,37 @@ object Dedup {
     * discriminative tokens. On a skewed vocabulary (a near-universal
     * boilerplate token landing in hash-order prefixes) this collapses the
     * candidate count at the price of two extra token-level shuffles (the
-    * frequency count and the per-doc rank) — the right trade at corpus
-    * scale, measurable before committing via
-    * [[ngramJaccardPairsWithStats]]'s candidate-pair count. */
+    * frequency count and the per-doc rank). Measure before committing via
+    * [[ngramJaccardPairsWithStats]]'s candidate count: it pays only when
+    * hash-order candidates sit far above verified pairs.
+    *
+    * Why hash order is the DEFAULT (r18 measurement, forced-SMJ regime —
+    * broadcast threshold −1 — at sf0.1/sf1/sf2; artifact:
+    * JACCARD_ORDER_PROBE.json): on this corpus candidate pairs scale
+    * ×10.00 per ×10 data and ×2.00 per ×2 under BOTH orderings, and the
+    * frequency order removes no candidates (547,823 vs hash's 547,908 at
+    * sf0.1 — no vocabulary skew to exploit) while MOVING strictly more
+    * shuffle (608 vs 519 MB at sf1: the df count + per-doc rank are two
+    * extra token-level stages). The r17 "×18 shuffle bytes per ×10 data"
+    * that made this a weak item is NOT candidate blowup and NOT
+    * prefix-selection variance — frequency ordering was measured not to
+    * collapse it (×17.6 vs ×18.3): per-exchange attribution puts it
+    * entirely on the pre-`distinct` candidate edge, whose map-side
+    * partial aggregate dedupes perfectly at sf0.1 (emits exactly the
+    * candidate count, 547,908), ~86% less so at sf1 (35.0M), and not at
+    * all at sf2 (81.0M = the raw join multiplicity: candidates × ~7.4
+    * avg shared prefix tokens). The emitted rows are BOUNDED by that raw
+    * multiplicity, which scales linearly here (copy-disjoint growth), so
+    * the ×18 is the one-time transition between partial-agg regimes, not
+    * a growth law — the last doubling measured ×2.17 shuffle, converging
+    * on ×2. The honest 100 TB caveat: raw multiplicity is Σ per
+    * (block, prefix-token) cnt² — linear only while prefix-token
+    * frequencies stay bounded. A REAL corpus whose vocabulary skews (a
+    * boilerplate token in many prefixes) grows that term quadratically,
+    * and THAT is the regime `frequencyOrdered = true` exists for: it
+    * fills prefixes with the rarest tokens, minimizing the per-token
+    * cnt² sum. Dispatch rule: audit with [[ngramJaccardPairsWithStats]]
+    * — candidates ≫ verified under hash order = skew = flip the flag. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double,
       frequencyOrdered: Boolean = false): DataFrame =

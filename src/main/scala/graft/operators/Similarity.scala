@@ -400,9 +400,13 @@ object Similarity {
     * group structure itself (oracle side-tables). */
   def assignCellsBucketed(corpus: DataFrame, cents: Seq[Cent],
       nProbe: Int = GroupProbes, numGroups: Int = 0): DataFrame = {
-    bucketedAssignCalls.incrementAndGet(): Unit
     if (cents.isEmpty)
       return corpus.withColumn("cell", lit(-1L))
+    // counted AFTER the empty-centroids early return: the counter's
+    // contract (SimilaritySpec's exact-delta assertion) is "one increment
+    // per bucketed assignment that actually ran", and a no-op invocation
+    // counting would make that delta lie
+    bucketedAssignCalls.incrementAndGet(): Unit
     val m = if (numGroups > 0) numGroups else centroidGroupCount(cents.size)
     val (groups, cid2gid) = groupCentroids(cents, m)
     assignCellsGrouped(corpus, cents, groups, cid2gid, nProbe)

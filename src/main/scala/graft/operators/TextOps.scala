@@ -43,8 +43,34 @@ object TextOps {
   private[graft] def cachedSpanFrameCount: Int =
     cachedSpans.synchronized(cachedSpans.size)
 
+  /** Unpersist is best-effort registry hygiene, never correctness (an
+    * unpersisted plan lazily recomputes) — and calling it on a frame whose
+    * SparkContext has STOPPED throws, which must not fail the unrelated
+    * live-session call that triggered the eviction. */
+  private def safeUnpersist(df: org.apache.spark.sql.DataFrame): Unit = {
+    scala.util.Try(df.unpersist(blocking = false)): Unit
+  }
+
+  /** Drop every registry entry whose owning session is stopped (r17
+    * verdict item: a stopped session's frame stayed registered — pinning
+    * the dead session against GC — until two newer entries evicted it).
+    * Runs at each registry access, so the registry is self-cleaning
+    * without a listener thread. The predicate is injectable ONLY for the
+    * spec: a JVM allows one active SparkContext, so a test cannot stop a
+    * real second session without killing the shared suite session. */
+  private[graft] def purgeStoppedSessions(
+      isStopped: org.apache.spark.sql.SparkSession => Boolean =
+        _.sparkContext.isStopped): Unit = cachedSpans.synchronized {
+    val it = cachedSpans.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (isStopped(e.getKey._1)) { it.remove(); safeUnpersist(e.getValue) }
+    }
+  }
+
   private def cachedSpanFrame(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = cachedSpans.synchronized {
+    purgeStoppedSessions()
     val analyzed = df.queryExecution.analyzed
     val key = (df.sparkSession, analyzed.semanticHash())
     val hit = cachedSpans.get(key) // get() refreshes LRU access order
@@ -57,14 +83,14 @@ object TextOps {
     if (hit != null && hit.queryExecution.analyzed.sameResult(analyzed)) {
       spanCacheHits.incrementAndGet(); hit
     } else {
-      if (hit != null) hit.unpersist(blocking = false): Unit
+      if (hit != null) safeUnpersist(hit)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cachedSpans.put(key, df)
       if (cachedSpans.size > MaxCachedSpanFrames) {
         val it = cachedSpans.entrySet().iterator()
         val eldest = it.next()
         it.remove()
-        eldest.getValue.unpersist(blocking = false): Unit
+        safeUnpersist(eldest.getValue)
       }
       df
     }

@@ -14,7 +14,7 @@ import graft.operators.{Similarity => Sim}
 object Similarity {
 
   private val QueryIds = Seq(1L, 5L, 10L, 77L)
-  private val K = 5
+  private[graft] val K = 5
   private val NumPlanes = 8
   private val Dim = 64
   /** Multi-table OR-construction sizing for q_sim_knn_lsh. The synthetic
@@ -499,16 +499,24 @@ object Similarity {
     * the id set as ROWS (unnest) rather than an IN predicate. */
   private val queryIdArraySql = QueryIds.mkString("[", ", ", "]")
 
-  /** Matryoshka adaptive-retrieval operating point: score the first 32 of
-    * 64 dims on the full scan (½ the FLOPs/bytes), keep an 8·K shortlist,
-    * re-rank exactly. Unlike PQ's corpus-fraction repair, the shortlist is
-    * a small multiple of K by design — the MRL premise is that the prefix
-    * ordering is already good. That premise is a property of MRL-TRAINED
-    * embeddings; the synthetic corpus spreads information evenly, so the
-    * honest operating point here needs half the dims (prefix 16 measured
-    * 0.45/0.235 across scales — a floor violation; prefix 32 measures
-    * 0.74/0.50). On real MRL vectors the same machinery runs at 8-16 of
-    * 768 dims; prefix width is the caller's knob.
+  /** Matryoshka adaptive-retrieval operating point: score the first 40 of
+    * 64 dims on the full scan (5/8 of the FLOPs/bytes), keep the floored
+    * shortlist below, re-rank exactly. Unlike PQ's corpus-fraction repair,
+    * the shortlist is a small multiple of K by design — the MRL premise is
+    * that the prefix ordering is already good. That premise is a property
+    * of MRL-TRAINED embeddings; the synthetic corpus spreads information
+    * evenly, so the honest operating point here needs most of the dims
+    * (prefix 16 measured 0.45/0.235 across scales — a floor violation).
+    * Prefix width 40 is the r18 SWEEP decision (MAT_PREFIX_PROBE.json,
+    * arms 32/40/48 at sf0.1 and sf1): recall-per-scanned-byte peaks at 40
+    * on sf0.1 (1.392 vs 32's 1.370 and 48's 1.293) and ties the peak at
+    * sf1 (1.384 vs 1.390), while recall jumps 0.685/0.695 → 0.870/0.865 —
+    * the r17 verdict's "lowest real rung" plateau was a prefix-width
+    * artifact, not a shortlist one (the r17 floor sweep had already shown
+    * the shortlist inert at scale). 48 buys 0.94-0.97 but at falling
+    * recall-per-byte — past the knee. On real MRL vectors the same
+    * machinery runs at 8-16 of 768 dims; prefix width is the caller's
+    * knob.
     *
     * Shortlist: max(8·K, 2·⌈√n⌉) — a small multiple of k with a SUBLINEAR
     * corpus term ([[graft.operators.Pq.rerankBreadthSublinear]]'s shape;
@@ -535,9 +543,14 @@ object Similarity {
     * real recall: 0.890 vs 0.775 at n=500 for 34 more exact rows per
     * query (16% vs 9% of that corpus). Recall-per-byte favors 16k
     * everywhere it has any effect. */
-  private val MatPrefixDim = 32
-  private val MatShortlistMin = 16 * K
-  private def matShortlistFor(n: Long): Int =
+  private[graft] val MatPrefixDim = 40
+  private[graft] val MatShortlistMin = 16 * K
+  /** The pre-r17 floor (8·K), kept ONLY so the sf1 probe's old-vs-new
+    * floor sweep derives both arms from named constants instead of
+    * hardcoding them (r17 ADVICE: a future floor retune would leave the
+    * probe silently sweeping stale arms). Never used by an operator. */
+  private[graft] val MatShortlistMinPrior = 8 * K
+  private[graft] def matShortlistFor(n: Long): Int =
     math.min(math.max(MatShortlistMin.toLong,
       2L * math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong),
       Int.MaxValue.toLong).toInt

@@ -148,6 +148,53 @@ object Streaming {
     * group too. */
   private val SentinelUser = -1L
 
+  /** The session-parity drain, shared by the default-provider gate and
+    * the RocksDB-provider gate (which wraps THIS in
+    * [[Streams.withRocksDBStateStore]]): ordered 5-file staging with
+    * watermark-advancer sentinels, 30-minute gap sessionization under a
+    * 1-hour delay, Append drain to `table`, then the post-drain sentinel
+    * filter (see the long note on q_stream_session_parity for why the
+    * filter must NOT run inside the streaming plan). */
+  private def sessionParityDrain(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val stream = Streams.eventStream(s,
+        stageEventsMulti(s, dir, sessionGate = true),
+        maxFilesPerTrigger = Some(1))
+      .withColumn("value", col("value").cast("decimal(38,6)"))
+    val agg = Streams.sessionize(stream, gap = "30 minutes",
+      maxDelay = "1 hour")
+    drainAppend(agg, table, dir)
+      // null-safe: a NULL-user session must survive this filter (the
+      // oracle's GROUP BY keeps the NULL group); staging guarantees
+      // no REAL row carries SentinelUser
+      .filter(!(col("user_id") <=> lit(SentinelUser)))
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        col("n_events"),
+        col("session_value").cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  /** DuckDB mirror of the session drain — one SQL, two gates (default and
+    * RocksDB provider): results are provider-invariant by contract. */
+  private val SessionParitySql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |         ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS s_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS session_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** Multi-file staging of the events table: split deterministically into
     * THREE parquet files with ascending modification times, so the file
     * source under `maxFilesPerTrigger=1` + AvailableNow replays them as
@@ -407,40 +454,20 @@ object Streaming {
     // reads as "flaky streaming", not "predicate pushdown ate the
     // watermark advancer" — hence this note.
     "q_stream_session_parity" -> Q(
-      (s, dir) => {
-        val stream = Streams.eventStream(s,
-            stageEventsMulti(s, dir, sessionGate = true),
-            maxFilesPerTrigger = Some(1))
-          .withColumn("value", col("value").cast("decimal(38,6)"))
-        val agg = Streams.sessionize(stream, gap = "30 minutes",
-          maxDelay = "1 hour")
-        drainAppend(agg, "stream_session_parity", dir)
-          // null-safe: a NULL-user session must survive this filter (the
-          // oracle's GROUP BY keeps the NULL group); staging guarantees
-          // no REAL row carries SentinelUser
-          .filter(!(col("user_id") <=> lit(SentinelUser)))
-          .select(col("user_id"), col("s_start"), col("s_end"),
-            col("n_events"),
-            col("session_value").cast("double").as("session_value"))
-          .orderBy(col("user_id"), col("s_start"))
-      },
-      Some("""WITH flagged AS (
-             |  SELECT user_id, ts, value,
-             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
-             |  FROM events),
-             |sessions AS (
-             |  SELECT user_id, ts, value,
-             |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
-             |         ROWS UNBOUNDED PRECEDING) AS sid
-             |  FROM flagged)
-             |SELECT user_id, MIN(ts) AS s_start,
-             |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
-             |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-             |    AS session_value
-             |FROM sessions GROUP BY user_id, sid
-             |ORDER BY user_id, s_start""".stripMargin)),
+      (s, dir) => sessionParityDrain(s, dir, "stream_session_parity"),
+      Some(SessionParitySql)),
+
+    // The SAME session drain executed under the PRODUCTION state-store
+    // provider (RocksDB: off-heap native memory + local SST files — the
+    // answer to on-heap state residency at 100×). r17 pinned provider-
+    // invariance as a spec; this gate makes it a CORRECTNESS row: the
+    // full micro-batch replay runs with
+    // spark.sql.streaming.stateStore.providerClass = RocksDB and must
+    // hash-match the same DuckDB oracle as the default-provider gate.
+    "q_stream_session_rocksdb" -> Q(
+      (s, dir) => Streams.withRocksDBStateStore(s)(
+        sessionParityDrain(s, dir, "stream_session_rocksdb")),
+      Some(SessionParitySql)),
 
     // Streaming exact dedup (dropDuplicatesWithinWatermark) vs batch
     // DISTINCT: the emitted KEY SET must match exactly. Only the key

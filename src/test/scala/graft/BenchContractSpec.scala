@@ -68,6 +68,26 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("loaded-host warning: fires above the quantified cpus/8 limit, " +
+      "silent below it, silent on unmeasurable (negative) samples — and " +
+      "the artifact writes null, never -1, for those (r17 ADVICE x2)") {
+    // the r17 driver run this rule exists for: 8.59 on 32 cpus (limit 4.0)
+    assert(Bench.loadLimit(32) === 4.0)
+    val warn = Bench.loadWarning(8.59, 32)
+    assert(warn.isDefined, "8.59 on 32 cpus must warn")
+    assert(warn.get.contains("WARNING") && warn.get.contains("8.59") &&
+      warn.get.contains("NOT") && warn.get.contains("quiet window"),
+      s"warning line must be unmissable and actionable: ${warn.get}")
+    // quiet captures observed on this host: 0.3-1.3 on 32 cpus
+    assert(Bench.loadWarning(1.3, 32).isEmpty)
+    assert(Bench.loadWarning(4.0, 32).isEmpty, "limit itself is inclusive-ok")
+    assert(Bench.loadWarning(4.01, 32).isDefined)
+    // platform-can't-measure sentinel never warns and serializes as null
+    assert(Bench.loadWarning(-1.0, 32).isEmpty)
+    assert(Bench.loadJson(-1.0) === "null")
+    assert(Bench.loadJson(0.49) === "0.49")
+  }
+
   test("the committed sf0.1 artifact parses and agrees with its own totals") {
     val p = java.nio.file.Paths.get("/root/repo/bench_times.json")
     assume(java.nio.file.Files.exists(p))

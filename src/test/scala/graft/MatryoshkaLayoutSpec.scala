@@ -23,7 +23,9 @@ class MatryoshkaLayoutSpec extends SparkTestBase {
   import spark.implicits._
 
   private val Dim = 64
-  private val PrefixDim = 32
+  // the SHIPPED gate point (r18: 40-of-64, from the prefix-width sweep) —
+  // derived, so a retune cannot leave this spec measuring a stale layout
+  private val PrefixDim = graft.queries.Similarity.MatPrefixDim
   private val N = 4000
 
   /** Seeded incompressible vectors: random doubles defeat snappy, so
@@ -64,9 +66,9 @@ class MatryoshkaLayoutSpec extends SparkTestBase {
     acc.toMap
   }
 
-  test("two-column prefix layout: the phase-1 prefix read is < 60% of " +
-      "the full-vector bytes at the 32-of-64 gate point, and the plan " +
-      "prunes the suffix chunks") {
+  test("two-column prefix layout: the phase-1 prefix read tracks " +
+      "prefixDim/dim of the full-vector bytes at the shipped gate point, " +
+      "and the plan prunes the suffix chunks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_layout")
     try {
       rows.toDF("vec_id", "prefix", "suffix")
@@ -77,8 +79,12 @@ class MatryoshkaLayoutSpec extends SparkTestBase {
       val fullRead = chunks.values.sum
       assert(chunks("prefix") > 500 * 1024,
         s"prefix chunks too small to measure honestly: $chunks")
-      assert(prefixRead < (fullRead * 6) / 10,
-        s"phase-1 read should be < 60% of the full bytes: " +
+      // bound = prefixDim/dim + 8% margin (id chunks + page overhead ride
+      // on both sides; random doubles are incompressible so chunk bytes
+      // track dims): 58% at the old 32-of-64 point, 70.5% at 40-of-64
+      val boundPct = PrefixDim * 100 / Dim + 8
+      assert(prefixRead < fullRead * boundPct / 100,
+        s"phase-1 read should be < $boundPct% of the full bytes: " +
           s"$prefixRead vs $fullRead (${prefixRead * 100 / fullRead}%)")
       // tie the chunk arithmetic to the plan: the phase-1 shape's scan
       // requests ONLY (vec_id, prefix) — the suffix chunks above are the

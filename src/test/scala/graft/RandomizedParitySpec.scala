@@ -2201,6 +2201,37 @@ class RandomizedParitySpec extends SparkTestBase {
       "an evicted frame must re-register (miss), not phantom-hit")
   }
 
+  test("winnowingSharedSpans' frame registry purges entries whose session " +
+      "has stopped — unregistered AND unpersist attempted, without failing " +
+      "the live caller (r17 verdict residual 3 + ADVICE). The stopped-ness " +
+      "predicate is injected: a JVM allows one active SparkContext, so the " +
+      "spec cannot stop a real second session without killing the suite's") {
+    val rnd = new Random(9931)
+    val vocab = Vector("a", "b", "c")
+    val df = (0L until 6L)
+      .map(i => (i, randDoc(rnd, vocab, 4 + rnd.nextInt(8))))
+      .toDF("doc_id", "text")
+    def run() = graft.operators.TextOps
+      .winnowingSharedSpans(df, "text", "doc_id", 2, 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run() // registers a frame for the suite session
+    assert(graft.operators.TextOps.cachedSpanFrameCount >= 1)
+    // every-session-dead: the purge must empty the registry entirely
+    graft.operators.TextOps.purgeStoppedSessions(_ => true)
+    assert(graft.operators.TextOps.cachedSpanFrameCount === 0,
+      "a stopped session's frame must be unregistered at purge")
+    // the live session recomputes correctly (unpersist was best-effort,
+    // the plan is lazy) and re-registers as a cold miss, not a hit
+    val h0 = graft.operators.TextOps.spanCacheHits.get()
+    assert(run() === first)
+    assert(graft.operators.TextOps.spanCacheHits.get() === h0,
+      "a purged frame must re-register (miss), not phantom-hit")
+    // real predicate over the live suite session: purge keeps the entry
+    graft.operators.TextOps.purgeStoppedSessions()
+    assert(graft.operators.TextOps.cachedSpanFrameCount >= 1,
+      "a live session's frame must survive the real-predicate purge")
+  }
+
   test("knnTruncated matches the in-memory prefix-shortlist + exact-rerank " +
       "replica on 10 random corpora, and prefix=dim / shortlist=n equals " +
       "knnBrute bitwise (the matryoshka exactness regime)") {

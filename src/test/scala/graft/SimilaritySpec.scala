@@ -54,6 +54,9 @@ class SimilaritySpec extends SparkTestBase {
       "assignment in every Lloyd round (the q_sim_knn_ivf_learned_k64 " +
       "gate's definition-of-done — counter, not dispatch-expression " +
       "trust; r16 verdict item 1)") {
+    // exact-delta assertions assume no OTHER caller of assignCellsBucketed
+    // runs concurrently in this JVM — suites here execute serially
+    // (ScalaTest default, no parallelExecution override in build.sbt)
     val corpus = Similarity.prepared(emb, "embedding", "vec_id").persist()
     try {
       val lloydIters = 2 // the k64 gate's training depth
@@ -437,8 +440,10 @@ class SimilaritySpec extends SparkTestBase {
       "q_sim_knn_ivfpq" -> 0.75, "q_sim_knn_pq_rerank" -> 0.75,
       // r17: shortlist floor 8k -> 16k lifted the small-corpus point
       // 0.775 -> 0.890 (the floor only binds below n=1600, so sf0.1+
-      // operating points are unchanged — see MatShortlistMin's scaladoc)
-      "q_sim_knn_matryoshka" -> 0.80,
+      // operating points are unchanged — see MatShortlistMin's scaladoc);
+      // r18: prefix width 32 -> 40 (the sweep's recall-per-byte knee,
+      // see MatPrefixDim's scaladoc) lifted it again — floor re-pinned
+      "q_sim_knn_matryoshka" -> 0.85,
       // the two r17 production-path gates (measured sf0.01: k64 0.740 —
       // 16-of-64-cell probing out-recalls the 8-cell gates at equal
       // ~25% scan; pq_prod 0.900 — the m=16/32-cent codebook's ADC
@@ -511,12 +516,13 @@ class SimilaritySpec extends SparkTestBase {
       // the floor pins the sublinear schedule's operating recall where
       // the bench reports it
       "q_sim_knn_ivf_learned_k64" -> 0.60, "q_sim_knn_pq_prod" -> 0.78,
-      // matryoshka shortlist max(8k, 2*ceil(sqrt n)) — SUBLINEAR in the
-      // corpus (r16; the earlier n/25 floor was linear-in-n). Measured
-      // 0.685 at sf0.1 (constant 40 had measured 0.50 — the
-      // shrinking-fraction trend) at a tiny fraction of pq_rerank's 40%
-      // repair breadth
-      "q_sim_knn_matryoshka" -> 0.60)
+      // matryoshka shortlist max(16k, 2*ceil(sqrt n)) — SUBLINEAR in the
+      // corpus (r16; the earlier n/25 floor was linear-in-n). r18 prefix
+      // width 32 -> 40 (recall-per-byte sweep): measured 0.870 at sf0.1
+      // and 0.865 at sf1 (was 0.685/0.695 — the r17 "lowest rung"
+      // plateau was prefix width, not shortlist), still a tiny fraction
+      // of pq_rerank's 40% repair breadth
+      "q_sim_knn_matryoshka" -> 0.80)
     for ((ann, floor) <- floors)
       assert(rec(ann) >= floor, s"$ann below its $floor sf0.1 floor: $rec")
     assert(rec("q_sim_knn_lsh_mp") >= rec("q_sim_knn_lsh"),

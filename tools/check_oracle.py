@@ -73,15 +73,25 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # --json <path>: also dump {gate: verdict-string} for artifact capture
+    # (the sf1 correctness run commits its result as CORRECTNESS_sf1.json)
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():  # Spark-written table (e.g. the ScaleUp sf1)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     results = {}
-    only = sys.argv[3:] or None
+    only = args[2:] or None
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -112,6 +122,10 @@ def main():
         print(f"{tag:4s}  {name:28s} {'' if v == 'OK' else v}")
     print(f"\n{ok}/{len(results)} queries match"
           + (f" ({skip} skipped: pinned to another scale)" if skip else ""))
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            {k: ("pass" if v == "OK" else v) for k, v in sorted(results.items())},
+            indent=1) + "\n")
     sys.exit(0 if ok + skip == len(results) else 1)
 
 
