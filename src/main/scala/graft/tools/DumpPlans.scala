@@ -364,10 +364,10 @@ object DumpPlans {
         "measured 22x at 10x data, and the sqrt(k) assignment holds the " +
         "sf1 probe at x2.2 where the flat fold read x4.6"),
       "q_sim_knn_matryoshka" -> ("matryoshka adaptive retrieval: ONE " +
-        "narrow corpus scan scores the 32-dim PREFIX (broadcast-query " +
-        "non-equi scan, allowlisted BNLJ like knn_brute), " +
-        "WindowGroupLimit keeps the max(8k, 2*ceil(sqrt n)) shortlist " +
-        "(sublinear in the corpus) per query, exact " +
+        "narrow corpus scan scores the 40-dim PREFIX (r18 sweep point; " +
+        "broadcast-query non-equi scan, allowlisted BNLJ like " +
+        "knn_brute), WindowGroupLimit keeps the max(16k, 2*ceil(sqrt " +
+        "n)) shortlist (sublinear in the corpus) per query, exact " +
         "re-rank fetches only shortlist*|queries| full vectors by " +
         "id-join — the full-dim column never rides a shuffle"),
       "q_hybrid_rrf" -> ("RRF hybrid fusion: lexical top-50 is " +
@@ -420,6 +420,12 @@ object DumpPlans {
         "over the ordered 5-file staging, 1h production watermark, " +
         "progressive state eviction, keyed by user — state bounded " +
         "by live sessions, not history"),
+      "q_stream_session_rocksdb" -> ("the session drain under the " +
+        "PRODUCTION state-store provider (RocksDB: off-heap native " +
+        "memory + local SST files) — identical logical/physical shape " +
+        "to q_stream_session_parity (the provider is a state-store " +
+        "swap, not a plan change; output spec-pinned AND oracle-gated " +
+        "identical); plan below is the post-drain sink read"),
       "q_stream_stream_join" -> ("stream-stream interval join: sink " +
         "read below; stream side buffers ONLY the minimal projected " +
         "columns per side in the join state store, watermark clears " +
