@@ -29,15 +29,7 @@ object JaccardOrderProbe {
     val sf1 = "/root/repo/target/sf1"
     val sf2 = "/root/repo/target/sf2" // ScaleUp copies=20: 2x sf1
     val sf01 = "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeUtil.session()
     // the 100 TB regime: nothing broadcasts
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
 

@@ -60,14 +60,7 @@ object Sf1Probe {
       // re-rank breadth is max(8k, ⌈√n⌉), sublinear by construction
       "q_sim_knn_ivf_learned_k64", "q_sim_knn_pq_prod")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeUtil.session()
 
     // The timer wraps the WHOLE gate fn, not just the final collect:
     // streaming gates replay their micro-batch stream and ANN gates run
@@ -255,9 +248,7 @@ object Sf1Probe {
     // flat across the same growth — the precondition now documented on
     // rerankBreadthSublinear itself.
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      ProbeUtil.topSets(df)
     def pqSublinear(dir: String, m: Int, cents: Int)
         : (Double, Int, Double) = {
       val emb = graft.queries.tbl(spark, dir, "embeddings")
@@ -277,9 +268,7 @@ object Sf1Probe {
         val sec = (System.nanoTime() - t0) / 1e9
         val brute = topSets(graft.operators.Similarity.knnBrute(
           emb, "embedding", "vec_id", panel, k))
-        val recall = brute.toSeq.map { case (q, b) =>
-          ann.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
-        }.sum / brute.size
+        val recall = ProbeUtil.recallOf(brute, ann)
         (sec, breadth, recall)
       } finally corpus.unpersist()
     }
@@ -324,9 +313,7 @@ object Sf1Probe {
           val ann = topSets(graft.operators.Similarity.knnTruncated(
             emb, "embedding", "vec_id", panel, k,
             graft.queries.Similarity.MatPrefixDim, shortlist))
-          brute.toSeq.map { case (q, b) =>
-            ann.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
-          }.sum / brute.size
+          ProbeUtil.recallOf(brute, ann)
         })
         (floor, shortlist, recall)
       }

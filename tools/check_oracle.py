@@ -72,14 +72,56 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     return "OK"
 
 
+def duck_fetch(con, sql, timeout):
+    """Run one oracle with an optional wall budget: the full-surface sf1
+    run includes quadratic replays (all-pairs Jaccard over 50k docs) that
+    DuckDB can grind on for tens of minutes — a budget turns 'the run
+    hung' into an explicit SKIP row. Each budgeted gate runs on its OWN
+    cursor (a duplicate connection over the same catalog, so the table
+    views are visible): interrupting the shared connection could race a
+    just-finished query (a pending interrupt killing the NEXT gate) or
+    leave a slow-to-die worker serializing later gates behind it —
+    cursor isolation keeps one gate's timeout from contaminating the
+    rest of the run."""
+    if not timeout:
+        return con.execute(sql).fetchdf()
+    import threading
+    cur = con.cursor()
+    box = {}
+    def run():
+        try:
+            box["df"] = cur.execute(sql).fetchdf()
+        except Exception as e:  # surfaced to the caller below
+            box["err"] = e
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if "df" in box:  # finished at the boundary — a result beats a timeout
+        return box["df"]
+    if t.is_alive():
+        cur.interrupt()
+        t.join(60)
+        raise TimeoutError(f"oracle exceeded {timeout}s")
+    if "err" in box:
+        raise box["err"]
+    return box["df"]
+
+
 def main():
     # --json <path>: also dump {gate: verdict-string} for artifact capture
     # (the sf1 correctness run commits its result as CORRECTNESS_sf1.json)
+    # --timeout <sec>: per-gate DuckDB budget; over-budget gates record
+    # "SKIP oracle timeout" (explicit, never counted as pass)
     args = [a for a in sys.argv[1:]]
     json_out = None
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
+        del args[i:i + 2]
+    timeout = None
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout = float(args[i + 1])
         del args[i:i + 2]
     sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
@@ -107,7 +149,10 @@ def main():
             results[name] = "EMPTY spark output"
             continue
         try:
-            duck_df = con.execute(sql).fetchdf()
+            duck_df = duck_fetch(con, sql, timeout)
+        except TimeoutError as e:
+            results[name] = f"SKIP {e}"
+            continue
         except Exception as e:
             results[name] = f"DUCKSQL {type(e).__name__}: {e}"
             continue
@@ -121,7 +166,8 @@ def main():
         tag = "PASS" if v == "OK" else ("SKIP" if v.startswith("SKIP") else "FAIL")
         print(f"{tag:4s}  {name:28s} {'' if v == 'OK' else v}")
     print(f"\n{ok}/{len(results)} queries match"
-          + (f" ({skip} skipped: pinned to another scale)" if skip else ""))
+          + (f" ({skip} skipped: scale-pinned or over oracle budget)"
+             if skip else ""))
     if json_out:
         Path(json_out).write_text(json.dumps(
             {k: ("pass" if v == "OK" else v) for k, v in sorted(results.items())},
