@@ -28,6 +28,17 @@ object GraftFunctions {
   // any IEEE engine (HALF_EVEN) round identically. The final cast back to
   // double is deterministic. This is the partial/final-agg-safe way to sum
   // doubles reproducibly on a 1000-executor cluster.
+  //
+  // CROSS-ENGINE BOUNDARY on the final decimal→double cast (found by the
+  // r18 full-surface sf1 oracle run): Spark's Decimal.toDouble is correctly
+  // rounded (BigDecimal.doubleValue), but DuckDB's is the naive two-step —
+  // (double)(scaled hugeint) / 10^scale — which drifts by ulps once
+  // |sum|·10^scale exceeds 2^53 (q_stats' s4 at sf1: the exact integer
+  // 2615682203940 read back as …939.9995 on the DuckDB side only). The
+  // Spark side needs no change; an ORACLE comparing one of these sums must
+  // keep |sum|·10^scale < 2^53, or — when the summed values are integral —
+  // hop the decimal to scale 0 before the double cast (exact below 2^53;
+  // q_stats' oracle does this).
   // ===========================================================================
 
   /** Order-independent, exact sum of a double column (scale-4 decimal). */

@@ -117,12 +117,22 @@ object Aggregates {
              |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0 AS kurt_qty,
              |  med AS median_qty
              |FROM (
+             |  -- The DECIMAL(38,6) sums hop through DECIMAL(38,0) before
+             |  -- the DOUBLE cast: DuckDB's decimal->double is the NAIVE
+             |  -- two-step (hugeint -> double, then /10^scale), which stops
+             |  -- being correctly rounded once sum*10^6 exceeds 2^53 —
+             |  -- s3/s4 cross that at sf1 (6.5e10/2.6e12) and the r18
+             |  -- full-surface sf1 oracle run caught the kurtosis ulp drift
+             |  -- (2615682203940 read back as ...939.9995). Spark's
+             |  -- Decimal.toDouble is correctly rounded, so the integral
+             |  -- quantity sums hop to scale 0 (exact — l_quantity is
+             |  -- integral) where hugeint -> double is exact below 2^53.
              |  SELECT l_returnflag,
              |    CAST(COUNT(l_quantity) AS DOUBLE) AS n,
-             |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-             |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-             |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4,
+             |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+             |    CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+             |    CAST(CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s3,
+             |    CAST(CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s4,
              |    median(l_quantity) AS med
              |  FROM lineitem GROUP BY l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),

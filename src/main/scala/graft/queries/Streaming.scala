@@ -35,8 +35,18 @@ object Streaming {
 
   private def fingerprint(dir: String, file: String): String = {
     val src = java.nio.file.Paths.get(dir, file)
-    s"${java.nio.file.Files.size(src)}_" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    if (java.nio.file.Files.isDirectory(src)) {
+      // Spark-written table (a directory of part files, e.g. the ScaleUp
+      // sf1): the directory entry's own size/mtime don't track content —
+      // fingerprint the part files themselves
+      val parts = listClosing(src)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      s"${parts.map(java.nio.file.Files.size(_)).sum}_" +
+        s"${parts.map(p => java.nio.file.Files.getLastModifiedTime(p)
+          .toMillis).maxOption.getOrElse(0L)}"
+    } else
+      s"${java.nio.file.Files.size(src)}_" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
   }
 
   /** java.nio directory streams hold an open fd until closed — drain them
@@ -87,10 +97,23 @@ object Streaming {
   private def stageDir(dir: String, file: String): String = {
     val s = sanitizedName(dir, file)
     staged(s, "", s"${s}_${fingerprint(dir, file)}") { stage =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, file),
-        stage.resolve(file),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = java.nio.file.Paths.get(dir, file)
+      if (java.nio.file.Files.isDirectory(src))
+        // Spark-written table: stage every part file. A bare Files.copy
+        // of the directory creates an EMPTY directory — the file-source
+        // stream then replays ZERO rows, silently (caught by the r18
+        // full-surface sf1 oracle: q_stream_quality_parity read 0 of
+        // 50k docs while every single-file scale passed).
+        listClosing(src)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+          .foreach { p =>
+            java.nio.file.Files.copy(p, stage.resolve(p.getFileName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+      else
+        java.nio.file.Files.copy(src, stage.resolve(file),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
   }
 
