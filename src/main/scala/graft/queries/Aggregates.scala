@@ -127,8 +127,16 @@ object Aggregates {
              |  -- Decimal.toDouble is correctly rounded, so the integral
              |  -- quantity sums hop to scale 0 (exact — l_quantity is
              |  -- integral) where hugeint -> double is exact below 2^53.
+             |  -- the scale-0 hop is EXACT only while l_quantity stays
+             |  -- integral (a data-generator invariant): guard it loudly,
+             |  -- so a future non-integral quantity fails as an oracle
+             |  -- error instead of a confusing VAL diff pinned on the
+             |  -- engine. error() raises only if the CASE arm evaluates.
              |  SELECT l_returnflag,
-             |    CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+             |    CASE WHEN COUNT(CASE WHEN l_quantity <> round(l_quantity)
+             |                    THEN 1 END) > 0
+             |         THEN error('non-integral l_quantity: the DECIMAL(38,0) hop would round')
+             |         ELSE CAST(COUNT(l_quantity) AS DOUBLE) END AS n,
              |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
              |    CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
              |    CAST(CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,0)) AS DOUBLE) AS s3,

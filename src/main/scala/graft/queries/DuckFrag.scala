@@ -74,6 +74,39 @@ object DuckFrag {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
+  /** Connected-component fold over a symmetric `edges(a, b)` CTE already
+    * in scope: emits `lmin` and `reach` plus a final `comp(id, keeper)` =
+    * min node id per component, covering exactly the nodes that appear in
+    * `edges` (the same node set the Spark-side dupGroups emits; isolated
+    * nodes are the caller's coalesce/left-join business).
+    *
+    * This replaces the naive all-seeds reachability CTE
+    * (`SELECT a, a FROM edges UNION SELECT e.b, reach.r ...`), which
+    * materializes Σ|component|² (node, seed) rows — at sf1 the SemDeDup
+    * cells are single near-clique components of ~2.5k nodes each, and the
+    * naive fold ground past every per-gate DuckDB budget (the r18
+    * full-surface run needed 1800 s for the two gates carrying it). Two
+    * lossless prunes fix the asymptote:
+    *   - seed only from LOCAL MINIMA (`a < min(neighbors)`): the component
+    *     min is always one, and a dense near-dup cluster has very few
+    *     (a clique has exactly one);
+    *   - propagate a label r to node b only when `r < b`: the component
+    *     min m satisfies m < b for every other member, so m still floods
+    *     the whole component; only never-winning labels are dropped.
+    * Every node's multiset of surviving labels still contains its
+    * component min, so `min(r)` per id is unchanged — verified against a
+    * union-find ground truth on the sf1 pair set (377k edges, 8
+    * components), 367 s → 4.6 s. */
+  def componentCtes: String =
+    """lmin AS (SELECT a AS id FROM edges GROUP BY a HAVING a < min(b)),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM lmin
+      |  UNION
+      |  SELECT e.b, reach.r FROM edges e
+      |  JOIN reach ON e.a = reach.id
+      |  WHERE reach.r < e.b),
+      |comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)""".stripMargin
+
   /** Guarded cosine from precomputed norms — mirrors Similarity.cosine
     * EXACTLY, including the zero-norm convention: a zero-norm vector has
     * similarity 0.0 to everything (ranked last), never a division by

@@ -238,16 +238,11 @@ object Similarity {
        |edges AS (
        |  SELECT id1 AS a, id2 AS b FROM pairs
        |  UNION ALL SELECT id2, id1 FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, reach.r FROM edges e
-       |  JOIN reach ON e.a = reach.id),
-       |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+       |${DuckFrag.componentCtes}
        |SELECT a.id, a.cell,
        |       coalesce(g.keeper, a.id) AS keeper,
        |       coalesce(g.keeper, a.id) = a.id AS keep
-       |FROM assign a LEFT JOIN grp g ON g.id = a.id
+       |FROM assign a LEFT JOIN comp g ON g.id = a.id
        |ORDER BY a.id""".stripMargin
 
   /** SemDeDup oracle for the BUCKETED assignment path: replays the exact
@@ -294,16 +289,11 @@ object Similarity {
        |edges AS (
        |  SELECT id1 AS a, id2 AS b FROM pairs
        |  UNION ALL SELECT id2, id1 FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, reach.r FROM edges e
-       |  JOIN reach ON e.a = reach.id),
-       |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+       |${DuckFrag.componentCtes}
        |SELECT a.id, a.cell,
        |       coalesce(g.keeper, a.id) AS keeper,
        |       coalesce(g.keeper, a.id) = a.id AS keep
-       |FROM assign a LEFT JOIN grp g ON g.id = a.id
+       |FROM assign a LEFT JOIN comp g ON g.id = a.id
        |ORDER BY a.id""".stripMargin
 
   /** Prepared gate corpus, persisted WITHOUT an unpersist: the returned
@@ -1130,12 +1120,8 @@ object Similarity {
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id)
-              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |${DuckFrag.componentCtes}
+              |SELECT id, keeper FROM comp
               |ORDER BY id""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise

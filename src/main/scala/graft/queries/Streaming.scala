@@ -41,6 +41,11 @@ object Streaming {
       // fingerprint the part files themselves
       val parts = listClosing(src)
         .filter(_.getFileName.toString.endsWith(".parquet"))
+      // a table dir with zero part files would fingerprint as "0_0" and
+      // stage EMPTY — the silent zero-row replay the part-file staging
+      // exists to prevent. Fail loudly instead.
+      require(parts.nonEmpty, s"no .parquet part files under $src — " +
+        "staging would replay zero rows")
       s"${parts.map(java.nio.file.Files.size(_)).sum}_" +
         s"${parts.map(p => java.nio.file.Files.getLastModifiedTime(p)
           .toMillis).maxOption.getOrElse(0L)}"
@@ -98,20 +103,23 @@ object Streaming {
     val s = sanitizedName(dir, file)
     staged(s, "", s"${s}_${fingerprint(dir, file)}") { stage =>
       val src = java.nio.file.Paths.get(dir, file)
-      if (java.nio.file.Files.isDirectory(src))
+      if (java.nio.file.Files.isDirectory(src)) {
         // Spark-written table: stage every part file. A bare Files.copy
         // of the directory creates an EMPTY directory — the file-source
         // stream then replays ZERO rows, silently (caught by the r18
         // full-surface sf1 oracle: q_stream_quality_parity read 0 of
         // 50k docs while every single-file scale passed).
-        listClosing(src)
+        val parts = listClosing(src)
           .filter(_.getFileName.toString.endsWith(".parquet"))
+        require(parts.nonEmpty, s"no .parquet part files under $src — " +
+          "staging would replay zero rows")
+        parts
           .sortBy(_.getFileName.toString)
           .foreach { p =>
             java.nio.file.Files.copy(p, stage.resolve(p.getFileName),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
           }
-      else
+      } else
         java.nio.file.Files.copy(src, stage.resolve(file),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
@@ -217,6 +225,52 @@ object Streaming {
       |    AS session_value
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin
+
+  /** The stream-STREAM event-time interval join drain, shared by the
+    * default-provider gate and the RocksDB-provider gate: each click
+    * pairs with the same user's follow-up events within 30 minutes across
+    * the three-batch replay — both sides unbounded, matches emitted as
+    * both rows arrive (some pairs straddle micro-batches, so one side
+    * must be BUFFERED in join state until its partner lands;
+    * single-batch execution could not produce them without state).
+    * Watermarks exceed the ~30-day replay span so the batch-3 stragglers
+    * join instead of being late-dropped (late-drop semantics are
+    * q_stream_late_drop's business); at production scale the delay would
+    * be the real lateness bound, which with the range condition is
+    * exactly what lets Spark evict state. Column discipline: every column
+    * selected into a side is BUFFERED in the join state store until the
+    * watermark clears it — the click side carries event_type only to
+    * filter (dropped after), the follow side never needs it. */
+  private def streamStreamJoinDrain(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    def side(prefix: String, extra: Seq[org.apache.spark.sql.Column]) =
+      Streams.eventStream(s, stageEventsMulti(s, dir),
+          maxFilesPerTrigger = Some(1))
+        .select(Seq(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_uid"),
+          col("ts").as(s"${prefix}_ts")) ++ extra: _*)
+    val clicks = side("c", Seq(col("event_type")))
+      .filter($"event_type" === "click").drop("event_type")
+    val follows = side("n", Nil)
+    val joined = Streams.intervalJoin(
+        clicks, "c_ts", "60 days", follows, "n_ts", "60 days",
+        $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
+          $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"c_id".as("click_id"), $"n_id".as("next_id"))
+    drainAppend(joined, table, dir)
+      .orderBy($"click_id", $"next_id")
+  }
+
+  /** DuckDB mirror of the interval-join drain — one SQL, two gates
+    * (default and RocksDB provider): the plain batch interval self-join;
+    * results are provider-invariant by contract. */
+  private val StreamStreamJoinSql =
+    """SELECT a.event_id AS click_id, b.event_id AS next_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND a.event_type = 'click'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, next_id""".stripMargin
 
   /** Multi-file staging of the events table: split deterministically into
     * THREE parquet files with ascending modification times, so the file
@@ -620,34 +674,21 @@ object Streaming {
     // production scale the delay would be the real lateness bound, which
     // with the range condition is exactly what lets Spark evict state.
     "q_stream_stream_join" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        // keep state rows minimal: every column selected here is BUFFERED
-        // in the join state store until the watermark clears it — the
-        // click side needs event_type only to filter (dropped after), the
-        // follow side never needs it
-        def side(prefix: String, extra: Seq[org.apache.spark.sql.Column]) =
-          Streams.eventStream(s, stageEventsMulti(s, dir),
-              maxFilesPerTrigger = Some(1))
-            .select(Seq(col("event_id").as(s"${prefix}_id"),
-              col("user_id").as(s"${prefix}_uid"),
-              col("ts").as(s"${prefix}_ts")) ++ extra: _*)
-        val clicks = side("c", Seq(col("event_type")))
-          .filter($"event_type" === "click").drop("event_type")
-        val follows = side("n", Nil)
-        val joined = Streams.intervalJoin(
-            clicks, "c_ts", "60 days", follows, "n_ts", "60 days",
-            $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
-              $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
-          .select($"c_id".as("click_id"), $"n_id".as("next_id"))
-        drainAppend(joined, "stream_stream_join", dir)
-          .orderBy($"click_id", $"next_id")
-      },
-      Some("""SELECT a.event_id AS click_id, b.event_id AS next_id
-             |FROM events a JOIN events b ON a.user_id = b.user_id
-             | AND a.event_type = 'click'
-             | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-             |ORDER BY click_id, next_id""".stripMargin)),
+      (s, dir) => streamStreamJoinDrain(s, dir, "stream_stream_join"),
+      Some(StreamStreamJoinSql)),
+
+    // The SAME stream-stream interval join under the PRODUCTION state-
+    // store provider. Of the whole streaming surface this join buffers
+    // the LARGEST state (both sides' rows are held until the watermark
+    // clears them — the r18 probe measured session state in the tens of
+    // MB, and join state dwarfs it), so it is the gate where the
+    // RocksDB answer to on-heap state growth matters most. Provider
+    // invariance is held to the same cross-engine hash bar as the
+    // session gate pair: same drain, same DuckDB oracle.
+    "q_stream_stream_join_rocksdb" -> Q(
+      (s, dir) => Streams.withRocksDBStateStore(s)(
+        streamStreamJoinDrain(s, dir, "stream_stream_join_rocksdb")),
+      Some(StreamStreamJoinSql)),
 
     // Stream-stream LEFT OUTER interval join: clicks that found no
     // follow-up within 30 minutes must STILL emit (next_id −1) — and an

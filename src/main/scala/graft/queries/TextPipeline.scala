@@ -18,6 +18,29 @@ object TextPipeline {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     tbl(s, dir, "documents")
 
+  /** Skewed-vocabulary fixture suffix for the frequency-ordered jaccard
+    * gate: three boilerplate tokens appended to EVERY document. Chosen
+    * adversarially against the HASH prefix order: polyHash("zz0") =
+    * 121072 (and zz1/zz2 adjacent) — ~0.012% of the 1e9 hash space, below
+    * essentially every real token's hash, so under hash order all three
+    * sort to the FRONT of every doc's token set and land in every τ=0.5
+    * prefix, degenerating each block's (block, prefix-token) join to its
+    * full quadratic pair set. Under the Bayardo frequency order their
+    * maximal document frequency ranks them LAST (cnt asc), so they never
+    * enter a prefix — the regime the `frequencyOrdered` flag exists for
+    * (Dedup.scala's 100 TB skew caveat), now pinned by both an oracle
+    * gate and probe arms. Public: JaccardOrderProbe builds its skew arms
+    * from the same constant. */
+  val JaccardSkewSuffix = " zz0 zz1 zz2"
+
+  /** The documents table with [[JaccardSkewSuffix]] appended to every
+    * text — the skewed corpus the freq-ordered gate and probe arms run
+    * on. Public for JaccardOrderProbe. */
+  def skewedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"), lit(JaccardSkewSuffix)))
+
   /** CTE prelude shared by the shingle-based oracles: tokens + k-shingle
     * hash sets for docs with ≥ k tokens (mirrors Dedup.minhashSignatures). */
   private def shingleCte(k: Int): String =
@@ -157,6 +180,75 @@ object TextPipeline {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** A VALID 8×8 24-bit PNG whose pixels are the shared linear channel
+    * formula of (doc_id, x, y) — the second real-decode format after BMP.
+    * PNG is top-down (no BMP row flip) and LOSSLESS, and without ancillary
+    * color chunks (no gAMA/iCCP) ImageIO passes truecolor samples through
+    * verbatim, so the decoded RGB equals the formula exactly. The IDAT
+    * deflate stream uses one STORED block (BTYPE=00) — bit-exact
+    * reproducible, no compressor version dependence; CRC32/Adler32 come
+    * from java.util.zip. Pure function of doc_id: executors rebuild it
+    * deterministically under task retry. */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until 8) {
+      raw.write(0) // filter: None
+      for (x <- 0 until 8) {
+        raw.write((((5 * docId + 3 * x + 17 * y) % 256 + 256) % 256).toInt)
+        raw.write((((3 * docId + 5 * x + 13 * y) % 256 + 256) % 256).toInt)
+        raw.write((((docId + 7 * x + 11 * y) % 256 + 256) % 256).toInt)
+      }
+    }
+    val rawBytes = raw.toByteArray // 8 rows x (1 filter + 24 RGB) = 200
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = tpe.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val ihdr = be32(8) ++ be32(8) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, none, none
+    val adler = new java.util.zip.Adler32()
+    adler.update(rawBytes)
+    val idat = Array[Byte](0x78, 0x01, // zlib CMF/FLG (check-valid)
+        0x01, // stored block, BFINAL=1
+        (rawBytes.length & 0xff).toByte, ((rawBytes.length >> 8) & 0xff).toByte,
+        (~rawBytes.length & 0xff).toByte, ((~rawBytes.length >> 8) & 0xff).toByte) ++
+      rawBytes ++ be32(adler.getValue)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** DuckDB replay of ImageIoCodec.embed over the synthetic PNG — same
+    * pooled-luminance arithmetic as [[realEmbedOracleSql]] but with PNG's
+    * top-down rows: the channel formulas key on image y directly (BMP's
+    * file row was 7 − y). */
+  private def realEmbedPngOracleSql: String = {
+    def lum(x: Int, y: Int): String = {
+      val b = s"((doc_id + ${7 * x} + ${11 * y}) % 256)"
+      val g = s"((3*doc_id + ${5 * x} + ${13 * y}) % 256)"
+      val rr = s"((5*doc_id + ${3 * x} + ${17 * y}) % 256)"
+      s"(CAST(0.299 AS DOUBLE) * $rr + CAST(0.587 AS DOUBLE) * $g + " +
+        s"CAST(0.114 AS DOUBLE) * $b)"
+    }
+    val cells = (0 until 16).map { d =>
+      val (gy, gx) = (d / 4, d % 4)
+      val l = for (y <- Seq(2 * gy, 2 * gy + 1); x <- Seq(2 * gx, 2 * gx + 1))
+        yield lum(x, y)
+      s"CAST(CAST(((((${l(0)} + ${l(1)}) + ${l(2)}) + ${l(3)}) / 4) / " +
+        s"CAST(255.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS REAL) AS DOUBLE)" +
+        s" AS e$d"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8 AS INTEGER) AS out_width, CAST(8 AS INTEGER) AS out_height,
+       |  $cells
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** [[TextOps.sqrtTemperatureKeep]] gate target: between the sf0.001
     * corpus (~20 docs — every domain under target, keep-all regime) and
     * sf0.1 (~2000 docs — strong rebalancing), so the tri-scale mirror
@@ -231,12 +323,8 @@ object TextPipeline {
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id)
-              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |${DuckFrag.componentCtes}
+              |SELECT id, keeper FROM comp
               |ORDER BY id""".stripMargin)),
 
     // The SAME dup-group pipeline forced onto the DISTRIBUTED
@@ -258,12 +346,8 @@ object TextPipeline {
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id)
-              |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+              |${DuckFrag.componentCtes}
+              |SELECT id, keeper FROM comp
               |ORDER BY id""".stripMargin)),
 
     // Quality-preferring keeper selection: same dup components as
@@ -283,12 +367,8 @@ object TextPipeline {
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id),
-              |grp AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+              |${DuckFrag.componentCtes},
+              |grp AS (SELECT id, keeper AS grp FROM comp),
               |best AS (
               |  SELECT grp, id AS best FROM (
               |    SELECT g.grp, g.id,
@@ -365,6 +445,36 @@ object TextPipeline {
       Some(s"""WITH sets AS (
               |  SELECT doc_id, source AS block,
               |         list_distinct(list_transform(string_split(text, ' '),
+              |           t -> ${DuckFrag.polyHashSql("t")})) AS h
+              |  FROM documents)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2, a.block,
+              |       ${DuckFrag.jaccardSql("a.h", "b.h")} AS jacc
+              |FROM sets a JOIN sets b
+              |  ON a.block = b.block AND a.doc_id < b.doc_id
+              |WHERE ${DuckFrag.jaccardSql("a.h", "b.h")} >= 0.5
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // The BAYARDO (frequency-ordered) prefix path on a corpus where it
+    // actually wins: the skewed-vocabulary fixture appends three
+    // boilerplate tokens to EVERY document (see [[JaccardSkewSuffix]] for
+    // why their hashes land in every hash-order prefix), so hash-order
+    // candidates degenerate to each block's full quadratic pair set while
+    // the frequency order — ranking tokens by ascending global df — puts
+    // the boilerplate LAST and never in a prefix. The gate runs
+    // frequencyOrdered = true end to end (df count, per-doc rank, prefix
+    // join, exact verify) against the same order-independent all-pairs
+    // oracle; the candidate collapse itself is measured by
+    // JaccardOrderProbe's skew arms (JACCARD_ORDER_PROBE.json). The r18
+    // dispatch rule at Dedup.scala (candidates >> verified under hash
+    // order = skew = flip the flag) stops being hypothetical here.
+    "q_pipe_jaccard_freq" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(skewedDocs(s, dir), "text",
+          "doc_id", "source", threshold = 0.5, frequencyOrdered = true)
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH sets AS (
+              |  SELECT doc_id, source AS block,
+              |         list_distinct(list_transform(
+              |           string_split(text || '$JaccardSkewSuffix', ' '),
               |           t -> ${DuckFrag.polyHashSql("t")})) AS h
               |  FROM documents)
               |SELECT a.doc_id AS id1, b.doc_id AS id2, a.block,
@@ -611,12 +721,8 @@ object TextPipeline {
               |edges AS (
               |  SELECT id1 AS a, id2 AS b FROM pairs
               |  UNION ALL SELECT id2, id1 FROM pairs),
-              |reach(id, r) AS (
-              |  SELECT a, a FROM edges
-              |  UNION
-              |  SELECT e.b, reach.r FROM edges e
-              |  JOIN reach ON e.a = reach.id),
-              |grp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+              |${DuckFrag.componentCtes},
+              |grp AS (SELECT id, keeper FROM comp),
               |reps AS (
               |  SELECT k.keeper, ${DuckFrag.polyHashSql("d.text")} % 100 AS ghv
               |  FROM (SELECT DISTINCT keeper FROM grp) k
@@ -885,6 +991,32 @@ object TextPipeline {
           .orderBy(col("media_id"))
       },
       Some(realEmbedOracleSql)),
+
+    // Real decode, second format: a VALID stored-deflate PNG per doc
+    // (see [[pngBytes]] — lossless, no color-management chunks, so JDK
+    // decode returns the formula pixels verbatim). Same luminance-grid
+    // arithmetic as the BMP gate but over PNG's top-down rows — the codec
+    // trait's real-decode path stops being single-format at the oracle
+    // level: two container formats, two row orders, one embedding
+    // contract. Blob construction is a pure function of doc_id (typed
+    // map, executor-side, deterministic under retry).
+    "q_mm_embed_real_png" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+          graft.operators.Multimodal.MediaRow(id, "png", pngBytes(id),
+            0, 0, 0)
+        }
+        graft.operators.Multimodal
+          .decodeAndEmbed(media, dim = EmbDim,
+            codec = graft.operators.Multimodal.ImageIoCodec)
+          .toDF()
+          .select(col("media_id") +: col("out_width") +: col("out_height") +:
+            (0 until EmbDim).map(d =>
+              col("embedding")(d).cast("double").as(s"e$d")): _*)
+          .orderBy(col("media_id"))
+      },
+      Some(realEmbedPngOracleSql)),
 
     // Document fingerprinting: whole-doc PolyHash + min 5-shingle rolling
     // hash (winnowing-style content fingerprint, stable under reordering of

@@ -33,8 +33,12 @@ object JaccardOrderProbe {
     // the 100 TB regime: nothing broadcasts
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
 
-    def runOnce(dir: String, freq: Boolean): (Double, Double) = {
-      val docs = graft.queries.tbl(spark, dir, "documents")
+    def docsFor(dir: String, skew: Boolean) =
+      if (skew) graft.queries.TextPipeline.skewedDocs(spark, dir)
+      else graft.queries.tbl(spark, dir, "documents")
+    def runOnce(dir: String, freq: Boolean,
+        skew: Boolean = false): (Double, Double) = {
+      val docs = docsFor(dir, skew)
       val t0 = System.nanoTime()
       val df = graft.operators.Dedup.ngramJaccardPairs(docs, "text",
         "doc_id", "source", threshold = 0.5, frequencyOrdered = freq)
@@ -44,9 +48,9 @@ object JaccardOrderProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, PlanMetrics.exchangeVolume(out).shuffleWritten / 1e6)
     }
-    def stats(dir: String, freq: Boolean)
+    def stats(dir: String, freq: Boolean, skew: Boolean = false)
         : graft.operators.Dedup.JaccardJoinStats = {
-      val docs = graft.queries.tbl(spark, dir, "documents")
+      val docs = docsFor(dir, skew)
       val (res, st) = graft.operators.Dedup.ngramJaccardPairsWithStats(
         docs, "text", "doc_id", "source", threshold = 0.5,
         frequencyOrdered = freq)
@@ -105,22 +109,63 @@ object JaccardOrderProbe {
     // which is LINEAR in n here (copy-disjoint growth). Measured: sf1 ->
     // sf2 (x2 data) reads ~x2 candidates and shuffle converging on x2
     // from above (x2.17 — sf1's residual dedup inflates the base).
+    // sf2 asymptote arms — r19 runs BOTH orderings (the r18 artifact had
+    // only hash, leaving the freq linearity conclusion resting on one
+    // scale pair; r18's hash sf1 wall also read ABOVE its sf2 wall — an
+    // obvious outlier this regeneration re-measures).
     val sf2Block =
       if (new java.io.File(sf2, "documents.parquet").exists()) {
-        runOnce(sf2, freq = false)
-        val (s2, mb2) = runOnce(sf2, freq = false)
-        val st2 = stats(sf2, freq = false)
-        breakdown(sf2, "sf2  ")
-        val (_, _, s1h, _, mb1h, _, st1h) = rows.head
-        println(f"[jaccard-probe] hash sf1->sf2 (x2 data, both in the " +
-          f"degraded partial-agg regime): x${s2 / s1h}%.2f time " +
-          f"x${mb2 / mb1h}%.2f shuffle " +
-          f"x${st2.candidates.toDouble / st1h.candidates}%.2f cand")
-        f""", "hash_sf2": {"sf2_sec": $s2%.3f, "sf2_shuffle_mb": $mb2%.3f, "sf2_candidates": ${
-          st2.candidates}, "sf2_verified": ${st2.verified}, "vs_sf1_time": ${
-          s2 / s1h}%.2f, "vs_sf1_shuffle": ${mb2 / mb1h}%.2f, "vs_sf1_cand": ${
-          st2.candidates.toDouble / st1h.candidates}%.2f, "note": "x2 data with both points in the degraded partial-agg regime - the asymptotic growth law"}"""
+        val arms = for (freq <- Seq(false, true)) yield {
+          runOnce(sf2, freq)
+          val (s2, mb2) = runOnce(sf2, freq)
+          val st2 = stats(sf2, freq)
+          val label = if (freq) "freq" else "hash"
+          if (!freq) breakdown(sf2, "sf2  ")
+          val (_, _, s1x, _, mb1x, _, st1x) = rows(if (freq) 1 else 0)
+          println(f"[jaccard-probe] $label%-4s sf1->sf2 (x2 data): " +
+            f"x${s2 / s1x}%.2f time x${mb2 / mb1x}%.2f shuffle " +
+            f"x${st2.candidates.toDouble / st1x.candidates}%.2f cand")
+          f""""${label}_sf2": {"sf2_sec": $s2%.3f, "sf2_shuffle_mb": $mb2%.3f, "sf2_candidates": ${
+            st2.candidates}, "sf2_verified": ${st2.verified}, "vs_sf1_time": ${
+            s2 / s1x}%.2f, "vs_sf1_shuffle": ${mb2 / mb1x}%.2f, "vs_sf1_cand": ${
+            st2.candidates.toDouble / st1x.candidates}%.2f}"""
+        }
+        ", " + arms.mkString(", ") +
+          """, "sf2_note": "x2 data with both points in the degraded partial-agg regime - the asymptotic growth law, now measured under BOTH orderings""""
       } else ""
+
+    // SKEWED-VOCABULARY arms (r18 verdict item 1): the corpus the
+    // frequencyOrdered flag exists for — TextPipeline.skewedDocs appends
+    // three near-universal boilerplate tokens whose hashes land in every
+    // hash-order prefix (see JaccardSkewSuffix scaladoc). Expected
+    // signature: hash-order candidates degenerate toward each block's
+    // full quadratic pair set (growing ~x100 per x10 data), freq-order
+    // candidates collapse back to ~the unskewed baseline (x10 per x10) —
+    // the measured justification for the flip-the-flag dispatch rule.
+    val skewRows = for (freq <- Seq(false, true)) yield {
+      val label = if (freq) "freq" else "hash"
+      runOnce(sf01, freq, skew = true)
+      val (s01, mb01) = runOnce(sf01, freq, skew = true)
+      runOnce(sf1, freq, skew = true)
+      val (s1, mb1) = runOnce(sf1, freq, skew = true)
+      val st01 = stats(sf01, freq, skew = true)
+      val st1 = stats(sf1, freq, skew = true)
+      println(f"[jaccard-skew] $label%-4s sf0.1 $s01%6.2fs $mb01%8.2fMB " +
+        f"cand=${st01.candidates}%,d ver=${st01.verified}%,d | " +
+        f"sf1 $s1%6.2fs $mb1%8.2fMB cand=${st1.candidates}%,d " +
+        f"ver=${st1.verified}%,d | x${st1.candidates.toDouble /
+          math.max(1, st01.candidates)}%.2f cand growth")
+      (label, s01, s1, mb01, mb1, st01, st1)
+    }
+    val skewJson = skewRows.map {
+      case (l, s01, s1, mb01, mb1, st01, st1) =>
+        f""""skew_$l": {"sf01_sec": $s01%.3f, "sf1_sec": $s1%.3f, "sf01_shuffle_mb": $mb01%.3f, "sf1_shuffle_mb": $mb1%.3f, "sf01_candidates": ${
+          st01.candidates}, "sf1_candidates": ${st1.candidates}, "sf01_verified": ${
+          st01.verified}, "sf1_verified": ${st1.verified}, "cand_growth_x10": ${
+          st1.candidates.toDouble / math.max(1, st01.candidates)}%.2f}"""
+    }.mkString(", ")
+    val skewBlock = ", " + skewJson +
+      """, "skew_note": "TextPipeline.skewedDocs corpus (3 near-universal low-hash boilerplate tokens): the regime the Bayardo frequency order exists for; oracle-gated by q_pipe_jaccard_freq""""
 
     val json = rows.map { case (l, s01, s1, mb01, mb1, st01, st1) =>
       f""""$l": {"sf01_sec": $s01%.3f, "sf1_sec": $s1%.3f, "ratio": ${
@@ -130,7 +175,7 @@ object JaccardOrderProbe {
         st01.verified}, "sf1_verified": ${st1.verified}}"""
     }.mkString("{\"regime\": \"forced SMJ (autoBroadcastJoinThreshold=-1), " +
       "per-(config,scale) warmup, timed run is the second\",\n", ",\n",
-      sf2Block + "\n}")
+      sf2Block + skewBlock + "\n}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/JACCARD_ORDER_PROBE.json"),
       json.getBytes("UTF-8"))

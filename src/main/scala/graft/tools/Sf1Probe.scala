@@ -21,9 +21,15 @@ object Sf1Probe {
     val sf01 = "/root/testdata/sf0.1"
     val gates = if (args.nonEmpty) args.toSeq else Seq(
       "q_sim_knn_ivfpq", "q_spearman", "q_stream_outer_join",
-      "q_stream_stream_join", "q_stream_session_parity", "q_sim_semdedup",
-      "q_prefix_sum", "q_pipe_jaccard_block", "q_sim_knn_pq_rerank",
-      "q_join_bucketed",
+      "q_stream_stream_join", "q_stream_session_parity",
+      // q_sim_semdedup (the pinned fixed-k trap) left the TIMED set in
+      // r19 (verdict item 5): its oracle-pinned k=8 makes intra-cell
+      // verify n²/k — super-linear BY DESIGN, measured ×19.9 at ×10 and
+      // costing 74 s of every probe run to demonstrate a documented
+      // anti-pattern. The correctness gate keeps running at every scale;
+      // the scale claim rides on q_sim_semdedup_auto + semdedup_scaled_k.
+      "q_prefix_sum", "q_pipe_jaccard_block", "q_pipe_jaccard_freq",
+      "q_sim_knn_pq_rerank", "q_join_bucketed",
       // the two r13 additions with real I/O (BMP decode, write-compact-
       // read cycle). The graph GATES (q_pagerank/q_triangles) are NOT
       // probeable this way: they read supplier, which ScaleUp leaves
@@ -199,6 +205,31 @@ object Sf1Probe {
     println(f"[probe] session append-mode sf1 under RocksDB: $saRocks%6.2fs" +
       f" (x${saRocks / saScaled}%.2f vs default provider) | " +
       s"state ${stFmt(stRocks)}")
+
+    // Stream-STREAM interval-join state residency (r18 verdict item 2 →
+    // r19): the interval join buffers the LARGEST state of the streaming
+    // surface (both sides' rows held until the watermark clears them), so
+    // "RocksDB at scale" must be measured on IT, not only on session
+    // state. Runs the full gate drain under both providers at both
+    // scales; telemetry is the final-batch live state from engine
+    // progress, same recipe as session_append.
+    def streamJoin(dir: String, rocks: Boolean)
+        : (Double, Option[graft.streaming.Streams.StateTelemetry]) = {
+      val g = if (rocks) "q_stream_stream_join_rocksdb"
+        else "q_stream_stream_join"
+      val (sec, _) = runOnce(g, dir)
+      (sec, graft.streaming.Streams.lastRunStateTelemetry)
+    }
+    streamJoin(sf01, rocks = false) // warm
+    val (sjBase, sjStBase) = streamJoin(sf01, rocks = false)
+    streamJoin(sf1, rocks = false) // warm
+    val (sjScaled, sjStScaled) = streamJoin(sf1, rocks = false)
+    streamJoin(sf1, rocks = true) // warm
+    val (sjRocks, sjStRocks) = streamJoin(sf1, rocks = true)
+    println(f"[probe] stream-stream join state: sf0.1 $sjBase%6.2fs " +
+      s"${stFmt(sjStBase)} | sf1 $sjScaled%.2fs ${stFmt(sjStScaled)} | " +
+      f"sf1 RocksDB $sjRocks%6.2fs (x${sjRocks / sjScaled}%.2f vs " +
+      s"default) state ${stFmt(sjStRocks)}")
 
     // Bucketed-assignment JOINED fallback — the over-literal-budget
     // spelling a real-width (dim ≥ 1024) corpus runs on. Forced here via
@@ -491,7 +522,17 @@ object Sf1Probe {
       f"${stScaled.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "rocksdb_sf1_sec": ${
       f"$saRocks%.3f"}, "rocksdb_vs_default": ${
       f"${saRocks / saScaled}%.2f"}, "rocksdb_sf1_state_rows": ${
-      stRocks.map(_.rows).getOrElse(-1L)}, "note": "state rows/bytes are the final data-batch LIVE residency from engine progress (r17 — the 100x wall is this residency on the default on-heap provider; the RocksDB row is the production answer, output spec-pinned identical)"}, "matryoshka_floor_sweep": {"sf01_floor40_shortlist": $ms01a, "sf01_floor40_recall": ${
+      stRocks.map(_.rows).getOrElse(-1L)}, "note": "state rows/bytes are the final data-batch LIVE residency from engine progress (r17 — the 100x wall is this residency on the default on-heap provider; the RocksDB row is the production answer, output spec-pinned identical)"}, "stream_stream_join_state": {"sf01_sec": ${
+      f"$sjBase%.3f"}, "sf1_sec": ${f"$sjScaled%.3f"}, "ratio": ${
+      f"${sjScaled / sjBase}%.2f"}, "sf01_state_rows": ${
+      sjStBase.map(_.rows).getOrElse(-1L)}, "sf01_state_mb": ${
+      f"${sjStBase.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "sf1_state_rows": ${
+      sjStScaled.map(_.rows).getOrElse(-1L)}, "sf1_state_mb": ${
+      f"${sjStScaled.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "rocksdb_sf1_sec": ${
+      f"$sjRocks%.3f"}, "rocksdb_vs_default": ${
+      f"${sjRocks / sjScaled}%.2f"}, "rocksdb_sf1_state_rows": ${
+      sjStRocks.map(_.rows).getOrElse(-1L)}, "rocksdb_sf1_state_mb": ${
+      f"${sjStRocks.map(_.bytes).getOrElse(0L) / 1e6}%.2f"}, "note": "the interval join is the LARGEST state-holder of the streaming surface (both sides buffered to the watermark horizon) — r19 gives it the same both-provider residency measurement the session drain got in r18; correctness under RocksDB is oracle-gated by q_stream_stream_join_rocksdb"}, "matryoshka_floor_sweep": {"sf01_floor40_shortlist": $ms01a, "sf01_floor40_recall": ${
       f"$mr01a%.3f"}, "sf01_floor80_shortlist": $ms01b, "sf01_floor80_recall": ${
       f"$mr01b%.3f"}, "sf1_floor40_shortlist": $ms1a, "sf1_floor40_recall": ${
       f"$mr1a%.3f"}, "sf1_floor80_shortlist": $ms1b, "sf1_floor80_recall": ${

@@ -238,6 +238,32 @@ class DedupSpec extends SparkTestBase {
     hashDf.unpersist(); freqDf.unpersist()
   }
 
+  test("gate skew fixture: the shipped boilerplate tokens hash into the " +
+      "prefix-leading band and skewedDocs appends them to every row") {
+    // q_pipe_jaccard_freq's adversarial property rests on these hashes
+    // sorting FIRST in essentially every doc's token set (~0.012% of the
+    // 1e9 hash space) — pin it so a suffix retune can't silently land in
+    // the middle of the hash order and neuter the fixture
+    val toks = graft.queries.TextPipeline.JaccardSkewSuffix.trim.split(" ")
+    assert(toks.length === 3)
+    val hashes = toks.toSeq.toDF("t")
+      .select(graft.expressions.TextExpressions.polyHash($"t"))
+      .collect().map(_.getLong(0))
+    assert(hashes.forall(h => h > 0 && h < 1000000L),
+      s"skew tokens must hash into the leading band: ${hashes.toSeq}")
+    // and the suffix reaches every document verbatim
+    val base = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+      .withColumn("source", lit("x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_skewfix")
+    try {
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.queries.TextPipeline.skewedDocs(spark, dir.toString)
+        .select($"text").collect().map(_.getString(0))
+      assert(out.forall(_.endsWith(
+        graft.queries.TextPipeline.JaccardSkewSuffix)))
+    } finally graft.queries.Streaming.deleteRecursively(dir)
+  }
+
   test("minhashDupPairsWithStats quantifies what the maxBucket cap dropped") {
     val template = "terms of service apply to all users of this site"
     val docs = ((1L to 20L).map(i => (i, template)) ++ Seq(

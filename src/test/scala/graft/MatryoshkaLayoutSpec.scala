@@ -81,7 +81,8 @@ class MatryoshkaLayoutSpec extends SparkTestBase {
         s"prefix chunks too small to measure honestly: $chunks")
       // bound = prefixDim/dim + 8% margin (id chunks + page overhead ride
       // on both sides; random doubles are incompressible so chunk bytes
-      // track dims): 58% at the old 32-of-64 point, 70.5% at 40-of-64
+      // track dims). Integer division: 58% at the old 32-of-64 point,
+      // 70% at 40-of-64 (4000/64 = 62, + 8)
       val boundPct = PrefixDim * 100 / Dim + 8
       assert(prefixRead < fullRead * boundPct / 100,
         s"phase-1 read should be < $boundPct% of the full bytes: " +

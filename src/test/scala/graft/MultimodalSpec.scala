@@ -175,6 +175,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(real(2L).embedding.toSeq === fake(2L).embedding.toSeq)
   }
 
+  test("gate PNG builder: stored-deflate PNG is JDK-decodable and yields " +
+      "the exact formula pixels (the q_mm_embed_real_png contract)") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L, 50000L)) {
+      val b = graft.queries.TextPipeline.pngBytes(id)
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(im != null, s"doc $id: ImageIO could not decode the PNG")
+      assert(im.getWidth === 8 && im.getHeight === 8)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val rgb = im.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === ((5 * id + 3 * x + 17 * y) % 256).toInt,
+          s"doc $id R($x,$y)")
+        assert(((rgb >> 8) & 0xff) === ((3 * id + 5 * x + 13 * y) % 256).toInt,
+          s"doc $id G($x,$y)")
+        assert((rgb & 0xff) === ((id + 7 * x + 11 * y) % 256).toInt,
+          s"doc $id B($x,$y)")
+      }
+      // deterministic under retry: same id -> same bytes
+      assert(b.toSeq === graft.queries.TextPipeline.pngBytes(id).toSeq)
+    }
+  }
+
   test("repartitionBySize bounds blob bytes per partition") {
     val df = media.toDF()
     val out = Multimodal.repartitionBySize(df, $"bytes", targetBytes = 1000)

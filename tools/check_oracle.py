@@ -94,17 +94,31 @@ def duck_fetch(con, sql, timeout):
         except Exception as e:  # surfaced to the caller below
             box["err"] = e
     t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout)
-    if "df" in box:  # finished at the boundary — a result beats a timeout
+    try:
+        t.start()
+        t.join(timeout)
+        if "df" in box:  # finished at the boundary — a result beats a timeout
+            return box["df"]
+        if t.is_alive():
+            cur.interrupt()
+            t.join(60)
+            # the query may have FINISHED between the is_alive check and
+            # the interrupt landing — a populated result still beats the
+            # timeout verdict (discarding it would record a false SKIP)
+            if "df" in box:
+                return box["df"]
+            raise TimeoutError(f"oracle exceeded {timeout}s")
+        if "err" in box:
+            raise box["err"]
+        if "df" not in box:  # worker died without setting either key
+            raise RuntimeError("oracle worker thread died without a result")
         return box["df"]
-    if t.is_alive():
-        cur.interrupt()
-        t.join(60)
-        raise TimeoutError(f"oracle exceeded {timeout}s")
-    if "err" in box:
-        raise box["err"]
-    return box["df"]
+    finally:
+        # a cursor whose worker refused to die after interrupt+join(60) is
+        # the one case left open (close() could block behind it); every
+        # normal path releases its duplicate connection here
+        if not t.is_alive():
+            cur.close()
 
 
 def main():
