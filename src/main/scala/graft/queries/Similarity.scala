@@ -230,7 +230,7 @@ object Similarity {
        |  FROM n, cent),
        |assign AS (
        |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT x.id AS id1, y.id AS id2
        |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
        |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")}
@@ -281,7 +281,7 @@ object Similarity {
        |  JOIN cent ON cent.gid = probe.gid),
        |assign AS (
        |  SELECT id, v, nrm, cell FROM ranked WHERE rk = 1),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT x.id AS id1, y.id AS id2
        |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
        |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")}
@@ -1113,7 +1113,7 @@ object Similarity {
               |n AS (
               |  SELECT id, v, sqrt(${DuckFrag.dotSql("v", "v")}) AS nrm FROM p),
               |bk AS (SELECT id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
-              |pairs AS (
+              |pairs AS MATERIALIZED (
               |  SELECT x.id AS id1, y.id AS id2
               |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id
               |  WHERE ${DuckFrag.cosineSql("x.v", "x.nrm", "y.v", "y.nrm")} >= 0.3),

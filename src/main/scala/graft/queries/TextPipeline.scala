@@ -67,7 +67,7 @@ object TextPipeline {
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT c.id1, c.id2 FROM cand c
        |  JOIN sig a ON a.doc_id = c.id1
        |  JOIN sig b ON b.doc_id = c.id2

@@ -49,12 +49,43 @@ object MatPrefixProbe {
       }
       (new java.io.File(dir).getName, n, shortlist, arms)
     }
-    val json = rows.map { case (sf, n, shortlist, arms) =>
+    // r18 verdict item 7: half/double the SHORTLIST at the shipped 40-dim
+    // point — the operating shortlist schedule was tuned in the 32-dim
+    // era, so the knee's second dimension is inherited, not re-measured.
+    // Decision metric here includes the shortlist's own read cost (the
+    // exact re-rank fetches full 64-dim rows): frac = prefixDim/64 +
+    // shortlist/n, so a doubled shortlist must buy its recall with bytes,
+    // same currency as a widened prefix.
+    val pdShip = graft.queries.Similarity.MatPrefixDim
+    val slRows = for (dir <- Seq(sf01, sf1)) yield {
+      val emb = graft.queries.tbl(spark, dir, "embeddings")
+      val n = emb.count()
+      val base = graft.queries.Similarity.matShortlistFor(n)
+      val brute = ProbeUtil.topSets(graft.operators.Similarity.knnBrute(
+        emb, "embedding", "vec_id", panel, k))
+      val arms = Seq(base / 2, base, base * 2).distinct.map { sl =>
+        val ann = ProbeUtil.topSets(graft.operators.Similarity.knnTruncated(
+          emb, "embedding", "vec_id", panel, k, pdShip, sl))
+        val recall = ProbeUtil.recallOf(brute, ann)
+        val frac = pdShip / 64.0 + sl.toDouble / n
+        println(f"[mat-shortlist] ${new java.io.File(dir).getName}%-6s " +
+          f"n=$n prefix=$pdShip shortlist=$sl recall=$recall%.3f " +
+          f"read_frac=$frac%.3f recall/frac=${recall / frac}%.3f")
+        (sl, recall, frac)
+      }
+      (new java.io.File(dir).getName, n, arms)
+    }
+    val json = (rows.map { case (sf, n, shortlist, arms) =>
       val armJson = arms.map { case (pd, r, f) =>
         f"""{"prefix_dim": $pd, "recall": $r%.3f, "scan_frac": $f%.3f, "recall_per_frac": ${r / f}%.3f}"""
       }.mkString("[", ", ", "]")
       s""""$sf": {"n": $n, "shortlist": $shortlist, "arms": $armJson}"""
-    }.mkString("{\n", ",\n", "\n}")
+    } ++ slRows.map { case (sf, n, arms) =>
+      val armJson = arms.map { case (sl, r, f) =>
+        f"""{"shortlist": $sl, "recall": $r%.3f, "read_frac": $f%.3f, "recall_per_frac": ${r / f}%.3f}"""
+      }.mkString("[", ", ", "]")
+      s""""shortlist_sweep_at_${pdShip}_$sf": {"n": $n, "arms": $armJson, "note": "read_frac folds the re-rank fetch in (prefixDim/64 + shortlist/n) so both knob dimensions spend the same byte currency"}"""
+    }).mkString("{\n", ",\n", "\n}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/MAT_PREFIX_PROBE.json"),
       json.getBytes("UTF-8"))
