@@ -422,7 +422,15 @@ object Dedup {
       else {
         // global df per token, joined back onto the exploded tokens; the
         // per-doc (cnt asc, tok asc) rank replaces the array_sort slice —
-        // only (id, block, sz, tok, cnt) longs travel through the shuffles
+        // only (id, block, sz, tok, cnt) longs travel through the shuffles.
+        // PERSISTED: the self-join below references `pre` from BOTH sides,
+        // and self-join aliasing defeats exchange reuse — unpersisted, the
+        // whole explode → df-join → per-doc rank pipeline (the two extra
+        // token-level shuffles this ordering pays for) executed TWICE per
+        // action (guide §2.4/§5: reuse beats recompute; measured ~2× on
+        // the q_pipe_jaccard_freq gate). The hash-order branch stays lazy:
+        // its prefix is one narrow array_sort over the already-persisted
+        // `withSets`, cheap to evaluate per side.
         val toks = withSets.select(col("id"), col("block"), col("sz"),
           explode(col("h")).as("tok"))
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
@@ -432,6 +440,7 @@ object Dedup {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= prefixLen)
           .select(col("id"), col("block"), col("sz"), col("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val cand0 = pre.as("a").join(pre.as("b"),
         col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&

@@ -646,14 +646,19 @@ object Similarity {
     // the k·dim new centroid components; the plan restarts from `corpus`
     // every round, so there is no growing lineage to checkpoint.
     for (_ <- 1 to lloydIters) {
+      // ONE aggregate per round: the k·dim (cell, pos, mean) rows collect
+      // directly and assemble into vectors on the driver — the r18 spelling
+      // paid a second shuffle (groupBy(cell).collect_list) per round just
+      // to do that assembly distributed, on ≤ k·dim rows (guide §2.4:
+      // remove shuffles outright). The avg() values are bit-identical —
+      // same partial/final aggregate, only the assembly moved.
       cents = assign(corpus, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-          s => s.getField("x")).as("cv"))
         .collect()
-        .map { r =>
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
           // Quantize each mean to a 1e-9 grid: the distributed avg() sums
           // partials in partition order, so raw means carry ulp-level noise
           // that varies with input partitioning — harmless numerically, but
@@ -662,9 +667,9 @@ object Similarity {
           // far coarser than the noise (~1e-16 rel) and far finer than the
           // data restores the invariant the layout matrix pins: partition
           // count is an execution detail, never a semantic input.
-          val cv = r.getSeq[Double](1).toArray
+          val cv = rows.sortBy(_._2).map(_._3).toArray
             .map(x => math.rint(x * 1e9) / 1e9)
-          Cent(r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+          Cent(cid, cv, math.sqrt(cv.map(x => x * x).sum))
         }.toSeq.sortBy(_.cid)
     }
     cents

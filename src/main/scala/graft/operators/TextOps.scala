@@ -173,16 +173,25 @@ object TextOps {
       .filter(size(tokens(col(textCol))) >= k)
       .select(col(idCol).as("doc_id"), grams.as("__g"))
     // bind the gram array once (the shingleHashesAll idiom) so each of the
-    // ~n windows slices a materialized array, not a re-computed expression
+    // ~n windows walks a materialized array, not a re-computed expression.
+    // Per-window rightmost-min via ONE index fold: x <= best takes the
+    // later occurrence on ties, which is exactly array_min + rightmost
+    // array_position — but with zero per-window array allocations (the
+    // r18 spelling built a slice AND its reverse per window and scanned
+    // them three times; at w=4 that was the whole CPU cost of the spans
+    // gate, guide §1.2 "per-task work").
+    val accType = "struct<fp:bigint,pos:bigint>"
     val sel = transform(array(col("__g")), g => {
       val starts = sequence(lit(0), greatest(size(g) - w, lit(0)))
-      transform(starts, i => {
-        val s = slice(g, i + 1, lit(w))
-        val m = array_min(s)
-        val rpos = size(s) - call_function("array_position", reverse(s), m)
-          .cast("int") + 1
-        struct((i + rpos).cast("long").as("pos"), m.as("fp"))
-      })
+      transform(starts, i =>
+        aggregate(sequence(i + 1, least(i + w, size(g))),
+          struct(lit(Long.MaxValue).as("fp"), lit(0L).as("pos"))
+            .cast(accType),
+          (acc, j) =>
+            when(element_at(g, j) <= acc.getField("fp"),
+              struct(element_at(g, j).as("fp"), j.cast("long").as("pos"))
+                .cast(accType))
+              .otherwise(acc)))
     })
     withG
       .select(col("doc_id"), explode(element_at(sel, 1)).as("__s"))

@@ -103,8 +103,20 @@ object Analytics {
             .select(col("l_returnflag"), col(v),
               (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(r))
         }
-        d.join(ranks("xi", "rx"), Seq("l_returnflag", "xi"))
-          .join(ranks("yi", "ry"), Seq("l_returnflag", "yi"))
+        // Join strategy pinned on BOTH rank joins (guide §3.1: pick it
+        // deliberately — the r18 plan auto-broadcast the full fact
+        // projection `d` as the BUILD side of the first join, a 600k-row /
+        // ~100 MB HashedRelation at sf0.1 that grows with the data, while
+        // the actually-tiny side sat unbroadcast):
+        //  * ranks(xi): ~50 distinct quantity-cents values per flag —
+        //    broadcast THAT side explicitly; `d` streams, never resident.
+        //  * ranks(yi): one row per distinct PRICE ≈ the row count itself —
+        //    never broadcastable at scale; pin a shuffled-hash join (one
+        //    exchange of d by (flag, yi), per-partition build side).
+        // Inner equi-joins, results unchanged.
+        d.join(broadcast(ranks("xi", "rx")), Seq("l_returnflag", "xi"))
+          .join(ranks("yi", "ry").hint("shuffle_hash"),
+            Seq("l_returnflag", "yi"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).cast("double").as("n"),
             isum(col("rx")).as("sx"), isum(col("ry")).as("sy"),
