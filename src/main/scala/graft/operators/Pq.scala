@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Sequential-fold squared L2 distance (mirrors DuckFrag.l2sqSql). */
+  /** Sequential-fold squared L2 distance (mirrors DuckFrag.l2sqSql).
+    * Codegen'd kernel spelling — same rationale and bit-exactness contract
+    * as [[Similarity.dot]] (the HOF fold it replaces is interpreted). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-      (acc, x) => acc + x)
+    graft.expressions.toCol(graft.expressions.VectorL2Sq(
+      graft.expressions.toExpr(a), graft.expressions.toExpr(b)))
 
   /** Codebooks as one literal: array[m][k][subDim] of double. Guarded by
     * the same plan-side budget as the IVF centroid literal. */
@@ -54,24 +56,25 @@ object Pq {
 
   /** PQ codes for `v`: for each subspace s, the 0-based id of the nearest
     * (squared-L2) centroid — strict `<` over ascending cid keeps the
-    * smallest id on ties. One narrow fold, no shuffle, no join. */
+    * smallest id on ties. One narrow codegen'd kernel call per row
+    * ([[graft.expressions.PqEncode]]), no shuffle, no join. The r18
+    * spelling was a transform/aggregate fold over a codebook literal —
+    * m·k interpreted l2sq folds per row (HOFs are CodegenFallback), which
+    * the phase probe measured as the dominant cost of every PQ train and
+    * coding pass; the kernel runs the bit-identical arithmetic (see
+    * VectorKernels' contract). The literal-budget guard is unchanged:
+    * codebooks ride the plan (now as a reference object), so the same
+    * size discipline applies. */
   def codesFor(v: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
-    val m = cbs.size
+    val doubles = cbs.iterator.flatMap(_.iterator.map(_.length.toLong)).sum
+    require(doubles <= Similarity.LiteralDoubleLimit,
+      s"PQ codebooks too large for plan-side inlining ($doubles doubles > " +
+        "2^22) — PQ codebooks are m·k·(dim/m) = k·dim doubles by design; " +
+        "shrink k or train per-partition codebooks")
     val subDim = cbs.head.head.length
-    val lit3 = cbLit(cbs)
-    val accType = "struct<best:double,cid:int>"
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val sub = slice(v, s * subDim + 1, lit(subDim))
-      aggregate(sequence(lit(0), lit(cbs.head.size - 1)),
-        struct(lit(Double.PositiveInfinity).as("best"), lit(-1).as("cid"))
-          .cast(accType),
-        (acc, ci) => {
-          val d = l2sq(sub, element_at(element_at(lit3, s + 1), ci + 1))
-          when(d < acc.getField("best"),
-            struct(d.as("best"), ci.as("cid")).cast(accType))
-            .otherwise(acc)
-        }).getField("cid")
-    })
+    graft.expressions.toCol(graft.expressions.PqEncode(
+      graft.expressions.toExpr(v),
+      cbs.map(_.map(_.clone()).toArray).toArray, subDim))
   }
 
   /** Per-query ADC table: array[m][k] of squared L2 distances from the

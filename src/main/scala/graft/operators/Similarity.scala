@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product. Spelled as the codegen'd
+    * [[graft.expressions.VectorDot]] kernel (bit-identical IEEE fold —
+    * see VectorKernels' contract) instead of
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, +)`: higher-order
+    * functions are CodegenFallback, and the interpreted per-element fold
+    * was the dominant CPU of every cosine-scoring pass (r19 measurement:
+    * PQ/IVF training and scoring phases ~2-4 s warm at sf0.1, mostly
+    * here and in [[Pq.codesFor]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.toCol(graft.expressions.VectorDot(
+      graft.expressions.toExpr(a), graft.expressions.toExpr(b)))
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
