@@ -1,5 +1,6 @@
 package graft.expressions;
 
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
 import org.apache.spark.sql.catalyst.util.ArrayData;
 import org.apache.spark.sql.catalyst.util.GenericArrayData;
 
@@ -50,6 +51,115 @@ public final class VectorKernels {
       s += d * d;
     }
     return s;
+  }
+
+  /** All k-gram hashes IN ORDER from a token-hash array; bit-identical to
+   * the TextOps.shingleHashesAll nested-transform fold: gram i is the left
+   * fold h = (h*31 + th[i+j]) % mod over j = 0..k-1 from h = 0, with each
+   * step reduced mod. A null token hash poisons its grams to null
+   * (unreachable from split output — split never yields null tokens — but
+   * mirrored anyway); fewer than k tokens is the callers' guarded
+   * precondition (they filter size >= k first) and returns empty here. */
+  public static ArrayData shingleGrams(ArrayData th, int k, long mod) {
+    int n = th.numElements();
+    if (n < k) return new GenericArrayData(new long[0]);
+    int m = n - k + 1;
+    boolean anyNull = false;
+    for (int i = 0; i < n && !anyNull; i++) anyNull = th.isNullAt(i);
+    if (!anyNull) {
+      long[] g = new long[m];
+      for (int i = 0; i < m; i++) {
+        long h = 0L;
+        for (int j = 0; j < k; j++) h = (h * 31L + th.getLong(i + j)) % mod;
+        g[i] = h;
+      }
+      return new GenericArrayData(g);
+    }
+    Object[] g = new Object[m];
+    for (int i = 0; i < m; i++) {
+      boolean nul = false;
+      long h = 0L;
+      for (int j = 0; j < k && !nul; j++) {
+        if (th.isNullAt(i + j)) nul = true;
+        else h = (h * 31L + th.getLong(i + j)) % mod;
+      }
+      g[i] = nul ? null : (Object) h;
+    }
+    return new GenericArrayData(g);
+  }
+
+  /** Winnowing per-window selections; bit-identical to the index fold in
+   * winnowingFingerprints: for each window start i (0-based, starts =
+   * max(n-w, 0) + 1), the rightmost minimum (x &lt;= best takes the later
+   * occurrence) over grams i..min(i+w, n)-1, emitted as a
+   * struct&lt;fp, pos&gt; with pos the 1-based absolute gram index. Null
+   * grams never update; a window with no non-null gram keeps the fold's
+   * (Long.MAX_VALUE, 0) initial — both corners unreachable from real
+   * token streams. */
+  public static ArrayData winnowSelect(ArrayData g, int w) {
+    int n = g.numElements();
+    int starts = Math.max(n - w, 0) + 1;
+    Object[] out = new Object[starts];
+    for (int i = 0; i < starts; i++) {
+      int end = Math.min(i + w, n);
+      long bestFp = Long.MAX_VALUE;
+      long bestPos = 0L;
+      for (int j = i; j < end; j++) {
+        if (g.isNullAt(j)) continue;
+        long x = g.getLong(j);
+        if (x <= bestFp) { bestFp = x; bestPos = j + 1; }
+      }
+      out[i] = new GenericInternalRow(new Object[]{bestFp, bestPos});
+    }
+    return new GenericArrayData(out);
+  }
+
+  /** 30-bit SimHash; bit-identical to the TextOps.simHash30 expression:
+   * bit b is set iff the ±1 vote sum over elements is &gt; 0, where a null
+   * element votes −1 (the fold's otherwise branch) and a NULL ARRAY yields
+   * 0 (every per-bit when() falls to otherwise(0) when the fold is null —
+   * which is why the expression is non-nullable and this takes null). */
+  public static long simHash30(ArrayData h) {
+    if (h == null) return 0L;
+    int n = h.numElements();
+    long out = 0L;
+    for (int b = 0; b < 30; b++) {
+      long s = 0L;
+      for (int i = 0; i < n; i++) {
+        if (!h.isNullAt(i) && (((h.getLong(i) >> b) & 1L) == 1L)) s += 1L;
+        else s -= 1L;
+      }
+      if (s > 0L) out += (1L << b);
+    }
+    return out;
+  }
+
+  /** Exact Jaccard of two long arrays; bit-identical to the expression
+   * {@code when(size(a)+size(b)===0, 1.0).otherwise(|a∩b| / (size(a)+size(b)-|a∩b|))}
+   * with {@code array_intersect} semantics: the intersection counts
+   * DISTINCT common elements (inputs are distinct by contract, but
+   * duplicates and a shared null element are mirrored anyway), while the
+   * denominator uses the RAW sizes. Both conversions to double are exact
+   * for any realistic set size, so the division is the identical IEEE op
+   * the oracle's list_intersect SQL performs. */
+  public static double jaccardLong(ArrayData a, ArrayData b) {
+    int sa = a.numElements(), sb = b.numElements();
+    if (sa + sb == 0) return 1.0;
+    java.util.HashSet<Long> bs = new java.util.HashSet<>(Math.max(16, sb * 2));
+    boolean bNull = false;
+    for (int i = 0; i < sb; i++) {
+      if (b.isNullAt(i)) bNull = true; else bs.add(b.getLong(i));
+    }
+    java.util.HashSet<Long> seen = new java.util.HashSet<>(Math.max(16, sa * 2));
+    boolean aNull = false;
+    long inter = 0;
+    for (int i = 0; i < sa; i++) {
+      if (a.isNullAt(i)) { aNull = true; continue; }
+      long x = a.getLong(i);
+      if (bs.contains(x) && seen.add(x)) inter++;
+    }
+    if (aNull && bNull) inter++;
+    return (double) inter / (double) (sa + sb - inter);
   }
 
   /** PQ codes; bit-identical to the Pq.codesFor fold: per subspace the

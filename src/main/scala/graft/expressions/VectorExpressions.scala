@@ -51,6 +51,75 @@ case class VectorL2Sq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All k-gram hashes (in order, with multiplicity) from a token-hash
+  * array — the shingleHashesAll fold as one kernel call per row instead
+  * of k·(n−k+1) interpreted lambda steps. */
+case class ShingleGrams(child: Expression, k: Int, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(th: Any): Any =
+    VectorKernels.shingleGrams(th.asInstanceOf[ArrayData], k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, th =>
+      s"graft.expressions.VectorKernels.shingleGrams($th, $k, ${mod}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Winnowing per-window (fp, pos) selections over a gram-hash array —
+  * the per-window rightmost-min fold as one kernel call per row. */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(g: Any): Any =
+    VectorKernels.winnowSelect(g.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"graft.expressions.VectorKernels.winnowSelect($g, $w)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 30-bit SimHash of a long-hash array. NON-nullable by contract: the
+  * expression it replaces summed 30 when()-terms that each fall to
+  * otherwise(0) on a null array, so a null input yields 0, never null —
+  * hence the custom eval/doGenCode instead of nullSafeEval. */
+case class SimHash30Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    VectorKernels.simHash30(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = graft.expressions.VectorKernels.simHash30(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two array&lt;long&gt; hash-set columns —
+  * the dedup verify kernel. Replaces a HOF-wrapped array_intersect (the
+  * single-element-transform binding idiom made the WHOLE verify subtree
+  * interpreted); semantics mirrored exactly, see VectorKernels. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.jaccardLong(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.jaccardLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** PQ codes of an array&lt;double&gt; vector against driver-held codebooks
   * (array[m][k][subDim]); the codebooks ride as a codegen reference object,
   * so the generated source — unlike the unrolled fold it replaces — is

@@ -133,12 +133,14 @@ object TextOps {
     * for each of the k·(n−k+1) element_at calls — O(k·n²) per document
     * instead of O(n + k·n). */
   def shingleHashesAll(text: Column, k: Int): Column =
-    element_at(
-      transform(array(transform(tokens(text), t => polyHash(t))), th =>
-        transform(sequence(lit(0), size(th) - k),
-          i => (0 until k).foldLeft(lit(0L).cast("long"): Column)((acc, j) =>
-            (acc * lit(31L) + element_at(th, i + j + 1)) % lit(PolyMod)))),
-      1)
+    // Codegen'd kernel (r19): the old single-element-transform binding ran
+    // the k-step fold as interpreted lambda evals per gram (HOFs are
+    // CodegenFallback). ShingleGrams runs the identical (h·31+tok) % P
+    // left fold in one kernel call per row; the per-token polyHash
+    // transform stays (already one kernel call per token).
+    graft.expressions.toCol(graft.expressions.ShingleGrams(
+      graft.expressions.toExpr(transform(tokens(text), t => polyHash(t))),
+      k, PolyMod))
 
   /** Distinct k-shingle hash set — the dedup signature. */
   def shingleHashes(text: Column, k: Int): Column =
@@ -172,29 +174,18 @@ object TextOps {
     val withG = docs
       .filter(size(tokens(col(textCol))) >= k)
       .select(col(idCol).as("doc_id"), grams.as("__g"))
-    // bind the gram array once (the shingleHashesAll idiom) so each of the
-    // ~n windows walks a materialized array, not a re-computed expression.
-    // Per-window rightmost-min via ONE index fold: x <= best takes the
-    // later occurrence on ties, which is exactly array_min + rightmost
-    // array_position — but with zero per-window array allocations (the
-    // r18 spelling built a slice AND its reverse per window and scanned
-    // them three times; at w=4 that was the whole CPU cost of the spans
-    // gate, guide §1.2 "per-task work").
-    val accType = "struct<fp:bigint,pos:bigint>"
-    val sel = transform(array(col("__g")), g => {
-      val starts = sequence(lit(0), greatest(size(g) - w, lit(0)))
-      transform(starts, i =>
-        aggregate(sequence(i + 1, least(i + w, size(g))),
-          struct(lit(Long.MaxValue).as("fp"), lit(0L).as("pos"))
-            .cast(accType),
-          (acc, j) =>
-            when(element_at(g, j) <= acc.getField("fp"),
-              struct(element_at(g, j).as("fp"), j.cast("long").as("pos"))
-                .cast(accType))
-              .otherwise(acc)))
-    })
+    // Per-window rightmost-min via the codegen'd WinnowSelect kernel: one
+    // call per row emitting the (fp, pos) selection of every window —
+    // x <= best takes the later occurrence on ties, which is exactly
+    // array_min + rightmost array_position, with zero per-window array
+    // allocations and no interpreted lambda steps (the r18 spelling built
+    // a slice AND its reverse per window and scanned them three times;
+    // that was the whole CPU cost of the spans gate, guide §1.2
+    // "per-task work").
+    val sel = graft.expressions.toCol(graft.expressions.WinnowSelect(
+      graft.expressions.toExpr(col("__g")), w))
     withG
-      .select(col("doc_id"), explode(element_at(sel, 1)).as("__s"))
+      .select(col("doc_id"), explode(sel).as("__s"))
       .select(col("doc_id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
       .distinct()
   }
@@ -286,22 +277,24 @@ object TextOps {
     * |∩| / (|a|+|b|-|∩|), computed in double. Two empty sets are
     * identical → 1.0 (the denominator is 0 exactly then, and ANSI double
     * division would throw instead of yielding a similarity). */
-  def jaccard(a: Column, b: Column): Column = {
-    // Bind |∩| once via a single-element transform so codegen evaluates
-    // array_intersect exactly once per row.
-    when(size(a) + size(b) === 0, lit(1.0)).otherwise(
-      element_at(transform(array(size(array_intersect(a, b))),
-        i => i.cast("double") / (size(a) + size(b) - i).cast("double")), 1))
-  }
+  def jaccard(a: Column, b: Column): Column =
+    // Codegen'd kernel (r19): the old single-element-transform binding of
+    // |∩| made the whole verify subtree interpreted (transform is
+    // CodegenFallback) — at 548k candidate pairs per jaccard gate that
+    // WAS the verify cost. JaccardSim mirrors the expression exactly:
+    // array_intersect distinct-count, raw sizes in the denominator,
+    // empty-vs-empty → 1.0 before any division (the ANSI divide guard).
+    graft.expressions.toCol(graft.expressions.JaccardSim(
+      graft.expressions.toExpr(a), graft.expressions.toExpr(b)))
 
   /** 30-bit SimHash over the distinct token-hash set: bit b is set when
-    * Σ_tokens (±1 by hash bit b) > 0. */
+    * Σ_tokens (±1 by hash bit b) > 0. Codegen'd kernel (r19): the old
+    * spelling ran 30 interpreted aggregate folds per row; SimHash30Expr
+    * mirrors it exactly including the null corners (null element votes
+    * −1, null array yields 0 — the expression was non-nullable). */
   def simHash30(hashes: Column): Column =
-    (0 until 30).map { b =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, x) =>
-        acc + when(shiftright(x, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.expressions.toCol(graft.expressions.SimHash30Expr(
+      graft.expressions.toExpr(hashes)))
 
   // ---- language-ID stopword marker sets (tiny n-gram-free heuristic;
   // deterministic and SQL-expressible). Tie-break order: en,de,es,fr,zh. ----
