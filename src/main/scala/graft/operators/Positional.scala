@@ -59,6 +59,12 @@ object Positional {
   private def sampledSplitPos(df: DataFrame, sortCols: Seq[Column],
       posCol: String): DataFrame = {
     require(sortCols.nonEmpty, "withGlobalPos needs at least one sort column")
+    // NOT persisted, deliberately (r19 measurement): the operator consumes
+    // its input three times (split points, offsets subquery, main pass),
+    // but its callers hand in cheap narrow scans/projections — caching
+    // those cost MORE cpu (columnar cache build + decompress per read)
+    // than the two extra rescans it saved. groupedPrefixSums, whose
+    // callers hand in aggregates, is the persisting variant.
     val key = sortCols.head
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
@@ -146,10 +152,13 @@ object Positional {
     * computing them together costs one split-point job, one offsets
     * aggregate (N sums wide), and one Window operator evaluating N frames
     * over a single Exchange+Sort, instead of N full passes. */
-  def groupedPrefixSums(df: DataFrame, grpCols: Seq[String],
+  def groupedPrefixSums(df0: DataFrame, grpCols: Seq[String],
       ordCols: Seq[Column], vals: Seq[(Column, String)]): DataFrame = {
     require(ordCols.nonEmpty, "groupedPrefixSum needs an order column")
     require(vals.nonEmpty, "groupedPrefixSums needs at least one value")
+    // Same three-consumer shape as [[withGlobalPos]] (split points, offsets
+    // aggregate, main window pass) — persist the input once per call.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, ordCols.head, n)

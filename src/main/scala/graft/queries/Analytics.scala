@@ -92,9 +92,14 @@ object Analytics {
     // group; past that, cast ranks to DECIMAL before squaring.)
     "q_spearman" -> Q(
       (s, dir) => {
+        // Persisted: d feeds five consumers (each rank map's value-count
+        // aggregate + split-point job, and the final join chain), so the
+        // unpersisted lineage re-scanned and re-projected the parquet five
+        // times per action (guide §5; the preparedCorpus lifecycle).
         val d = tbl(s, dir, "lineitem").select(col("l_returnflag"),
           round(col("l_quantity") * 100).cast("long").as("xi"),
           round(col("l_extendedprice") * 100).cast("long").as("yi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def ranks(v: String, r: String): DataFrame = {
           val g = d.groupBy(col("l_returnflag"), col(v))
             .agg(count(lit(1)).as("c"))
