@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
 
 /** Sequential-fold dot product of two array&lt;double&gt; columns. */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -35,7 +37,9 @@ case class VectorDot(left: Expression, right: Expression)
 
 /** Sequential-fold squared L2 distance of two array&lt;double&gt; columns. */
 case class VectorL2Sq(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -55,7 +59,8 @@ case class VectorL2Sq(left: Expression, right: Expression)
   * array — the shingleHashesAll fold as one kernel call per row instead
   * of k·(n−k+1) interpreted lambda steps. */
 case class ShingleGrams(child: Expression, k: Int, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullSafeEval(th: Any): Any =
     VectorKernels.shingleGrams(th.asInstanceOf[ArrayData], k, mod)
@@ -67,7 +72,9 @@ case class ShingleGrams(child: Expression, k: Int, mod: Long)
 
 /** Winnowing per-window (fp, pos) selections over a gram-hash array —
   * the per-window rightmost-min fold as one kernel call per row. */
-case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("fp", LongType, nullable = false),
       StructField("pos", LongType, nullable = false))),
@@ -84,7 +91,9 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
   * expression it replaces summed 30 when()-terms that each fall to
   * otherwise(0) on a null array, so a null input yields 0, never null —
   * hence the custom eval/doGenCode instead of nullSafeEval. */
-case class SimHash30Expr(child: Expression) extends UnaryExpression {
+case class SimHash30Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
@@ -108,7 +117,9 @@ case class SimHash30Expr(child: Expression) extends UnaryExpression {
   * single-element-transform binding idiom made the WHOLE verify subtree
   * interpreted); semantics mirrored exactly, see VectorKernels. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.jaccardLong(a.asInstanceOf[ArrayData],
@@ -127,7 +138,8 @@ case class JaccardSim(left: Expression, right: Expression)
   * values every iteration; value-independent source keeps the codegen
   * cache hot across rounds). */
 case class PqEncode(child: Expression, cbs: Array[Array[Array[Double]]],
-    subDim: Int) extends UnaryExpression {
+    subDim: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(v: Any): Any =
@@ -137,5 +149,22 @@ case class PqEncode(child: Expression, cbs: Array[Array[Array[Double]]],
     defineCodeGen(ctx, ev, v =>
       s"graft.expressions.VectorKernels.pqEncode($v, $ref, $subDim)")
   }
+  // STRUCTURAL equality over the codebooks (ADVICE r19): Scala Array
+  // equality is reference-based, so two PqEncode nodes built from
+  // separately-cloned but value-identical codebooks (codesFor clones per
+  // call) would never compare equal — silently defeating canonicalization,
+  // common-subexpression elimination, and exchange/cache reuse whenever
+  // the same encode column is constructed twice. deepEquals/deepHashCode
+  // restore value semantics; the child is compared as usual.
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode => child == p.child && subDim == p.subDim &&
+      java.util.Arrays.deepEquals(
+        cbs.asInstanceOf[Array[AnyRef]], p.cbs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(subDim),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      cbs.asInstanceOf[Array[AnyRef]])))
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

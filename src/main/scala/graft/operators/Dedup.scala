@@ -415,39 +415,61 @@ object Dedup {
     // the 1e-9 guard only ever LENGTHENS the prefix (safe direction for FP).
     val prefixLen = (col("sz") -
       ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    // Both branches carry each prefix token's 1-based POSITION in the
+    // doc's total token order — the input to the positional filter on the
+    // candidate join below (PPJoin, Xiao et al. WWW'08).
     val pre =
       if (!frequencyOrdered)
         withSets.select(col("id"), col("block"), col("sz"),
-          explode(slice(array_sort(col("h")), lit(1), prefixLen)).as("tok"))
+          posexplode(slice(array_sort(col("h")), lit(1), prefixLen))
+            .as(Seq("__p0", "tok")))
+          .select(col("id"), col("block"), col("sz"), col("tok"),
+            (col("__p0") + 1).as("pos"))
       else {
         // global df per token, joined back onto the exploded tokens; the
         // per-doc (cnt asc, tok asc) rank replaces the array_sort slice —
         // only (id, block, sz, tok, cnt) longs travel through the shuffles.
-        // PERSISTED: the self-join below references `pre` from BOTH sides,
-        // and self-join aliasing defeats exchange reuse — unpersisted, the
-        // whole explode → df-join → per-doc rank pipeline (the two extra
-        // token-level shuffles this ordering pays for) executed TWICE per
-        // action (guide §2.4/§5: reuse beats recompute; measured ~2× on
-        // the q_pipe_jaccard_freq gate). The hash-order branch stays lazy:
-        // its prefix is one narrow array_sort over the already-persisted
-        // `withSets`, cheap to evaluate per side.
+        // PERSISTED via the bounded OpCaches registry: the self-join below
+        // references `pre` from BOTH sides, and self-join aliasing defeats
+        // exchange reuse — unpersisted, the whole explode → df-join →
+        // per-doc rank pipeline (the two extra token-level shuffles this
+        // ordering pays for) executed TWICE per action (guide §2.4/§5:
+        // reuse beats recompute; measured ~2× on the q_pipe_jaccard_freq
+        // gate). The hash-order branch stays lazy: its prefix is one
+        // narrow array_sort over the already-persisted `withSets`, cheap
+        // to evaluate per side. The registry bounds the frame's lifetime
+        // (r19 verdict: the bare persist here had no unpersist path).
         val toks = withSets.select(col("id"), col("block"), col("sz"),
           explode(col("h")).as("tok"))
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("id")).orderBy(col("__cnt"), col("tok"))
-        toks.join(freq, "tok")
+        OpCaches.cached(toks.join(freq, "tok")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= prefixLen)
-          .select(col("id"), col("block"), col("sz"), col("tok"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .select(col("id"), col("block"), col("sz"), col("tok"),
+            col("__rk").as("pos")))
       }
     val cand0 = pre.as("a").join(pre.as("b"),
         col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
           col("a.id") < col("b.id") &&
           // size filter: J ≥ τ ⇒ τ·|a| ≤ |b| ≤ |a|/τ (ε-guards widen only)
           col("b.sz") >= lit(threshold) * col("a.sz") - lit(1e-9) &&
-          col("b.sz") <= col("a.sz") / lit(threshold) + lit(1e-9))
+          col("b.sz") <= col("a.sz") / lit(threshold) + lit(1e-9) &&
+          // positional filter (PPJoin): every common token of the pair is
+          // ≥ this matched token in the shared total order, so the overlap
+          // is bounded by 1 + min(tokens remaining after the match on each
+          // side); J ≥ τ needs overlap ≥ α = ⌈τ/(1+τ)·(|a|+|b|)⌉. A pair
+          // whose TRUE Jaccard reaches τ always survives: its smallest
+          // common token lies inside both prefixes (the prefix theorem,
+          // using the size filter above) and passes this bound, so the
+          // filter is lossless for the verified output — it only prunes
+          // rows the exact verify below would reject anyway. The 1e-9
+          // guard only ever LOWERS the required bound (keeps more pairs).
+          lit(1) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")) >=
+            ceil(lit(threshold / (1.0 + threshold)) *
+              (col("a.sz") + col("b.sz")) - lit(1e-9)))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val cand =

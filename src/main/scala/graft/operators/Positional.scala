@@ -157,8 +157,10 @@ object Positional {
     require(ordCols.nonEmpty, "groupedPrefixSum needs an order column")
     require(vals.nonEmpty, "groupedPrefixSums needs at least one value")
     // Same three-consumer shape as [[withGlobalPos]] (split points, offsets
-    // aggregate, main window pass) — persist the input once per call.
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // aggregate, main window pass) — persist the input once per call, via
+    // the bounded OpCaches registry (r20: a bare persist had no unpersist
+    // path; the registry LRU-bounds the lifetime).
+    val df = OpCaches.cached(df0)
     val spark = df.sparkSession
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val splits = splitPoints(df, ordCols.head, n)

@@ -62,14 +62,22 @@ object Pq {
     * m·k interpreted l2sq folds per row (HOFs are CodegenFallback), which
     * the phase probe measured as the dominant cost of every PQ train and
     * coding pass; the kernel runs the bit-identical arithmetic (see
-    * VectorKernels' contract). The literal-budget guard is unchanged:
-    * codebooks ride the plan (now as a reference object), so the same
-    * size discipline applies. */
+    * VectorKernels' contract). */
   def codesFor(v: Column, cbs: Seq[Seq[Array[Double]]]): Column = {
+    // Size guard, re-derived for the kernel transport (ADVICE r19: the
+    // old message still said "literal inlining"): the codebooks no longer
+    // ride the plan as a Literal — PqEncode holds them as a codegen
+    // REFERENCE OBJECT, so the binding constraints are driver heap per
+    // plan node, TASK-SERIALIZATION bytes (the reference object ships
+    // with every task binary), and executor memory per running task. The
+    // 2^22-double bound (32 MB) is kept as the budget for those — far
+    // above any real PQ geometry (m·k·(dim/m) = k·dim doubles), and small
+    // enough that task serialization stays off the critical path.
     val doubles = cbs.iterator.flatMap(_.iterator.map(_.length.toLong)).sum
     require(doubles <= Similarity.LiteralDoubleLimit,
-      s"PQ codebooks too large for plan-side inlining ($doubles doubles > " +
-        "2^22) — PQ codebooks are m·k·(dim/m) = k·dim doubles by design; " +
+      s"PQ codebooks too large for the codegen reference object " +
+        s"($doubles doubles > 2^22 = 32 MB of task-serialized state) — " +
+        "PQ codebooks are m·k·(dim/m) = k·dim doubles by design; " +
         "shrink k or train per-partition codebooks")
     val subDim = cbs.head.head.length
     graft.expressions.toCol(graft.expressions.PqEncode(

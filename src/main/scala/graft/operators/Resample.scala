@@ -36,18 +36,18 @@ object Resample {
     // Exact 64-bit bucket floor (ts − ts % step): ts is ~2^60 ns, beyond
     // double's 2^53 exact-integer range, so a float divide could misbucket
     // a boundary-adjacent event relative to the oracle's integer division.
-    // Persisted (r19): b feeds both the grid derivation (per-key min/max)
-    // and the left join back onto the grid — unpersisted, the bucket
-    // aggregation over the raw events ran twice per action (guide §5;
-    // the bucket table is one row per occupied (key, bucket), a bounded
-    // downsample of the input).
-    val b = df
+    // Persisted via the bounded OpCaches registry (r19/r20): b feeds both
+    // the grid derivation (per-key min/max) and the left join back onto
+    // the grid — unpersisted, the bucket aggregation over the raw events
+    // ran twice per action (guide §5; the bucket table is one row per
+    // occupied (key, bucket), a bounded downsample of the input). The
+    // registry LRU-bounds the frame's lifetime.
+    val b = OpCaches.cached(df
       .groupBy(col(keyCol),
         (col(tsCol) - (col(tsCol) % step)).as("bucket_ns"))
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(38, 6))).cast("double").as("s"))
-      .withColumn("v_mean", col("s") / col("n_events")).drop("s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("v_mean", col("s") / col("n_events")).drop("s"))
     val grid = b.groupBy(col(keyCol))
       .agg(min(col("bucket_ns")).as("lo"), max(col("bucket_ns")).as("hi"))
       .select(col(keyCol),

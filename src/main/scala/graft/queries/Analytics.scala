@@ -92,42 +92,57 @@ object Analytics {
     // group; past that, cast ranks to DECIMAL before squaring.)
     "q_spearman" -> Q(
       (s, dir) => {
-        // Persisted: d feeds five consumers (each rank map's value-count
-        // aggregate + split-point job, and the final join chain), so the
-        // unpersisted lineage re-scanned and re-projected the parquet five
-        // times per action (guide §5; the preparedCorpus lifecycle).
+        // Plan shape (r20, guide §2.3/§2.4 — aggregate before you
+        // shuffle): ONE row-level join total, the broadcast of the tiny
+        // quantity-rank map. The r18→r19 plan attached BOTH rank maps to
+        // every fact row (the price map — one row per distinct price ≈
+        // the row count — via a shuffled-hash join) and aggregated the
+        // joined rows. But every power sum is computable from the
+        // per-(flag, yi) VALUE-COUNT table once it carries the xi-rank
+        // partials: Σrows rx = Σgroups srx, Σrows ry = Σgroups c·ry,
+        // Σrows rx·ry = Σgroups ry·srx — exact integer identities, so the
+        // six sums (and hence rho) are bit-identical to the row-level
+        // spelling while the price-side row join, its exchange of the
+        // whole fact table by (flag, yi), and the row-count-sized
+        // aggregate input all disappear. `d` itself is NOT persisted: it
+        // is two cheap narrow parquet scans now (the r19 withGlobalPos
+        // measurement: caching cheap scans costs more than the rescan);
+        // the expensive aggregate `g` is persisted inside
+        // groupedPrefixSum (split points / offsets / window — 3
+        // consumers, via the bounded OpCaches registry).
         val d = tbl(s, dir, "lineitem").select(col("l_returnflag"),
           round(col("l_quantity") * 100).cast("long").as("xi"),
           round(col("l_extendedprice") * 100).cast("long").as("yi"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def ranks(v: String, r: String): DataFrame = {
-          val g = d.groupBy(col("l_returnflag"), col(v))
-            .agg(count(lit(1)).as("c"))
-          Positional.groupedPrefixSum(g, Seq("l_returnflag"),
+        // average ranks (doubled → exact integers) from grouped value
+        // counts: r2 = 2·|smaller| + ties + 1, via the distributed prefix
+        // sum — no per-group full-table window anywhere.
+        def ranksOf(counted: DataFrame, v: String, r: String): DataFrame =
+          Positional.groupedPrefixSum(counted, Seq("l_returnflag"),
               Seq(col(v)), col("c"), "cum")
-            .select(col("l_returnflag"), col(v),
-              (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(r))
-        }
-        // Join strategy pinned on BOTH rank joins (guide §3.1: pick it
-        // deliberately — the r18 plan auto-broadcast the full fact
-        // projection `d` as the BUILD side of the first join, a 600k-row /
-        // ~100 MB HashedRelation at sf0.1 that grows with the data, while
-        // the actually-tiny side sat unbroadcast):
-        //  * ranks(xi): ~50 distinct quantity-cents values per flag —
-        //    broadcast THAT side explicitly; `d` streams, never resident.
-        //  * ranks(yi): one row per distinct PRICE ≈ the row count itself —
-        //    never broadcastable at scale; pin a shuffled-hash join (one
-        //    exchange of d by (flag, yi), per-partition build side).
-        // Inner equi-joins, results unchanged.
-        d.join(broadcast(ranks("xi", "rx")), Seq("l_returnflag", "xi"))
-          .join(ranks("yi", "ry").hint("shuffle_hash"),
-            Seq("l_returnflag", "yi"))
+            .withColumn(r,
+              lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+        // ~50 distinct quantity-cents values per flag — broadcast-safe at
+        // any scale (guide §3.1: the r18 plan auto-broadcast the full
+        // fact projection instead; pin the genuinely tiny side).
+        val rx = ranksOf(
+          d.groupBy(col("l_returnflag"), col("xi"))
+            .agg(count(lit(1)).as("c")), "xi", "rx")
+          .select(col("l_returnflag"), col("xi"), col("rx"))
+        // Value-count table over yi, carrying the xi-rank partials. Long
+        // partials inherit the existing rank-product bound (comment
+        // above: exact up to ~3·10⁹ rows per group; past that cast to
+        // DECIMAL before multiplying).
+        val g = d.join(broadcast(rx), Seq("l_returnflag", "xi"))
+          .groupBy(col("l_returnflag"), col("yi"))
+          .agg(count(lit(1)).as("c"), sum(col("rx")).as("srx"),
+            sum(col("rx") * col("rx")).as("srxx"))
+        ranksOf(g, "yi", "ry")
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).cast("double").as("n"),
-            isum(col("rx")).as("sx"), isum(col("ry")).as("sy"),
-            isum(col("rx") * col("rx")).as("sxx"),
-            isum(col("ry") * col("ry")).as("syy"),
-            isum(col("rx") * col("ry")).as("sxy"))
+          .agg(sum(col("c")).cast("double").as("n"),
+            isum(col("srx")).as("sx"), isum(col("c") * col("ry")).as("sy"),
+            isum(col("srxx")).as("sxx"),
+            isum(col("c") * col("ry") * col("ry")).as("syy"),
+            isum(col("srx") * col("ry")).as("sxy"))
           .select(col("l_returnflag"),
             ((col("sxy") - col("sx") * col("sy") / col("n")) /
               (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *

@@ -148,6 +148,9 @@ object Streaming {
     * key cardinality — this is replay plumbing, not operator behavior
     * (results are partition-count invariant, which StreamsSpec pins). */
   private def statePartitionsFor(dir: String): Int = {
+    // probe hook only (never set by the driver): lets the phase probe
+    // A/B the state-partition clamp without recompiling
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).foreach(return _)
     val f = new java.io.File(s"$dir/events.parquet")
     val bytes =
       if (f.isDirectory)
@@ -194,7 +197,12 @@ object Streaming {
       .withColumn("value", col("value").cast("decimal(38,6)"))
     val agg = Streams.sessionize(stream, gap = "30 minutes",
       maxDelay = "1 hour")
-    drainAppend(agg, table, dir)
+    // No-data batch skipped (r20): every REAL session flushes in the b5
+    // sentinel DATA batch (b4's watermark is operative there and sits 91
+    // days past every real session end — the sentinel design above); the
+    // only thing a trailing no-data batch can add is the b4 sentinel's
+    // OWN session, which the post-drain filter drops anyway.
+    Streams.withoutNoDataBatches(s)(drainAppend(agg, table, dir))
       // null-safe: a NULL-user session must survive this filter (the
       // oracle's GROUP BY keeps the NULL group); staging guarantees
       // no REAL row carries SentinelUser
@@ -258,7 +266,12 @@ object Streaming {
         $"c_uid" === $"n_uid" && $"n_ts" > $"c_ts" &&
           $"n_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
       .select($"c_id".as("click_id"), $"n_id".as("next_id"))
-    drainAppend(joined, table, dir)
+    // INNER join: every output row emits in the data batch where its
+    // second side arrives, so the trailing no-data batch can only evict
+    // state that has no further use — skip it (r20; it was ~0.8 s of pure
+    // per-drain overhead in the phase probe, more under RocksDB where its
+    // empty trigger still loads and commits all 8 stores).
+    Streams.withoutNoDataBatches(s)(drainAppend(joined, table, dir))
       .orderBy($"click_id", $"next_id")
   }
 
@@ -474,7 +487,10 @@ object Streaming {
           .withColumn("value", col("value").cast("decimal(38,6)"))
         val agg = Streams.windowedCounts(stream,
           width = "1 hour", slide = "1 hour", maxDelay = "1 hour")
-        drain(agg, "stream_window_parity", dir)
+        // Complete mode re-emits the whole aggregate each batch; a
+        // trailing no-data batch can only re-emit the same table — skip
+        // it (see Streams.withoutNoDataBatches).
+        Streams.withoutNoDataBatches(s)(drain(agg, "stream_window_parity", dir))
           .select(col("w_start"), col("w_end"), col("event_type"), col("n"),
             col("total_value").cast("double").as("total_value"))
           .orderBy(col("w_start"), col("event_type"))
@@ -563,7 +579,10 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("user_id"), col("event_type")),
           maxDelay = "60 days", keys = Seq("user_id", "event_type"))
-        drainAppend(dd, "stream_dedup_parity", dir)
+        // dedup emits each surviving row in ITS OWN arrival batch; the
+        // no-data batch only evicts state — skip it (r20).
+        Streams.withoutNoDataBatches(s)(
+            drainAppend(dd, "stream_dedup_parity", dir))
           .select(col("user_id"), col("event_type"))
           .orderBy(col("user_id"), col("event_type"))
       },
@@ -589,7 +608,11 @@ object Streaming {
         val dd = Streams.dedupStream(
           stream.select(col("ts"), col("event_id")),
           maxDelay = "1 hour", keys = Seq("event_id"))
-        drainAppend(dd, "stream_late_drop", dir)
+        // arrival-batch emission again (late rows are dropped at their
+        // arrival batch's INPUT filter, never by the trailing no-data
+        // batch) — skip it (r20).
+        Streams.withoutNoDataBatches(s)(
+            drainAppend(dd, "stream_late_drop", dir))
           .select(col("event_id"))
           .orderBy(col("event_id"))
       },
@@ -627,8 +650,12 @@ object Streaming {
           maxFilesPerTrigger = Some(1))
         val ds = stream.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Streams.Event]
-        drainAppend(Streams.userRunningStats(ds).toDF(),
-            "stream_running_counts", dir)
+        // flatMapGroupsWithState with NoTimeout only invokes the state
+        // function for groups WITH input — a no-data batch emits nothing;
+        // skip it (r20).
+        Streams.withoutNoDataBatches(s)(
+            drainAppend(Streams.userRunningStats(ds).toDF(),
+              "stream_running_counts", dir))
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"))
           .orderBy(col("user_id"))
@@ -739,7 +766,20 @@ object Streaming {
             rightFilter = Some(!strag("n_id", "n_ts")))
           .select($"c_id".as("click_id"),
             coalesce($"n_id", lit(-1L)).as("next_id"))
-        drainAppend(joined, "stream_outer_join", dir)
+        // No-data batch skipped (r20) — for an OUTER join this needs the
+        // eviction argument, not the arrival argument: every left row is
+        // a click at or below cut1 (window end ≤ cut1 + 30 min), and the
+        // eviction watermark operative in the LAST DATA batch is the
+        // post-batch-2 one, ≈ cut2 − 1h — cut2 − cut1 is a quarter of the
+        // replay's multi-day span, so every unmatched click's null row
+        // has provably emitted by the end of batch 3's data processing.
+        // The trailing no-data batch could only evict leftover RIGHT-side
+        // rows, which never emit. (The r20 phase probe confirms: left
+        // state is empty after the data batches; the no-data batch's
+        // eviction drops right-side rows only. Oracle-checked at every
+        // SF, like every other gate.)
+        Streams.withoutNoDataBatches(s)(
+            drainAppend(joined, "stream_outer_join", dir))
           .orderBy($"click_id", $"next_id")
       },
       Some(s"""WITH b AS (

@@ -44,13 +44,7 @@ object Streams {
     // started before the first file arrives) has no footer to probe —
     // fall back to the canonical staged layout (BIGINT-nanos ts) so the
     // stream still starts and picks up files as they land.
-    val schema =
-      try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-      }
+    val schema = probedSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val df = reader.parquet(dir)
@@ -64,6 +58,44 @@ object Streams {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  }
+
+  /** Memoized footer-probe schemas, keyed by (dir, metadata fingerprint of
+    * its parquet files). The file-source API needs an explicit schema, so
+    * every stream CONSTRUCTION paid a batch `read.parquet(dir)` footer
+    * probe — a driver job with file listing, ~0.1 s per source per
+    * invocation, twice for the self-join gates (r20 phase probe). The
+    * fingerprint is pure file METADATA (name/size/mtime — zero data I/O,
+    * same contract as the staging markers), so a regenerated directory
+    * re-probes while an unchanged one reuses its schema; this caches no
+    * query data, only the footer's type signature. Bounded: cleared when
+    * it outgrows a small cap (staged dirs are few and stable). */
+  private val probedSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def probedSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    val fp = try {
+      val p = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .mkString(",")
+      } finally st.close()
+    } catch { case scala.util.control.NonFatal(_) => "unlistable" }
+    val key = s"$dir|$fp"
+    if (probedSchemas.size > 64) probedSchemas.clear()
+    probedSchemas.computeIfAbsent(key, _ =>
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+      })
   }
 
   /** File-source ingest of a documents directory as an unbounded stream —
@@ -203,33 +235,44 @@ object Streams {
     * are provider-invariant (StreamsSpec pins the session gate's output
     * equal under both providers); only residency and commit mechanics
     * change. The rocksdbjni natives ship with Spark's jars. */
-  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    // Changelog checkpointing: commit writes the batch's CHANGELOG to the
-    // checkpoint instead of a full SST snapshot per store per batch
-    // (snapshots move to background maintenance). This is the documented
-    // production setting for RocksDB commit latency — at scale a full
-    // per-batch snapshot upload is the dominant commit cost, and in the
-    // finite replays here it was most of the provider's wall-time premium
-    // over the on-heap store (q_stream_stream_join_rocksdb: 4 stores ×
-    // partitions × batches full snapshots). Provider mechanics only;
-    // results are provider-invariant (StreamsSpec pins it).
-    val clKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prev = spark.conf.getOption(key)
-    val prevCl = spark.conf.getOption(clKey)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    spark.conf.set(clKey, "true")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      prevCl match {
-        case Some(v) => spark.conf.set(clKey, v)
-        case None => spark.conf.unset(clKey)
-      }
+  /** @param changelogCheckpointing commit writes the batch's CHANGELOG to
+    *   the checkpoint instead of a full SST snapshot per store per batch
+    *   (snapshots move to background maintenance) — the documented
+    *   production setting for RocksDB commit latency; at scale the
+    *   per-batch snapshot upload is the dominant commit cost, and in the
+    *   finite replays here it was most of the provider's wall-time premium
+    *   over the on-heap store (q_stream_stream_join_rocksdb: 4 stores ×
+    *   partitions × batches full snapshots). CHECKPOINT-FORMAT CAVEAT
+    *   (ADVICE r19, why this is a parameter and not hard-wired): a
+    *   changelog-enabled checkpoint is a different on-disk layout, so a
+    *   caller resuming a checkpoint directory written with the other
+    *   setting (or on a Spark without the feature) fails at RESTORE —
+    *   opt out for such checkpoints. Fresh-checkpoint replays (every
+    *   drain in this repo) are unaffected. Results are provider- and
+    *   setting-invariant either way (StreamsSpec pins it).
+    *
+    * Also pools native memory across RocksDB instances
+    * (`boundedMemoryUsage` + the default 500 MB cap): one shared block
+    * cache + write-buffer manager instead of per-instance allocations —
+    * with stores × partitions instances per drain (8 in the join gates)
+    * the unpooled per-instance buffers are both slower to create and
+    * unbounded in aggregate; pooling is the documented production answer
+    * to RocksDB memory growth and leaves the per-store telemetry
+    * (memoryUsedBytes) intact. */
+  def withRocksDBStateStore[A](spark: SparkSession,
+      changelogCheckpointing: Boolean = true)(body: => A): A = {
+    val settings = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+    ) ++ (if (changelogCheckpointing) Seq(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing" +
+        ".enabled" -> "true") else Nil)
+    val prev = settings.map { case (k, _) => k -> spark.conf.getOption(k) }
+    settings.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -249,6 +292,32 @@ object Streams {
         StateTelemetry(p.stateOperators.map(_.numRowsTotal).sum,
           p.stateOperators.map(_.memoryUsedBytes).sum)
       })
+  }
+
+  /** Run `body` with the trailing NO-DATA micro-batch disabled
+    * (`spark.sql.streaming.noDataMicroBatches.enabled=false`), restored
+    * afterwards. After an AvailableNow drain's last data batch, Spark by
+    * default runs one more EMPTY batch so watermark-driven work (state
+    * eviction, eviction-triggered emission) can happen without new input
+    * — a full trigger with planning, offset WAL, state loads and commits
+    * over every store × partition, measured at 0.6-0.9 s per drain here
+    * (the probe's `rows=0` batch). For a finite replay whose OUTPUT
+    * provably cannot depend on that batch — an INNER stream-stream join
+    * emits matches when the second row ARRIVES, so an input-less batch
+    * can only evict state it will never use again — the batch is pure
+    * replay overhead and is skipped. Do NOT use this for plans that emit
+    * on eviction (the left-outer join gate) or any plan whose final rows
+    * are flushed by a watermark that only becomes operative after the
+    * last data batch. Production infinite streams keep the default: there
+    * the no-data batch is what lets results progress through a lull. */
+  def withoutNoDataBatches[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Run `body` with the session's shuffle-partition count clamped to `n`,
