@@ -1,5 +1,6 @@
 // Run with: sbt "runMain graft.tools.ExplainOne <query>[,<query>...]"
-// Writes plans/r19/<query>_<SPARK_GRAFT_PLAN_TAG>.txt (default tag "plan").
+// Writes $SPARK_GRAFT_PLAN_DIR/<query>_<SPARK_GRAFT_PLAN_TAG>.txt
+// (defaults: plans/r20, tag "plan").
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -16,6 +17,7 @@ object ExplainOne {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "plan")
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r20")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +30,7 @@ object ExplainOne {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      val out = java.nio.file.Paths.get(s"plans/r19/${name}_$tag.txt")
+      val out = java.nio.file.Paths.get(s"$planDir/${name}_$tag.txt")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, txt)
       println(s"[explain] wrote $out (${txt.length} chars)")

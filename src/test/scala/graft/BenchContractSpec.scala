@@ -100,4 +100,39 @@ class BenchContractSpec extends AnyFunSuite {
     assert(math.abs(sum - node.get("value").asDouble) < 1e-6,
       "total must be the sum of per-query minima")
   }
+
+  test("queries_part chunk lines (r20): each line is standalone JSON " +
+      "under the size cap, keys are globally sorted (stable tail subset " +
+      "across rounds), parts reassemble to the full per-query map, and " +
+      "failed queries ride as null") {
+    val entries = (1 to 178).map(i =>
+      f"q_example_$i%03d" -> (if (i % 50 == 0) None else Some(i * 0.01231)))
+    val lines = Bench.queriesPartLines(entries, "min_of_3x2",
+      "/root/testdata/sf0.1")
+    assert(lines.size >= 2, "178 queries cannot fit one 1.6 KB chunk")
+    val seen = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    lines.zipWithIndex.foreach { case (l, i) =>
+      assert(l.length <= 1700, s"chunk must survive a bounded tail: ${l.length}")
+      val node = om.readTree(l) // parses standalone
+      assert(node.get("metric").asText === "queries_part")
+      assert(node.get("part").asInt === i + 1)
+      assert(node.get("n_parts").asInt === lines.size)
+      assert(node.get("stat").asText === "min_of_3x2")
+      val it = node.get("queries").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        seen += e.getKey -> (if (e.getValue.isNull) None
+          else Some(e.getValue.asDouble))
+      }
+    }
+    assert(seen.keys.toSeq === seen.keys.toSeq.sorted,
+      "concatenated parts must be globally key-sorted")
+    assert(seen.size === 178)
+    entries.foreach { case (k, v) =>
+      assert(seen(k).isDefined === v.isDefined)
+      v.foreach(x => assert(math.abs(seen(k).get - x) < 1e-4))
+    }
+    // empty input → no chunk lines (subset-filtered runs stay quiet)
+    assert(Bench.queriesPartLines(Seq.empty, "min_of_3x2", "/sf").isEmpty)
+  }
 }

@@ -371,4 +371,42 @@ class DedupSpec extends SparkTestBase {
     // the i%3==0 docs all share the 5-token boilerplate prefix
     assert(one(3L)._3 === 5L)
   }
+
+  test("positional filter is lossless under BOTH orderings: prefix-join " +
+      "pairs equal brute-force all-pairs on a heavily overlapping corpus") {
+    // r20: the candidate join prunes matched-token rows whose positional
+    // overlap bound 1 + min(|a|-pa, |b|-pb) cannot reach
+    // α = ⌈τ/(1+τ)(|a|+|b|)⌉ (PPJoin). The bound must never drop a TRUE
+    // pair — pin it against a driver-side brute force over the same
+    // polyHash sets, on a corpus dense enough that late-position prefix
+    // matches (the pruned class) actually occur, plus exact duplicates.
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val base = (1 to 36).map { i =>
+      val n = 4 + rnd.nextInt(4)
+      (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+    }
+    val dups = (1 to 4).map(i => (100L + i, base(i)._2)) // guaranteed pairs
+    val docs = (base ++ dups).map { case (id, t) => (id, "blk", t) }
+      .toDF("doc_id", "source", "text")
+    val hashOf = vocab.toDF("t")
+      .select($"t", graft.expressions.TextExpressions.polyHash($"t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sets = (base ++ dups).map { case (id, t) =>
+      id -> t.split(" ").map(hashOf).toSet }.toMap
+    val expect = (for {
+      (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq if i < j
+      inter = (si & sj).size
+      jacc = inter.toDouble / (si.size + sj.size - inter).toDouble
+      if jacc >= 0.5
+    } yield (i, j, jacc)).toSet
+    assert(expect.nonEmpty, "fixture must produce true pairs")
+    for (freq <- Seq(false, true)) {
+      val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+          0.5, frequencyOrdered = freq)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jacc"))).toSet
+      assert(got === expect, s"frequencyOrdered=$freq")
+    }
+  }
 }
