@@ -252,6 +252,31 @@ object Streaming {
   private def streamStreamJoinDrain(s: org.apache.spark.sql.SparkSession,
       dir: String, table: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // Join state format v3 (r20, RocksDB only — the provider the wrapper
+    // sets for the rocksdb gate): ONE state store with virtual column
+    // families instead of FOUR stores per partition. The r20 phase probe
+    // put the provider's premium in per-store native overhead (8
+    // instances loaded + committed per batch, changelog fsync per store);
+    // v3 quarters the instance count with identical join semantics. The
+    // conf is pinned at query START and rides the fresh per-drain
+    // checkpoint, so no cross-version restore can occur (the docs'
+    // incompatibility caveat applies to RESUMED checkpoints). Unsupported
+    // on the default on-heap provider — applied only when the session's
+    // provider is RocksDB.
+    val fmtKey = "spark.sql.streaming.join.stateFormatVersion"
+    val isRocks = s.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB"))
+    def withFmt[A](body: => A): A =
+      if (!isRocks) body
+      else {
+        val prev = s.conf.getOption(fmtKey)
+        s.conf.set(fmtKey, "3")
+        try body finally prev match {
+          case Some(v) => s.conf.set(fmtKey, v)
+          case None => s.conf.unset(fmtKey)
+        }
+      }
     def side(prefix: String, extra: Seq[org.apache.spark.sql.Column]) =
       Streams.eventStream(s, stageEventsMulti(s, dir),
           maxFilesPerTrigger = Some(1))
@@ -271,7 +296,7 @@ object Streaming {
     // state that has no further use — skip it (r20; it was ~0.8 s of pure
     // per-drain overhead in the phase probe, more under RocksDB where its
     // empty trigger still loads and commits all 8 stores).
-    Streams.withoutNoDataBatches(s)(drainAppend(joined, table, dir))
+    withFmt(Streams.withoutNoDataBatches(s)(drainAppend(joined, table, dir)))
       .orderBy($"click_id", $"next_id")
   }
 
